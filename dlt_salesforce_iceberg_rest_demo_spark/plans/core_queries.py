@@ -1,0 +1,669 @@
+"""Core relational operator surface.
+
+SURVEY.md §2.7: the reference implements none of these (no joins, no
+group-by, no windows, no set ops - relationships are loaded as plain FK
+columns and joined downstream by consumers). They come free from Spark
+SQL; this module registers the demonstration set the driver scores
+against the DuckDB oracle, written Spark-first (DataFrame API,
+broadcast hints for dims, decimal-stabilized float aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._helpers import DEC, SQL_DEC, davg, dsum, sql_davg, sql_dsum, t
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Flagship: scan + filter + 4 joins + agg + sort in one query.
+# Dim tables (region/nation/customer at sf<=1) are broadcast so the only
+# shuffle is the final group-by; lineitem->orders is the one big join and
+# AQE picks its strategy at runtime.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_region",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region: lineitem x orders x customer x nation x region.
+
+    The reference never joins (SURVEY §2.7) - its FK model
+    (contact.AccountId -> account.Id, reference
+    data/salesforce_medium_scale.recipe.yml:78-79) implies exactly this
+    downstream consumer query shape. Dimensions are broadcast: at 100 TB
+    the fact-side stays shuffle-free for every dim hop.
+    """
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter + groupBy + 8 aggregates.
+
+    Map-side partial aggregation makes this a single small shuffle of
+    (flag,status) partials regardless of input size - the canonical
+    scale-safe aggregation shape.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            "sum_charge",
+        ),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins: inner / left / semi / anti / broadcast.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 200000
+    """,
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders->customer with a selective fact-side filter.
+
+    Filter is applied before the join so Catalyst pushes it to the scan
+    (PushedFilters) and the join input shrinks first.
+    """
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    customer = t(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_customer_order_stats",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           {sql_dsum("o.o_totalprice", "total_spent")}
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (NULL-count = 0)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join == EXISTS: customers having >=1 order, no fanout."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join == NOT EXISTS: customers with zero orders."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_revenue_by_brand",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: part is a dim, lineitem never shuffles
+    for the join (only the tiny per-brand partial aggregates move)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation: rollup / cube / grouping sets.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {sql_dsum("c.c_acctbal", "total_acctbal")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region->nation: subtotals + grand total in one pass
+    (Catalyst expands to a single Expand + aggregate, no re-scan)."""
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "total_acctbal"))
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by-status, by-priority, grand total)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS {SQL_DEC})) AS DOUBLE) AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+      FROM orders) x
+    WHERE rank_in_cust <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the scale-safe top-k-per-group pattern
+    (one hash shuffle on the partition key, heap-free row_number)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+@register(
+    "window_running_sum_per_user",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS {SQL_DEC})) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+    FROM events
+    """,
+)
+def window_running_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum of event value per user (decimal-stabilized so frame
+    evaluation order can't perturb the double)."""
+    events = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta_value
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: per-user delta between consecutive event values (first row NULL).
+    Per-row double subtraction is deterministic - no stabilization needed."""
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / distinct.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_nation_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer and supplier nation keys."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect_nation_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_nation_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): nations with customers but no
+    suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "distinct_market_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_market_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (map-side partial dedup then tiny shuffle)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "count_distinct_customers_per_nation",
+    oracle="""
+    SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(*) AS n_rows
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def count_distinct_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (Catalyst expands to two-phase agg)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function library (string / date / math / conditional).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1) AS first_word,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed
+    FROM part
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/length/substring/concat/replace/
+    regexp_extract/trim - all JVM-side codegen'd expressions."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           EPOCH(o_orderdate)::BIGINT AS order_epoch
+    FROM orders
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function surface over the order timestamp (UTC session TZ
+    pinned so extraction matches DuckDB's naive-UTC semantics)."""
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        # Rendered as a string: DATE round-trips through pandas as python
+        # date objects on the Spark side but datetime64 on the DuckDB
+        # side - a representation mismatch, not a value one.
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_disc,
+           CAST(CEIL(l_extendedprice) AS DOUBLE) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS DOUBLE) AS price_floor,
+           CAST(ROUND(l_discount * 100, 0) AS DOUBLE) AS disc_pct,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln
+    FROM lineitem
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface. sqrt/ln rounded to 6dp: Java Math vs C libm
+    may differ in the last ulp; rounding absorbs it deterministically."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        # Round only near-integer values: ROUND on arbitrary products
+        # diverges between Java BigDecimal HALF_UP and C libm at .005
+        # boundaries; near-integers can't sit on a boundary.
+        F.round(F.col("l_discount") * 100, 0).cast("double").alias("disc_pct"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+    )
+
+
+@register(
+    "case_when_price_bands",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                WHEN o_totalprice < 300000 THEN 'high'
+                ELSE 'jumbo' END AS price_band,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "band_total")}
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    orders = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .when(F.col("o_totalprice") < 300000, "high")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.groupBy(band.alias("price_band"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "band_total"))
+    )
+
+
+@register(
+    "pivot_qty_by_flag_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS {SQL_DEC}) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS {SQL_DEC}) END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT linestatus into columns (explicit value list -> single pass,
+    no extra job to discover pivot values)."""
+    li = t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) x
+    WHERE rn <= 2
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 priciest parts per brand (row_number, unique tiebreak)."""
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "subquery_orders_above_avg",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS {SQL_DEC})) AS DOUBLE) / COUNT(o_totalprice)
+      FROM orders)
+    """,
+)
+def subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders above the global average price.
+
+    Spark-first shape: compute the 1-row aggregate, broadcast-cross-join
+    it, filter - identical plan to Catalyst's scalar subquery rewrite.
+    """
+    orders = t(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg("o_totalprice", "avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "sort_limit_top_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def sort_limit_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT -> TakeOrderedAndProject (per-partition top-k then
+    k-way merge on the driver; never a full sort at scale). Unique
+    (ts, event_id) tiebreak makes the selected set deterministic."""
+    return (
+        t(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

@@ -1,0 +1,85 @@
+"""Parquet table source for the driver fixtures.
+
+Parity: the reference stages every batch as Parquet before the
+destination load (``/root/reference/salesforce_pipeline.py:62``,
+``loader_file_format="parquet"``) and its physical tables are
+Parquet-in-Iceberg. ``spark.read.parquet`` is the native equivalent:
+vectorized scan, predicate pushdown, column pruning all come from
+Catalyst for free (SURVEY.md §4).
+
+Scale note: at 100 TB these would be partitioned/bucketed Iceberg
+tables; the loader keeps the call-site identical (``load_table(spark,
+sf_dir, name)``) so swapping in ``spark.table("lake.ns.name")`` is a
+one-liner.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver-generated TPC-H-ish star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@functools.lru_cache(maxsize=None)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects (PARQUET_TYPE_ILLEGAL). One cheap driver-side footer read,
+    cached per path."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return tuple(
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        )
+    except Exception:
+        return ()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan -> full pushdown support.
+
+    Nanosecond-timestamp columns (e.g. `events.ts`) are read as long
+    nanos (`spark.sql.legacy.parquet.nanosAsLong`, set at runtime so the
+    driver's own SparkSession works too) and converted to native
+    microsecond timestamps - truncation, matching DuckDB's ns->us cast.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,54 @@
+"""Every registered query with an oracle must match DuckDB exactly at
+sf0.001 - the same bar as the driver's CORRECTNESS gate (which runs at
+sf0.01; `pytest -m slow` level coverage for that comes from
+test_queries_oracle_sf001.py's parametrization over SF_DIR).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dlt_salesforce_iceberg_rest_demo_spark.plans import REGISTRY, query_fns, oracle_sqls
+
+from .conftest import SF_DIR, assert_frames_match
+
+
+def _oracle_names():
+    query_fns()  # force registry load
+    return sorted(oracle_sqls().keys())
+
+
+def _all_names():
+    return sorted(query_fns().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    spark_df = q.spark(spark, SF_DIR)
+    oracle_pdf = duck.execute(q.oracle).df()
+    assert_frames_match(spark_df, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", [n for n in _all_names() if n not in _oracle_names()])
+def test_oracleless_query_runs(spark, name):
+    """Queries without an oracle still must run and return a stable schema."""
+    q = REGISTRY[name]
+    df = q.spark(spark, SF_DIR)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"region", "n_items", "revenue"}
+
+
+def test_every_query_has_doc():
+    query_fns()
+    for name, q in REGISTRY.items():
+        assert q.doc.strip(), f"{name} missing docstring/parity note"
