@@ -1,0 +1,287 @@
+"""Write dispositions (W1-W6) on a snapshot-versioned parquet lake.
+
+The reference's heart is its dlt custom destination
+(/root/reference/salesforce_pipeline.py:62-176): per-batch it loads or
+creates an Iceberg table, aligns the batch to the table schema, and then
+
+- append:  ``i_table.append(pa_table)``                        (:176)
+- replace: ``delete(AlwaysTrue())`` then append - two commits,
+  NOT atomic                                                   (:79-81)
+- merge:   build a PK expression from the batch, ``delete(filter)``,
+  then append = batch-local delete-then-insert upsert          (:83-130)
+- fallback: merge without usable PKs warns and appends         (:131-138)
+- auto-create with parquet/snappy table properties             (:140-151)
+
+This module reproduces those semantics on plain parquet with an
+Iceberg-style commit protocol so the tests (and any catalog-less
+deployment) get real snapshot isolation:
+
+- each table is a directory of immutable data dirs plus numbered
+  manifest files; a manifest lists the data dirs visible in that
+  snapshot;
+- a commit = write data dir(s) + write manifest N+1 + atomically rename
+  a pointer file. Readers resolve the pointer once - a crashed writer
+  can never leave a half-visible table (STRICTLY better than the
+  reference's two-commit replace, which has a visible-empty window);
+- append never rewrites history (manifest N+1 = manifest N + new dir) -
+  O(batch), not O(table);
+- merge is copy-on-write like Iceberg's MERGE INTO default: rewrite of
+  the surviving base + batch. The anti-join is broadcast when the batch
+  is small (the reference's 1k-10k row dlt batches always are), so at
+  100 TB the shuffle cost is one broadcast pass over the base, not a
+  sort-merge of the table.
+
+The real-Iceberg path (same dispositions through ``MERGE INTO`` /
+``writeTo``) lives in ``sinks.iceberg`` and activates when the runtime
+jar + catalog are configured.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..normalize import align_to_schema, nullable_everything, widen_types
+
+logger = logging.getLogger(__name__)
+
+# Table properties written at auto-create (salesforce_pipeline.py:146-149).
+DEFAULT_TABLE_PROPERTIES = {
+    "write.format.default": "parquet",
+    "write.parquet.compression-codec": "snappy",
+}
+
+
+@dataclass
+class WriteReport:
+    table: str
+    disposition: str
+    rows_written: int
+    fallback_append: bool = False
+
+
+class ParquetLake:
+    """Snapshot-versioned parquet tables under one root directory."""
+
+    def __init__(self, spark: SparkSession, root: str | os.PathLike[str]) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- catalog surface (S4/S5 parity: check_tables.py:29-47) ------------
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            p.name
+            for p in self.root.iterdir()
+            if p.is_dir() and (p / "_POINTER").exists()
+        )
+
+    def exists(self, table: str) -> bool:
+        return (self.root / table / "_POINTER").exists()
+
+    def table_location(self, table: str) -> str:
+        return str(self.root / table)
+
+    def table_properties(self, table: str) -> dict[str, str]:
+        props = self.root / table / "_PROPERTIES.json"
+        return json.loads(props.read_text()) if props.exists() else {}
+
+    def read(self, table: str) -> DataFrame:
+        """Scan the current snapshot (S4)."""
+        dirs = self._current_manifest(table)
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema(table))
+        paths = [str(self.root / table / d) for d in dirs]
+        return self.spark.read.schema(self.schema(table)).parquet(*paths)
+
+    def count(self, table: str) -> int:
+        """A1 verification count - metadata-only on parquet footers."""
+        return self.read(table).count()
+
+    def schema(self, table: str) -> T.StructType:
+        schema_file = self.root / table / "_SCHEMA.json"
+        return T.StructType.fromJson(json.loads(schema_file.read_text()))
+
+    # -- snapshot plumbing -------------------------------------------------
+
+    def _pointer(self, table: str) -> Path:
+        return self.root / table / "_POINTER"
+
+    def _current_version(self, table: str) -> int:
+        return int(self._pointer(table).read_text())
+
+    def _current_manifest(self, table: str) -> list[str]:
+        v = self._current_version(table)
+        manifest = self.root / table / f"_MANIFEST.{v}.json"
+        return json.loads(manifest.read_text())
+
+    def _commit(self, table: str, data_dirs: list[str]) -> None:
+        """Write manifest N+1 then atomically swing the pointer."""
+        tdir = self.root / table
+        v = self._current_version(table) + 1
+        (tdir / f"_MANIFEST.{v}.json").write_text(json.dumps(data_dirs))
+        tmp = tdir / f"_POINTER.tmp.{v}"
+        tmp.write_text(str(v))
+        os.replace(tmp, self._pointer(table))
+
+    def _new_data_dir(self, table: str, df: DataFrame) -> tuple[str, int]:
+        """Materialize df as an immutable data dir; returns (name, rows)."""
+        tdir = self.root / table
+        v = self._current_version(table) + 1
+        name = f"data_{v:06d}"
+        df.write.mode("errorifexists").parquet(str(tdir / name))
+        rows = self.spark.read.parquet(str(tdir / name)).count()
+        return name, rows
+
+    # -- W5: auto-create ---------------------------------------------------
+
+    def create_table(
+        self, table: str, schema: T.StructType, properties: dict[str, str] | None = None
+    ) -> None:
+        """First-contact table creation (salesforce_pipeline.py:140-151):
+        widened, all-nullable schema + parquet/snappy properties."""
+        tdir = self.root / table
+        tdir.mkdir(parents=True, exist_ok=True)
+        final_schema = nullable_everything(widen_types(schema))
+        (tdir / "_SCHEMA.json").write_text(json.dumps(final_schema.jsonValue()))
+        (tdir / "_PROPERTIES.json").write_text(
+            json.dumps(properties or DEFAULT_TABLE_PROPERTIES)
+        )
+        (tdir / "_MANIFEST.0.json").write_text(json.dumps([]))
+        tmp = tdir / "_POINTER.tmp.0"
+        tmp.write_text("0")
+        os.replace(tmp, self._pointer(table))
+
+    def drop_table(self, table: str) -> None:
+        shutil.rmtree(self.root / table, ignore_errors=True)
+
+    def _prepare(self, table: str, df: DataFrame) -> DataFrame:
+        """Auto-create if missing, then T3-align the batch to the table
+        schema (add typed NULLs, drop extras, target order -
+        salesforce_pipeline.py:153-176)."""
+        if not self.exists(table):
+            self.create_table(table, df.schema)
+        return align_to_schema(df, self.schema(table))
+
+    # -- W1/W2/W3 dispositions ----------------------------------------------
+
+    def append(self, df: DataFrame, table: str) -> WriteReport:
+        """W1: new snapshot = old manifest + one new data dir."""
+        df = self._prepare(table, df)
+        name, rows = self._new_data_dir(table, df)
+        self._commit(table, self._current_manifest(table) + [name])
+        return WriteReport(table, "append", rows)
+
+    def replace(self, df: DataFrame, table: str) -> WriteReport:
+        """W2: new snapshot = exactly the new data dir. One atomic commit
+        (the reference needs two: delete(AlwaysTrue) + append)."""
+        df = self._prepare(table, df)
+        name, rows = self._new_data_dir(table, df)
+        self._commit(table, [name])
+        return WriteReport(table, "replace", rows)
+
+    def merge(
+        self,
+        df: DataFrame,
+        table: str,
+        primary_key: tuple[str, ...] | list[str],
+        *,
+        dedupe_batch: bool = False,
+    ) -> WriteReport:
+        """W3 merge = batch-local delete-then-insert upsert
+        (salesforce_pipeline.py:83-130):
+
+        1. rows in the base whose PK appears in the batch are deleted
+           (the reference builds an Or-of-And PyIceberg expression, P7;
+           here it's a broadcast anti-join - same relation algebra);
+        2. the whole batch is appended.
+
+        Reference quirk preserved: duplicate PKs *within* one batch
+        survive as duplicates (the delete runs before the insert, against
+        the base only). ``dedupe_batch=True`` opts into keep-last-by-
+        batch-order instead - the documented idiomatic improvement
+        (SURVEY §7 "What's hard").
+
+        W4 fallbacks: no declared PK, or PK columns absent from the
+        data -> warn + append (salesforce_pipeline.py:131-138).
+        """
+        pk = list(primary_key)
+        if not self.exists(table):
+            df0 = self._prepare(table, df)
+            name, rows = self._new_data_dir(table, df0)
+            self._commit(table, [name])
+            # Reference emits the no-PK warning on every load, including
+            # first contact (salesforce_pipeline.py:131-138).
+            return WriteReport(table, "merge", rows, fallback_append=not pk)
+
+        df = self._prepare(table, df)
+        if not pk:
+            logger.warning(
+                "merge disposition for %s without primary key: falling back to append",
+                table,
+            )
+            rep = self.append(df, table)
+            return WriteReport(table, "merge", rep.rows_written, fallback_append=True)
+        missing = [k for k in pk if k not in df.columns]
+        if missing:
+            logger.warning(
+                "merge keys %s not present in batch for %s: falling back to append",
+                missing,
+                table,
+            )
+            rep = self.append(df, table)
+            return WriteReport(table, "merge", rep.rows_written, fallback_append=True)
+
+        if dedupe_batch:
+            from pyspark.sql import Window
+
+            order = [F.col(c).desc() for c in df.columns if c not in pk]
+            w = Window.partitionBy(*pk).orderBy(*(order or [F.lit(1)]))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        # Empty incremental batch -> no-op. Without this, copy-on-write
+        # would rewrite the whole table for an idle cursor poll - O(table)
+        # for zero changes, catastrophic at scale.
+        batch_rows = df.count()
+        if batch_rows == 0:
+            return WriteReport(table, "merge", 0)
+
+        base = self.read(table)
+        keys = df.select(*pk).distinct()
+        kept = base.join(F.broadcast(keys), pk, "left_anti")
+        merged = kept.unionByName(df)
+        name, _total = self._new_data_dir(table, merged)
+        self._commit(table, [name])
+        # rows_written = batch rows loaded (the reference's LoadInfo
+        # semantics), not the copy-on-write rewrite size.
+        return WriteReport(table, "merge", batch_rows)
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        disposition: str,
+        primary_key: tuple[str, ...] | list[str] = (),
+    ) -> WriteReport:
+        """Disposition dispatch, the destination entry point
+        (salesforce_pipeline.py:62-176)."""
+        if disposition == "append":
+            return self.append(df, table)
+        if disposition == "replace":
+            return self.replace(df, table)
+        if disposition == "merge":
+            return self.merge(df, table, primary_key)
+        raise ValueError(f"unknown write disposition: {disposition}")

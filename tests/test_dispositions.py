@@ -1,0 +1,145 @@
+"""Disposition-writer semantics (W1-W6) on the snapshot parquet lake -
+the end-to-end disposition tests SURVEY §5 calls for."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import ParquetLake
+
+
+def make_lake(spark, tmp_path):
+    return ParquetLake(spark, tmp_path / "lake")
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def rows_by_id(lake, table):
+    return {r["id"]: r.asDict() for r in lake.read(table).collect()}
+
+
+class TestCreateAndAppend:
+    def test_auto_create_widens_and_nullifies(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        df = spark.createDataFrame(
+            [(1, 2.5, "x")],
+            schema=T.StructType(
+                [
+                    T.StructField("id", T.IntegerType(), False),
+                    T.StructField("v", T.FloatType(), False),
+                    T.StructField("s", T.StringType(), False),
+                ]
+            ),
+        )
+        lake.append(df, "t")
+        schema = lake.schema("t")
+        # int -> long, float -> double (iceberg/schema.py:37-40), all
+        # nullable (iceberg/schema.py:57-62)
+        assert [f.dataType.simpleString() for f in schema.fields] == [
+            "bigint",
+            "double",
+            "string",
+        ]
+        assert all(f.nullable for f in schema.fields)
+        # parquet/snappy table properties (salesforce_pipeline.py:146-149)
+        assert lake.table_properties("t")["write.parquet.compression-codec"] == "snappy"
+
+    def test_append_accumulates(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.append(df_of(spark, [Row(id=2, v="b")]), "t")
+        assert lake.count("t") == 2
+
+    def test_append_aligns_schema(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        # second batch: missing `v`, extra `junk` -> NULL-filled / dropped
+        lake.append(df_of(spark, [Row(id=2, junk="zzz")]), "t")
+        rows = rows_by_id(lake, "t")
+        assert rows[2]["v"] is None
+        assert "junk" not in lake.read("t").columns
+
+
+class TestReplace:
+    def test_replace_supplants(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]), "t")
+        lake.replace(df_of(spark, [Row(id=3, v="c")]), "t")
+        assert set(rows_by_id(lake, "t")) == {3}
+
+    def test_replace_is_single_snapshot(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        v_before = lake._current_version("t")
+        lake.replace(df_of(spark, [Row(id=2, v="b")]), "t")
+        # exactly one commit (reference needs delete+append = two)
+        assert lake._current_version("t") == v_before + 1
+
+
+class TestMerge:
+    def test_upsert_updates_and_inserts(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.merge(df_of(spark, [Row(id=1, v="old"), Row(id=2, v="keep")]), "t", ("id",))
+        lake.merge(df_of(spark, [Row(id=1, v="new"), Row(id=3, v="ins")]), "t", ("id",))
+        rows = rows_by_id(lake, "t")
+        assert rows[1]["v"] == "new"  # matched -> replaced
+        assert rows[2]["v"] == "keep"  # untouched survives
+        assert rows[3]["v"] == "ins"  # new key inserted
+        assert len(rows) == 3
+
+    def test_merge_idempotent_reload(self, spark, tmp_path):
+        # I4: reloading the same batch changes nothing
+        lake = make_lake(spark, tmp_path)
+        batch = df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")])
+        lake.merge(batch, "t", ("id",))
+        lake.merge(batch, "t", ("id",))
+        assert lake.count("t") == 2
+
+    def test_batch_local_duplicates_survive(self, spark, tmp_path):
+        """Reference quirk (SURVEY §7): delete-then-insert keeps duplicate
+        PKs *within* one batch."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge(df_of(spark, [Row(id=1, v="a")]), "t", ("id",))
+        dup_batch = df_of(spark, [Row(id=1, v="x"), Row(id=1, v="y")])
+        lake.merge(dup_batch, "t", ("id",))
+        assert lake.count("t") == 2  # both duplicate rows present
+
+    def test_dedupe_batch_opt_in(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.merge(df_of(spark, [Row(id=1, v="a")]), "t", ("id",))
+        dup_batch = df_of(spark, [Row(id=1, v="x"), Row(id=1, v="y")])
+        lake.merge(dup_batch, "t", ("id",), dedupe_batch=True)
+        assert lake.count("t") == 1
+
+    def test_merge_without_pk_appends_with_flag(self, spark, tmp_path):
+        # W4 guard (salesforce_pipeline.py:131-138)
+        lake = make_lake(spark, tmp_path)
+        lake.merge(df_of(spark, [Row(id=1, v="a")]), "t", ())
+        rep = lake.merge(df_of(spark, [Row(id=1, v="b")]), "t", ())
+        assert rep.fallback_append
+        assert lake.count("t") == 2
+
+    def test_merge_with_missing_pk_column_appends(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.merge(df_of(spark, [Row(id=1, v="a")]), "t", ("id",))
+        rep = lake.merge(df_of(spark, [Row(other=9, v="b")]), "t", ("nope",))
+        assert rep.fallback_append
+
+
+class TestCatalog:
+    def test_list_tables_and_location(self, spark, tmp_path):
+        # S5 parity (check_tables.py:29-42)
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1)]), "b_table")
+        lake.append(df_of(spark, [Row(id=1)]), "a_table")
+        assert lake.list_tables() == ["a_table", "b_table"]
+        assert lake.table_location("a_table").endswith("a_table")
+
+    def test_drop_table(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1)]), "t")
+        lake.drop_table("t")
+        assert not lake.exists("t")

@@ -1,0 +1,111 @@
+"""Normalize-layer unit tests (T1-T5, §1.2/§1.3 type & schema policy)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from dlt_salesforce_iceberg_rest_demo_spark.normalize import (
+    align_to_schema,
+    add_lineage,
+    canonicalize_datetime,
+    nullable_everything,
+    parse_canonical_datetime,
+    snake_case,
+    snake_case_columns,
+    widen_types,
+)
+
+
+class TestSnakeCase:
+    def test_salesforce_identifiers(self):
+        assert snake_case("SystemModstamp") == "system_modstamp"
+        assert snake_case("AccountId") == "account_id"
+        assert snake_case("IsDeleted") == "is_deleted"
+        assert snake_case("Name") == "name"
+        assert snake_case("already_snake") == "already_snake"
+        assert snake_case("SLAExpirationDate") == "sla_expiration_date"
+        assert snake_case("Field__c") == "field_c"
+
+    def test_rename_columns(self, spark):
+        df = spark.createDataFrame([Row(AccountId="a", AnnualRevenue=1.0)])
+        out = snake_case_columns(df)
+        assert out.columns == ["account_id", "annual_revenue"]
+
+
+class TestTypes:
+    def test_widen(self):
+        s = T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("f", T.FloatType()),
+                T.StructField("d", T.DecimalType(10, 2)),  # unsupported -> string
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        w = widen_types(s)
+        assert [f.dataType.simpleString() for f in w.fields] == [
+            "bigint",
+            "double",
+            "string",
+            "timestamp",
+        ]
+
+    def test_nullable_everything(self):
+        s = T.StructType([T.StructField("a", T.LongType(), False)])
+        assert all(f.nullable for f in nullable_everything(s).fields)
+
+
+class TestAlign:
+    def test_add_null_drop_extra_reorder(self, spark):
+        df = spark.createDataFrame([Row(b="x", a=1, junk=True)])
+        target = T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.StringType()),
+                T.StructField("c", T.DoubleType()),
+            ]
+        )
+        out = align_to_schema(df, target)
+        assert out.columns == ["a", "b", "c"]
+        row = out.collect()[0]
+        assert row["a"] == 1 and row["b"] == "x" and row["c"] is None
+
+    def test_case_insensitive_match(self, spark):
+        df = spark.createDataFrame([Row(ID="x")])
+        target = T.StructType([T.StructField("id", T.StringType())])
+        assert align_to_schema(df, target).collect()[0]["id"] == "x"
+
+
+class TestDatetime:
+    def test_canonical_roundtrip(self, spark):
+        ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 678901)
+        df = spark.createDataFrame([Row(ts=ts)])
+        canon = canonicalize_datetime(df, ["ts"])
+        s = canon.collect()[0]["ts"]
+        assert s == "2024-01-02T03:04:05.678901Z"  # records.py:38 format
+        back = parse_canonical_datetime(canon, ["ts"])
+        assert back.collect()[0]["ts"] == ts
+
+    def test_epoch_millis_parse(self, spark):
+        # Bulk API shape (records.py:34-38): epoch millis -> timestamp
+        df = spark.createDataFrame([Row(ts=1704164645000)])
+        out = parse_canonical_datetime(df, ["ts"])
+        assert out.collect()[0]["ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+
+
+class TestLineage:
+    def test_deterministic_id(self, spark):
+        df = spark.createDataFrame([Row(k="a"), Row(k="b")])
+        out1 = add_lineage(df, "L1", deterministic_from=["k"])
+        out2 = add_lineage(df, "L1", deterministic_from=["k"])
+        assert sorted(r["_dlt_id"] for r in out1.collect()) == sorted(
+            r["_dlt_id"] for r in out2.collect()
+        )
+
+    def test_random_id_unique(self, spark):
+        df = spark.createDataFrame([Row(k="a"), Row(k="b")])
+        ids = [r["_dlt_id"] for r in add_lineage(df, "L1").collect()]
+        assert len(set(ids)) == 2
