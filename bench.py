@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the benchmark set. Each query is
+executed to completion (count() action over the full result; no
+collect of wide payloads so the measurement is engine time, not
+driver-transfer time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dlt_salesforce_iceberg_rest_demo_spark.plans import query_fns  # noqa: E402
+from dlt_salesforce_iceberg_rest_demo_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family - relational core, windows,
+# merge semantics, and (as they land) the LLM-pipeline extensions.
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "agg_pricing_summary",
+    "join_left_customer_order_stats",
+    "agg_cube_flag_status",
+    "window_topk_orders_per_customer",
+    "window_running_sum_per_user",
+    "merge_upsert_semantics",
+    "merge_keep_last_per_key",
+    "count_distinct_customers_per_nation",
+    "sort_limit_top_events",
+]
+# Extension headliners are appended dynamically when registered.
+EXTENSION_HEADLINE = [
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_stats_documents",
+    "sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    fns = query_fns()
+    names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in fns]
+
+    # Warm the JVM + file-system caches once with the cheapest query so
+    # per-query numbers measure the plan, not session startup.
+    fns["flagship_revenue_by_region"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
