@@ -1,0 +1,345 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these shapes):
+
+- exact dedup is a single hash aggregation - map-side partial, one
+  shuffle of (key, min_id) pairs, never the payloads;
+- exact Jaccard is quadratic-in-candidates and exists as the small-SF
+  oracle / verification path;
+- MinHash+LSH is the 100 TB path: O(corpus) signature pass (explode ->
+  64 partial-aggregated mins), then banding so only probable-duplicate
+  pairs are ever joined. Band width r and band count b set the
+  S-curve: P(candidate) = 1-(1-s^r)^b;
+- SimHash is the O(corpus) bit-signature alternative; pairs via
+  pigeonhole banding on 16-bit chunks (any pair within Hamming
+  distance 3 shares at least one of 4 chunks).
+
+All hashing is deterministic (murmur3 `hash` / `xxhash64` with fixed
+seeds + fixed a/b permutation constants) so results are reproducible
+run-to-run - required for both the driver's hash-compare and
+idempotent re-runs of a production dedup job.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+MERSENNE_31 = (1 << 31) - 1
+
+
+def shingles(col: Column | str, n: int = 2) -> Column:
+    """Word n-gram shingle array (distinct), the dedup unit.
+
+    n=2 bigrams: discriminative enough on small vocabularies while
+    staying cheap; character k-grams would drop in identically.
+    """
+    t = tokens(col)
+    if n == 1:
+        return F.array_distinct(t)
+    # Guard: sequence(0, -1) would produce a DEscending sequence in
+    # Spark, not an empty array - short docs must yield [] explicitly.
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Exact deduplication on ``cols``: one row per distinct key, the
+    representative being the minimum id (deterministic, unlike
+    dropDuplicates' partition-order-dependent pick). Only (key-hash,
+    id) pairs shuffle, never full payloads."""
+    return docs.groupBy(*cols).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification/oracle path).
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= threshold, computed exactly:
+    explode distinct shingles, self-join on shingle, count
+    intersections, |A∪B| = |A|+|B|-|A∩B|.
+
+    Quadratic in shared-shingle pairs -> the *verification* path. The
+    production path is :func:`minhash_lsh_candidates` which feeds its
+    survivors through this same exact check on candidates only.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path).
+# ---------------------------------------------------------------------------
+
+
+def _permutation_constants(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """64-permutation MinHash signature per document.
+
+    Shape: explode distinct shingles -> murmur3 hash to 32 bits ->
+    ``num_perm`` universal-hash permutations ((a*h+b) mod 2^31-1,
+    no 64-bit overflow) -> per-doc min of each. The mins are
+    ``num_perm`` ordinary partial-aggregated MIN columns: one shuffle
+    of (doc, 64 ints), O(corpus) work, no pairwise anything.
+    """
+    consts = _permutation_constants(num_perm, seed)
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    h = F.hash("s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    proj = sh.select(
+        "doc",
+        *[
+            F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
+    )
+    agg = proj.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    )
+    return agg.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, num_perm: int = 64
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_perm/bands`` rows, hash each band, and emit pairs that share
+    any (band_id, band_hash) bucket.
+
+    The self-join runs per-bucket - at scale the shuffle key is
+    (band_id, band_hash), and bucket sizes stay tiny for non-duplicate
+    corpora, so candidate generation is ~linear. 16 bands x 4 rows:
+    s=0.9 -> P≈1.0, s=0.3 -> P≈0.12.
+    """
+    r = num_perm // bands
+    banded = signatures.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("signature")[bi * r + j] for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 2,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> signature
+    similarity estimate -> threshold. ``est_jaccard`` is the fraction
+    of agreeing MinHash positions (unbiased estimator of Jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_perm)
+    cands = minhash_lsh_candidates(sigs, bands, num_perm)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sa.signature"),
+                F.col("sb.signature"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / num_perm
+    )
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash.
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """64-bit SimHash per document as 4x16-bit chunks.
+
+    Features are n-gram shingles (same unit as the Jaccard/MinHash
+    operators - unigram bags are too coarse when documents share a
+    small vocabulary); each shingle hashes to 64 bits (xxhash64) and
+    per bit position the corpus-side work is a SUM of ±1 contributions:
+    64 partial-aggregated sums, one shuffle of (doc, 64 ints). Chunked
+    layout feeds the pigeonhole join directly.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("t")
+    )
+    h = F.xxhash64("t")
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    chunks = [
+        sum_bits_to_chunk([F.col(f"b{c * 16 + j}") for j in range(16)])
+        for c in range(4)
+    ]
+    return bit_sums.select(
+        "doc", F.array(*chunks).alias("chunks")
+    )
+
+
+def sum_bits_to_chunk(bit_cols: list[Column]) -> Column:
+    """(sign(b_0)..sign(b_15)) -> 16-bit int."""
+    out = F.lit(0)
+    for j, b in enumerate(bit_cols):
+        out = out + F.when(b > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` (<=3 for
+    the 4-chunk pigeonhole: any such pair agrees on >=1 chunk).
+    Candidates join on (chunk_idx, chunk_value); verification computes
+    the true distance via xor popcount on the 4 chunks."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    keyed = sigs.select(
+        "doc",
+        "chunks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), F.col("chunks")[i].alias("cv"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("doc", "chunks", "k.ci", "k.cv")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.chunks"),
+            F.col("b.chunks"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

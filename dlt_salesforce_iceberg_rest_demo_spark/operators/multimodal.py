@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (SURVEY §2.8 / driver mandate): image/audio/video travel as
+``binary`` columns with a ``struct`` metadata sibling. All Spark-side
+mechanics are real - schema, partition sizing, Arrow-batched
+``mapInPandas`` decode plumbing, frame sampling over raw bytes. The
+codec step itself is STUBBED deterministically (`decode_stub=True`
+byte-histogram features) because no image/audio library ships in this
+container; ``decode_image_features(decode_stub=False)`` raises
+NotImplementedError at the exact seam where Pillow/torchvision/ffmpeg
+would plug in.
+
+Scale notes: payload bytes never pass through Python row-at-a-time -
+mapInPandas hands whole Arrow record batches; binary-heavy tables
+should set spark.sql.files.maxPartitionBytes low enough that
+(batch rows x payload size) fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MULTIMODAL_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("modality", T.StringType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    docs: DataFrame, text_col: str = "text", modality: str = "text"
+) -> DataFrame:
+    """Build a multimodal-shaped table from the documents fixture: the
+    utf-8 bytes stand in for an image/audio blob. Real ingestion would
+    use ``spark.read.format("binaryFile")`` into the same schema."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("utf-8").alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit(modality).alias("modality"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_image_features(
+    mm: DataFrame, *, decode_stub: bool = True, batch_hint: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract over the payload column via
+    ``mapInPandas`` (Arrow batch in, Arrow batch out - the real
+    production shape for codec work).
+
+    ``decode_stub=True``: deterministic fake decoder - a 16-bin byte
+    histogram normalized to 1. It exercises the identical plumbing
+    (bytes -> ndarray -> feature vector) as a real
+    ``PIL.Image.open(io.BytesIO(b))`` would.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image decode requires Pillow/torchvision, not present in "
+            "this environment; plug the codec into _decode_batch below"
+        )
+
+    def _decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
+                    "float64"
+                )
+                total = hist.sum() or 1.0
+                feats.append((hist / total).round(9).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        _decode_batch, schema=_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    mm: DataFrame, frame_size: int = 32, every_k: int = 4
+) -> DataFrame:
+    """'Video' frame sampling over raw bytes: slice the payload into
+    fixed-size frames and keep every k-th - pure JVM expressions
+    (sequence + transform + substring on binary), no Python. Real
+    video would swap the slicer for an ffmpeg-backed mapInPandas with
+    this exact output schema."""
+    payload_str = F.col("payload")
+    n_frames = F.ceil(F.octet_length("payload") / frame_size).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    sampled = F.filter(idx, lambda i: i % every_k == 0)
+    frames = F.transform(
+        sampled,
+        lambda i: F.substring(payload_str, (i * frame_size + 1).cast("int"), frame_size),
+    )
+    return mm.select(
+        "doc_id",
+        n_frames.alias("n_frames_total"),
+        F.size(frames).alias("n_frames_sampled"),
+        frames.alias("frames"),
+    )

@@ -1,0 +1,125 @@
+"""Temporal operators the reference's event-shaped data implies:
+gap-based sessionization and as-of joins.
+
+Both are single-shuffle window compositions - the Spark-native shapes
+for operators Spark "lacks" as primitives (pyspark guide: as-of via
+union + last; sessionization via lag + cumsum)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds ``gap_minutes``.
+
+    lag -> boundary flag -> running sum = session index: one shuffle
+    on user_id, two window passes over the same sort - Catalyst reuses
+    the sort. Per-session aggregation rides the same partitioning.
+    """
+    order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_micros = gap_minutes * 60 * 1_000_000
+    # unix_micros, not cast("long"): second-floor truncation would move
+    # the gap boundary by up to 1s vs an exact interval comparison.
+    with_bound = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.lag(F.col(ts_col)).over(order))
+            > gap_micros,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return with_bound.withColumn(
+        "session_idx", F.sum("new_session").over(running)
+    ).drop("new_session")
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session rollup: bounds, event count, value sum."""
+    s = sessionize(events, gap_minutes, user_col, ts_col, id_col)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for every left row, the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` group (DuckDB
+    `ASOF JOIN`, pandas `merge_asof` semantics, inclusive).
+
+    Spark-native shape: union the two streams tagged, sort once per
+    group on (ts, side) - right rows sort before left rows at equal
+    timestamps so inclusivity holds - and carry the last seen right
+    payload forward with ``last(ignorenulls)``. ONE shuffle on the
+    group key, no range self-join, no per-group Python; this is the
+    pattern that survives 100 TB where a naive theta-join explodes.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+    )
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    unioned = r.select(l_tagged.columns).unionByName(l_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__last_payload", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col(on),
+        *[F.col(c) for c in left.columns if c != on],
+        F.col("__last_payload").alias("__p"),
+    )
+    payload_fields = [f.name for f in r.schema["__payload"].dataType.fields]
+    return out.select(
+        on,
+        *[c for c in left.columns if c != on],
+        *[F.col(f"__p.{f}").alias(f) for f in payload_fields],
+    )

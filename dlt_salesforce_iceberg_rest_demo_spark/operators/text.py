@@ -1,0 +1,166 @@
+"""Text analysis operators over a document column.
+
+All hot-path logic is built-in Column expressions (JVM codegen, zero
+Python). Each operator is linear in input with map-side-only work -
+no shuffles except where a groupBy is the point (TF-IDF document
+frequencies) - so the shapes hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker heuristic.
+# Deliberately small + deterministic so the DuckDB oracle can replicate
+# the exact scoring.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "que", "es", "y"),
+}
+CJK_PATTERN = "[\\u4e00-\\u9fff]"          # Java regex (Spark)
+CJK_PATTERN_RE2 = "[\\x{4e00}-\\x{9fff}]"  # RE2 syntax (DuckDB oracle)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, lowercased. Single-space split mirrors
+    DuckDB's string_split for oracle parity; real corpora would use
+    the regex variant below."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def tokens_regex(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization: words OR single non-space symbols -
+    the standard GPT-2-style pre-split shape, as one regexp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: token count, char count, avg token
+    length, unique-token ratio. One narrow map stage."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double") / n_tok
+        ).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)).cast("double") / n_tok).alias("uniq_ratio"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(text_col)).alias("ws_tokens"),
+        F.size(tokens_regex(text_col)).alias("bpe_ish_tokens"),
+    )
+
+
+def _marker_score(text_col: str, lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(tokens(text_col), markers))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language identification, marker-stopword heuristic:
+
+    - any CJK character -> 'zh';
+    - else the language whose marker-stopword set intersects the token
+      set the most (ties broken en > de > fr > es);
+    - no marker hit at all -> 'und' (undetermined).
+
+    This is the classic cheap lang-ID shape (fastText-style char
+    n-grams would drop in behind the same signature as a Pandas UDF);
+    deterministic scoring keeps it SQL-expressible for the oracle.
+    """
+    scores = {lang: _marker_score(text_col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    pick = F.when(F.col(text_col).rlike(CJK_PATTERN), F.lit("zh"))
+    pick = pick.when(best == 0, F.lit("und"))
+    for lang in ("en", "de", "fr", "es"):  # tie-break priority order
+        pick = pick.when(scores[lang] == best, F.lit(lang))
+    return docs.select("doc_id", pick.alias("lang_pred"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality scoring: bounded token count, mean token length
+    band, uniqueness - the usual pretraining heuristic filters
+    (C4/Gopher-style) as pure arithmetic. Score in [0,1]."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    uniq = F.size(F.array_distinct(t)).cast("double") / n_tok
+    avg_len = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double") / n_tok
+    len_component = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    avg_len_ok = F.when((avg_len >= 2.0) & (avg_len <= 12.0), 1.0).otherwise(0.0)
+    score = 0.4 * len_component + 0.3 * avg_len_ok + 0.3 * uniq
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        uniq.alias("uniq_ratio"),
+        score.alias("quality"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Two shuffles total regardless of corpus size: (doc,term) counts and
+    term document-frequencies - both partial-aggregated map-side. IDF
+    uses ln((N+1)/(df+1)); scores rounded to 6dp (ln last-ulp absorb).
+    """
+    n_docs = docs.count()  # scalar, driver-side once
+    term_freq = (
+        docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_freq = term_freq.groupBy("term").agg(F.count("*").alias("df"))
+    scored = term_freq.join(F.broadcast(doc_freq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "tfidf", F.col("rn").alias("rank"))
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``content_md5``: exact content address (oracle-comparable);
+    - ``xxh64``: 64-bit engine-side hash (xxhash64, shuffle-friendly);
+    - ``winnow_min``: min rolling k-gram hash - the winnowing
+      fingerprint primitive (k=8 char shingles via transform/sequence,
+      no explode, no Python).
+    """
+    c = F.col(text_col)
+    k = 8
+    n_shingles = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(c.cast("binary")).alias("content_md5"),
+        F.xxhash64(c).alias("xxh64"),
+        F.array_min(shingle_hashes).alias("winnow_min"),
+    )

@@ -1,5 +1,404 @@
-"""Driver-mandated extension operators (SURVEY.md §2.8): dedup,
-similarity search, text analysis, multimodal - registered incrementally.
+"""Driver-mandated extension operators (SURVEY.md §2.8) as registry
+entries: dedup, similarity search, text analysis, multimodal, temporal.
+
+Oracle policy: every operator whose semantics ANSI SQL can express gets
+a DuckDB oracle (exact hash-match). Hash-based operators whose innards
+are engine hash functions (MinHash/SimHash/LSH/xxhash64) register
+rows-only here and are instead verified in pytest against the *exact*
+operator (recall / containment assertions in tests/test_operators.py) -
+the stronger check for approximate algorithms.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, temporal, text
+from ._helpers import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content: hash-groupBy, deterministic min-id
+    representative. Only (key, id) shuffles - payload never moves."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"), ["text"])
+
+
+JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk)-1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS s
+  FROM toks WHERE len(tk) >= 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup pairs (threshold 0.5).
+    The verification-grade path; at scale it runs only on LSH
+    candidates (see dedup_minhash_lsh)."""
+    return dedup.jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=2, threshold=0.5
+    )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands) near-dup pairs - the O(corpus)
+    scale path. Engine-hash internals -> rows-only here; pytest asserts
+    recall == 1.0 against the exact Jaccard pairs on the fixtures."""
+    return dedup.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 3 via 4x16-bit
+    pigeonhole banding. Rows-only (engine hashes); pytest checks the
+    planted duplicates are found."""
+    return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+
+# Fixed-point dot products: per-element double multiply (bit-identical
+# in both engines) scaled by 1e15 and floored to BIGINT (floor + exact
+# int sums are engine-independent; the scale cancels in the ratio).
+# Mirrors operators.similarity._dot_fixed exactly.
+_DDOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15) "
+    "AS BIGINT))) AS DOUBLE)"
+)
+
+COSINE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id,
+    {_DDOT.format(a="qv", b="cv")}
+    / ( sqrt({_DDOT.format(a="qv", b="qv")})
+      * sqrt({_DDOT.format(a="cv", b="cv")}) )
+    AS cosine
+  FROM c, q WHERE corpus_id <> query_id)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored) x
+WHERE rank <= 5
+"""
+
+
+@register("similarity_topk_exact", oracle=COSINE_ORACLE)
+def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors, fixed-point
+    accumulation (bit-reproducible -> full oracle hash-match)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, exact_decimal=True
+    )
+
+
+@register("similarity_topk_bruteforce")
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production brute-force cosine top-5 (double fold, fastest exact
+    path). Rows-only; pytest asserts rank-agreement with the
+    fixed-point variant."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-5 (8-bit buckets x 16 tables,
+    multiprobe r=1 -> measured recall@5 ~0.9 on the fixtures).
+    Rows-only; pytest measures recall@5 against brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, n_planes=8, n_tables=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats_documents",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_computed,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / len(string_split(lower(text), ' ')) AS avg_token_len,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             / len(string_split(lower(text), ' ')) AS uniq_ratio
+    FROM documents
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: map-only, no shuffle, O(corpus)."""
+    return text.text_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return text.token_count(t(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    def inter(lang: str) -> str:
+        markers = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+        return f"len(list_intersect(string_split(lower(text), ' '), [{markers}]))"
+
+    s = {lang: inter(lang) for lang in ("en", "de", "fr", "es")}
+    best = f"GREATEST({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    return f"""
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(text, '{text.CJK_PATTERN_RE2}') THEN 'zh'
+        WHEN {best} = 0 THEN 'und'
+        WHEN {s['en']} = {best} THEN 'en'
+        WHEN {s['de']} = {best} THEN 'de'
+        WHEN {s['fr']} = {best} THEN 'fr'
+        WHEN {s['es']} = {best} THEN 'es'
+      END AS lang_pred
+    FROM documents
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (CJK regex + per-language marker
+    intersection scores, deterministic tie-break)."""
+    return text.lang_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS uniq_ratio,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS avg_len
+      FROM documents)
+    SELECT doc_id, n_tokens, uniq_ratio,
+           0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * uniq_ratio AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality heuristic in [0,1], pure arithmetic."""
+    return text.quality_score(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tfc.term, tf,
+             ROUND(tf * LN((n_docs + 1.0) / (df + 1)), 6) AS tfidf
+      FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored) x
+    WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: two partial-aggregated shuffles
+    + broadcast df join, corpus-size-independent reduce fan-in."""
+    return text.tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "text_fingerprint_md5",
+    oracle="SELECT doc_id, md5(text) AS content_md5 FROM documents",
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-address fingerprint (md5) - the oracle-checkable slice
+    of the fingerprint family."""
+    return text.fingerprint(t(spark, sf_dir, "documents")).select(
+        "doc_id", "content_md5"
+    )
+
+
+@register("text_fingerprint_engine")
+def text_fingerprint_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 + winnowing min-shingle-hash fingerprints (engine hash
+    functions -> rows-only; pytest checks determinism + near-dup
+    collision behavior)."""
+    return text.fingerprint(t(spark, sf_dir, "documents")).select(
+        "doc_id", "xxh64", "winnow_min"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'utf-8' AS format,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata column: sizes/format/content
+    address from the binary column, all JVM-side."""
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(CEIL(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames_total,
+           CAST(CEIL(CEIL(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT)
+             AS n_frames_sampled
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over raw payload bytes (32-byte frames,
+    every 4th kept): counts are oracle-checked; the frame bytes
+    themselves are exercised in pytest."""
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(mm, frame_size=32, every_k=4).select(
+        "doc_id",
+        F.col("n_frames_total").cast("long").alias("n_frames_total"),
+        F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
+    )
+
+
+@register("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    stub codec (byte histogram). Rows-only: array payloads; pytest
+    checks shape, normalization and determinism."""
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.decode_image_features(mm)
+
+
+# ---------------------------------------------------------------------------
+# Temporal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session rollup: one
+    shuffle on user_id shared by both window passes and the final
+    aggregation."""
+    return temporal.session_stats(t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id, p.ts, p.value,
+           c.ts AS ts_asof, c.event_id AS event_id_asof, c.value AS value_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest
+    click at-or-before it (inclusive). Union+last_value single-shuffle
+    implementation vs DuckDB's native ASOF JOIN as the oracle."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return temporal.asof_join(
+        purchases, clicks, on="user_id", right_cols=["event_id", "value"]
+    )

@@ -1,0 +1,250 @@
+"""Algorithmic quality tests for the extension operators - the stronger
+checks behind the rows-only registry entries: recall/precision of the
+approximate algorithms against their exact counterparts, plus
+hand-built edge cases for temporal/multimodal/text operators."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dlt_salesforce_iceberg_rest_demo_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    temporal,
+    text,
+)
+from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+class TestDedup:
+    def test_minhash_full_recall_on_planted_dups(self, spark, docs):
+        """LSH banding (16 bands x 4 rows) must catch every planted
+        >=0.9-Jaccard pair; at est>=0.5 precision on this corpus is
+        perfect (big gap: nothing between 0.3 and 0.9)."""
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_pairs(docs, threshold=0.9).collect()
+        }
+        mh = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        assert exact, "fixture should contain planted near-duplicates"
+        assert exact <= mh, f"missed pairs: {exact - mh}"
+        assert mh <= exact, f"false positives: {mh - exact}"
+
+    def test_minhash_estimate_close_to_true_jaccard(self, spark, docs):
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.jaccard_pairs(docs, threshold=0.9).collect()
+        }
+        est = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        for pair, true_j in exact.items():
+            assert abs(est[pair] - true_j) < 0.25  # 64 perms -> se ~0.06
+
+    def test_simhash_finds_planted_dups_with_high_precision(self, spark, docs):
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_pairs(docs, threshold=0.9).collect()
+        }
+        sh = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+        }
+        recall = len(exact & sh) / len(exact)
+        precision = len(exact & sh) / max(1, len(sh))
+        assert recall >= 0.6  # measured 0.679: simhash trades recall for O(n)
+        assert precision == 1.0
+
+    def test_exact_dedup_representative_deterministic(self, spark, docs):
+        out1 = dedup.exact_dedup(docs, ["lang", "source"]).collect()
+        out2 = dedup.exact_dedup(docs, ["lang", "source"]).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    def test_shingles_short_doc_guard(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="one")])
+        out = df.select(dedup.shingles("text", 2).alias("s")).collect()[0]["s"]
+        assert out == []  # not a descending-sequence artifact
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_fixed_point_ranking(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 20)
+        bf = {(r.query_id, r.corpus_id) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+        ex = {
+            (r.query_id, r.corpus_id)
+            for r in similarity.cosine_topk(emb, q, k=5, exact_decimal=True).collect()
+        }
+        assert bf == ex
+
+    def test_ann_recall_at_5(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 20)
+        bf = {(r.query_id, r.corpus_id) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+        ann = {
+            (r.query_id, r.corpus_id)
+            for r in similarity.ann_lsh_topk(
+                emb, q, k=5, n_planes=8, n_tables=16
+            ).collect()
+        }
+        recall = len(bf & ann) / len(bf)
+        assert recall >= 0.8  # measured 0.9 at (8 planes, 16 tables)
+
+    def test_topk_is_k_rows_per_query_sorted(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 3)
+        rows = similarity.cosine_topk(emb, q, k=5).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+        for qid, rs in by_q.items():
+            rs.sort()
+            assert [r[0] for r in rs] == [1, 2, 3, 4, 5]
+            cosines = [r[1] for r in rs]
+            assert cosines == sorted(cosines, reverse=True)
+
+
+class TestText:
+    def test_lang_id_on_real_language_samples(self, spark):
+        samples = [
+            Row(doc_id=1, text="the cat sat on a mat and the dog is here"),
+            Row(doc_id=2, text="der hund und die katze das ist gut"),
+            Row(doc_id=3, text="le chien et la maison les arbres est grand"),
+            Row(doc_id=4, text="el perro y los gatos que es grande"),
+            Row(doc_id=5, text="这是一个中文文档"),
+            Row(doc_id=6, text="zzz qqq xxx"),
+        ]
+        out = {r.doc_id: r.lang_pred for r in text.lang_id(spark.createDataFrame(samples)).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+    def test_quality_score_bounds(self, spark, docs):
+        rows = text.quality_score(docs).collect()
+        assert all(0.0 <= r.quality <= 1.0 for r in rows)
+
+    def test_fingerprint_deterministic_and_content_addressed(self, spark, docs):
+        f1 = {r.doc_id: (r.xxh64, r.winnow_min) for r in text.fingerprint(docs).collect()}
+        f2 = {r.doc_id: (r.xxh64, r.winnow_min) for r in text.fingerprint(docs).collect()}
+        assert f1 == f2
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="same text"), Row(doc_id=2, text="same text")]
+        )
+        out = {r.doc_id: r.content_md5 for r in text.fingerprint(df).collect()}
+        assert out[1] == out[2]
+
+    def test_tfidf_rare_term_outranks_common(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="common common common rare"),
+                Row(doc_id=2, text="common common"),
+                Row(doc_id=3, text="common other"),
+            ]
+        )
+        top = {
+            (r.doc_id, r.rank): r.term
+            for r in text.tfidf_top_terms(df, k=1).collect()
+        }
+        assert top[(1, 1)] == "rare"  # df=1 beats tf=3 of the everywhere-term
+
+
+class TestTemporal:
+    def _events(self, spark):
+        t0 = datetime.datetime(2024, 1, 1)
+        mk = lambda i, minutes, etype, v: Row(
+            event_id=i,
+            ts=t0 + datetime.timedelta(minutes=minutes),
+            user_id=1,
+            event_type=etype,
+            value=float(v),
+        )
+        return spark.createDataFrame(
+            [
+                mk(1, 0, "click", 1),
+                mk(2, 10, "click", 2),
+                mk(3, 20, "purchase", 10),  # joins to click@10
+                mk(4, 120, "purchase", 20),  # same session? no: 100min gap
+                mk(5, 125, "click", 3),
+                mk(6, 125, "purchase", 30),  # equal-ts click: inclusive match
+            ]
+        )
+
+    def test_sessionize_gap_boundaries(self, spark):
+        out = temporal.sessionize(self._events(spark), gap_minutes=30)
+        sess = {r.event_id: r.session_idx for r in out.collect()}
+        assert sess == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+
+    def test_asof_matches_latest_prior_inclusive(self, spark):
+        ev = self._events(spark)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        out = {
+            r.event_id: r.event_id_asof
+            for r in temporal.asof_join(
+                purchases, clicks, on="user_id", right_cols=["event_id", "value"]
+            ).collect()
+        }
+        assert out == {3: 2, 4: 2, 6: 5}  # 6 matches the equal-ts click 5
+
+    def test_asof_no_prior_match_is_null(self, spark):
+        ev = self._events(spark)
+        early = ev.filter(F.col("event_id") == 1).select(
+            "user_id", "event_id", "ts", "value"
+        )
+        late_clicks = ev.filter(F.col("event_id") == 5).select(
+            "user_id", "event_id", "ts", "value"
+        )
+        row = temporal.asof_join(
+            early, late_clicks, on="user_id", right_cols=["event_id"]
+        ).collect()[0]
+        assert row.event_id_asof is None
+
+
+class TestMultimodal:
+    def test_decode_stub_features_normalized_and_deterministic(self, spark, docs):
+        mm = multimodal.attach_binary_payload(docs.limit(20))
+        f1 = {r.doc_id: r.features for r in multimodal.decode_image_features(mm).collect()}
+        f2 = {r.doc_id: r.features for r in multimodal.decode_image_features(mm).collect()}
+        assert f1 == f2
+        for feats in f1.values():
+            assert len(feats) == multimodal.FEATURE_DIM
+            assert abs(sum(feats) - 1.0) < 1e-6
+
+    def test_real_decode_raises_at_the_seam(self, spark, docs):
+        mm = multimodal.attach_binary_payload(docs.limit(1))
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_features(mm, decode_stub=False)
+
+    def test_frame_sampling_reassembles_prefix(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a" * 100)])
+        mm = multimodal.attach_binary_payload(df)
+        row = multimodal.sample_frames(mm, frame_size=32, every_k=1).collect()[0]
+        assert row.n_frames_total == 4  # ceil(100/32)
+        joined = b"".join(bytes(f) for f in row.frames)
+        assert joined == b"a" * 100  # every_k=1 keeps everything, lossless
+
+    def test_payload_roundtrip(self, spark, docs):
+        mm = multimodal.attach_binary_payload(docs.limit(5))
+        rows = mm.join(docs.limit(5), "doc_id").select("payload", "text").collect()
+        for r in rows:
+            assert bytes(r.payload).decode("utf-8") == r.text
