@@ -649,6 +649,105 @@ def subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_prices_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_prices_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation - Spark `percentile` and
+    DuckDB `quantile_cont` are bit-compatible). The approximate
+    (t-digest) variant is `approx_distinct_and_quantiles`."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "windowed_event_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch mode (same epoch-aligned
+    window semantics as the Structured Streaming path in
+    streaming.incremental.windowed_counts)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide measures -> long (measure, value) rows
+    in a single pass (no 3x re-scan like the UNION ALL oracle)."""
+    return t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (measure, value)",
+    )
+
+
+@register("approx_distinct_and_quantiles")
+def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HyperLogLog++ distinct counts and
+    t-digest quantiles - sketch-based, constant memory at any scale.
+    Sketch internals are engine-specific -> rows-only; pytest bounds
+    the error against exact values."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        )
+    )
+
+
+@register("sample_events")
+def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed - reproducible within Spark
+    (split-deterministic) but partition-layout-dependent, hence
+    rows-only; pytest checks the sampled fraction and determinism."""
+    return t(spark, sf_dir, "events").sample(fraction=0.1, seed=42)
+
+
+@register(
     "sort_limit_top_events",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value

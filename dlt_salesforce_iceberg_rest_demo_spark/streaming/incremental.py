@@ -1,0 +1,131 @@
+"""Structured Streaming extension (SURVEY.md §2.5).
+
+The reference's "streaming" is batch cursor-polling on a 6-hour Airflow
+tick (salesforce/__init__.py:39-47 + airflow DAG schedule). This module
+is the true-streaming upgrade the survey marks as extension, built on
+the engine's existing batch pieces:
+
+- ``stream_source``     : file-stream over a landing directory (the shape
+  a Salesforce CDC/PushTopic feed or Kafka topic lands in) with the same
+  schema discipline as the batch source;
+- ``windowed_counts``   : watermarked tumbling-window aggregation - late
+  rows beyond the watermark are dropped exactly once;
+- ``streaming_sessionize``: session windows (native ``session_window``,
+  gap-based) - the streaming twin of ``operators.temporal.sessionize``;
+- ``incremental_merge_stream``: ``foreachBatch`` -> the SAME
+  ``ParquetLake.merge`` disposition the batch pipeline uses, giving
+  exactly-once-per-batch upsert semantics (dlt merge parity with
+  micro-batch latency instead of 6-hour polls).
+
+Scale notes: state store size is bounded by the watermark horizon;
+``session_window`` and windowed aggs shuffle on (key, window) - at
+100 TB/day the partition count follows shuffle partitions, and the
+merge sink batches are small relative to the table, which is exactly
+the broadcast-anti-join merge fast path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based stream over a landing directory (parquet drops)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value sums per event type."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session aggregation with native session windows -
+    state closes (and emits) once the watermark passes the gap."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def incremental_merge_stream(
+    events: DataFrame,
+    lake,
+    table: str,
+    primary_key: tuple[str, ...] = ("event_id",),
+    checkpoint_dir: str | None = None,
+):
+    """Continuous upsert: each micro-batch runs the SAME merge
+    disposition as the batch pipeline (delete-then-insert on PK via
+    broadcast anti-join). With checkpointing this is exactly-once into
+    the snapshot lake; on Iceberg the body becomes one MERGE INTO.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+
+    def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lake.merge(batch_df, table, primary_key)
+
+    writer = events.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,124 @@
+"""Physical-plan audits: assert the *plan*, not just the result.
+
+The 100 TB design claims (SURVEY §4, north star) are machine-checked
+here: filters reach the parquet scan as PushedFilters, projections
+prune ReadSchema, dim joins broadcast instead of shuffling, top-k per
+group is a single hash Exchange. A regression that silently flips a
+broadcast join to sort-merge or de-pushes a filter fails these tests
+long before a benchmark shows it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_salesforce_iceberg_rest_demo_spark.plans import REGISTRY, query_fns
+from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load_registry():
+    query_fns()
+
+
+class TestPushdown:
+    def test_filter_pushed_to_parquet_scan(self, spark):
+        df = REGISTRY["agg_pricing_summary"].spark(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_projection_prunes_read_schema(self, spark):
+        df = REGISTRY["scan_projection"].spark(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>" in plan
+
+    def test_unused_columns_never_read(self, spark):
+        # flagship: lineitem has 11 columns; only 3 should be scanned
+        df = REGISTRY["flagship_revenue_by_region"].spark(spark, SF_DIR)
+        plan = plan_of(df)
+        li_schema = [
+            line for line in plan.splitlines() if "ReadSchema" in line and "l_orderkey" in line
+        ]
+        assert li_schema, "lineitem scan not found"
+        assert "l_extendedprice" in li_schema[0] and "l_discount" in li_schema[0]
+        assert "l_comment" not in li_schema[0] and "l_shipdate" not in li_schema[0]
+
+    def test_limit_becomes_take_ordered(self, spark):
+        plan = plan_of(REGISTRY["sort_limit_top_events"].spark(spark, SF_DIR))
+        # ORDER BY + LIMIT must not be a global sort: per-partition top-k
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestJoinStrategy:
+    def test_flagship_dims_broadcast(self, spark):
+        plan = plan_of(REGISTRY["flagship_revenue_by_region"].spark(spark, SF_DIR))
+        # customer, nation, region all broadcast: fact side never
+        # shuffles for dim hops
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_merge_upsert_anti_join_broadcasts(self, spark):
+        plan = plan_of(REGISTRY["merge_upsert_semantics"].spark(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_semi_join_stays_semi(self, spark):
+        plan = plan_of(REGISTRY["join_semi_customers_with_orders"].spark(spark, SF_DIR))
+        assert "LeftSemi" in plan
+
+
+class TestShuffleShape:
+    def test_topk_per_group_single_exchange_with_group_limit(self, spark):
+        plan = plan_of(
+            REGISTRY["window_topk_orders_per_customer"].spark(spark, SF_DIR), "simple"
+        )
+        # one hash partitioning on the group key...
+        assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+        # ...and the rank<=3 filter is pushed into a pre-shuffle partial
+        # top-k (WindowGroupLimit): only 3 rows/group/partition shuffle
+        assert "WindowGroupLimit" in plan
+
+    def test_sessionize_reuses_one_shuffle(self, spark):
+        plan = plan_of(REGISTRY["sessionize_events"].spark(spark, SF_DIR), "simple")
+        # both window passes + final agg ride partitioning on user_id:
+        # at most 2 exchanges total (window sort + agg reuse)
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_aggregation_is_partial_then_final(self, spark):
+        plan = plan_of(REGISTRY["agg_pricing_summary"].spark(spark, SF_DIR), "simple")
+        # map-side combine: partial_ aggregate functions before the shuffle
+        assert "partial_" in plan
+
+    def test_whole_stage_codegen_covers_scan_filter_agg(self, spark):
+        # AQE hides codegen markers pre-execution; plan without it
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = plan_of(
+                REGISTRY["agg_pricing_summary"].spark(spark, SF_DIR), "simple"
+            )
+            assert "*(1)" in plan  # codegen stage markers
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestSourceScale:
+    def test_distributed_salesforce_read_parallelism(self, spark):
+        from tests.fixtures_salesforce import make_transport
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.salesforce import (
+            read_object_distributed,
+        )
+
+        df = read_object_distributed(spark, make_transport, "Account", num_partitions=8)
+        # the fetch stage must carry the requested fan-out
+        assert df.rdd.getNumPartitions() >= 8

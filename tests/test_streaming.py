@@ -1,0 +1,108 @@
+"""Structured Streaming tests: memory-sink micro-batch runs driven to
+completion with processAllAvailable (pyspark guide pattern)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import ParquetLake
+from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
+    incremental_merge_stream,
+    stream_source,
+    streaming_sessionize,
+    windowed_counts,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    """Landing dir seeded with the events fixture as the first drop."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "drop1.parquet")
+    return d
+
+
+def _run_to_memory(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_windowed_counts_match_batch(spark, landing):
+    # events fixture is ns-timestamp parquet; stream with the long-nanos
+    # workaround is exercised via a rewritten us-precision drop instead
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(str(landing / "drop1.parquet"))
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    df.coalesce(1).write.parquet(str(landing / "clean"))
+    df = spark.read.parquet(str(landing / "clean"))
+
+    stream = stream_source(spark, str(landing / "clean"))
+    name = _run_to_memory(windowed_counts(stream, "1 hour", "2 hours"), "wc")
+    got = spark.sql(f"SELECT * FROM {name}")
+    batch = (
+        df.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select("event_type", F.col("window.start").alias("window_start"), "n_events")
+    )
+    got_set = {
+        (r.event_type, r.window_start, r.n_events)
+        for r in got.select("event_type", "window_start", "n_events").collect()
+    }
+    batch_set = {(r.event_type, r.window_start, r.n_events) for r in batch.collect()}
+    assert got_set == batch_set  # stream == batch over the same data
+
+
+def test_streaming_sessionize_runs(spark, landing):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(str(landing / "drop1.parquet")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    df.limit(500).coalesce(1).write.parquet(str(landing / "clean2"))
+    stream = stream_source(spark, str(landing / "clean2"))
+    name = _run_to_memory(streaming_sessionize(stream), "sess")
+    out = spark.sql(f"SELECT * FROM {name}")
+    assert out.count() > 0
+    row = out.first()
+    assert row.session_end >= row.session_start
+    assert row.n_events >= 1
+
+
+def test_incremental_merge_stream_upserts(spark, tmp_path):
+    lake = ParquetLake(spark, tmp_path / "lake")
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    base = [Row(event_id=1, v="old"), Row(event_id=2, v="keep")]
+    spark.createDataFrame(base).coalesce(1).write.parquet(str(landing / "b1"))
+
+    schema = "event_id long, v string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(landing / "*")
+    )
+    q = incremental_merge_stream(
+        stream, lake, "events_merged", ("event_id",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    assert lake.count("events_merged") == 2
+
+    # second drop: update PK 1, insert PK 3 - the streaming upsert
+    upd = [Row(event_id=1, v="new"), Row(event_id=3, v="ins")]
+    spark.createDataFrame(upd).coalesce(1).write.parquet(str(landing / "b2"))
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.event_id: r.v for r in lake.read("events_merged").collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins"}
