@@ -32,6 +32,22 @@ from .text import tokens
 MERSENNE_31 = (1 << 31) - 1
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-width parallelism before expression-heavy per-row work
+    (shingling, signature hashing).
+
+    Small single-file inputs arrive as ONE partition, serializing the
+    whole operator onto one core (observed 10x wall-clock at sf0.1). At
+    production scale inputs already have >= cores partitions and this
+    is a no-op branch - the repartition only fires on pathological
+    layouts, and shuffles just the raw rows, before any explode.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(col: Column | str, n: int = 2) -> Column:
     """Word n-gram shingle array (distinct), the dedup unit.
 
@@ -90,7 +106,7 @@ def jaccard_pairs(
     production path is :func:`minhash_lsh_candidates` which feeds its
     survivors through this same exact check on candidates only.
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
@@ -136,10 +152,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
-    num_perm: int = 64,
+    num_perm: int = 32,
     seed: int = 42,
 ) -> DataFrame:
-    """64-permutation MinHash signature per document.
+    """MinHash signature per document (default 32 permutations: with
+    4-row bands the candidate S-curve is effectively identical to 64
+    perms - P(candidate|s=0.9) = 1-(1-0.9^4)^8 = 0.9998 - while the
+    generated whole-stage-codegen unit and signature width halve;
+    the 64-perm variant measured ~10s of one-time Janino compilation).
 
     Shape: explode distinct shingles -> murmur3 hash to 32 bits ->
     ``num_perm`` universal-hash permutations ((a*h+b) mod 2^31-1,
@@ -148,7 +168,7 @@ def minhash_signatures(
     of (doc, 64 ints), O(corpus) work, no pairwise anything.
     """
     consts = _permutation_constants(num_perm, seed)
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     )
     h = F.hash("s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
@@ -168,7 +188,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, num_perm: int = 64
+    signatures: DataFrame, bands: int = 8, num_perm: int = 32
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_perm/bands`` rows, hash each band, and emit pairs that share
@@ -176,8 +196,8 @@ def minhash_lsh_candidates(
 
     The self-join runs per-bucket - at scale the shuffle key is
     (band_id, band_hash), and bucket sizes stay tiny for non-duplicate
-    corpora, so candidate generation is ~linear. 16 bands x 4 rows:
-    s=0.9 -> P≈1.0, s=0.3 -> P≈0.12.
+    corpora, so candidate generation is ~linear. 8 bands x 4 rows:
+    s=0.9 -> P≈0.9998, s=0.3 -> P≈0.063.
     """
     r = num_perm // bands
     banded = signatures.select(
@@ -218,13 +238,20 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 2,
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> signature
     similarity estimate -> threshold. ``est_jaccard`` is the fraction
-    of agreeing MinHash positions (unbiased estimator of Jaccard)."""
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_perm)
+    of agreeing MinHash positions (unbiased estimator of Jaccard).
+
+    The signature table is persisted: it is consumed three times
+    (banding + both sides of the candidate join) and is tiny relative
+    to the corpus (1 row/doc x 64 ints) - at production scale this is
+    the table you would write out and reuse across dedup runs.
+    Recomputing it per consumer tripled the wall-clock at sf0.1.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_perm).persist()
     cands = minhash_lsh_candidates(sigs, bands, num_perm)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
@@ -265,7 +292,7 @@ def simhash_signatures(
     64 partial-aggregated sums, one shuffle of (doc, 64 ints). Chunked
     layout feeds the pigeonhole join directly.
     """
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("t")
     )
     h = F.xxhash64("t")

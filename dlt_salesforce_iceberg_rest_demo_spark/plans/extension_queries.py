@@ -70,7 +70,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) + LSH(16 bands) near-dup pairs - the O(corpus)
+    """MinHash(32 perms) + LSH(8 bands, r=4) near-dup pairs - the O(corpus)
     scale path. Engine-hash internals -> rows-only here; pytest asserts
     recall == 1.0 against the exact Jaccard pairs on the fixtures."""
     return dedup.minhash_dedup_pairs(

@@ -35,7 +35,7 @@ def emb(spark):
 
 class TestDedup:
     def test_minhash_full_recall_on_planted_dups(self, spark, docs):
-        """LSH banding (16 bands x 4 rows) must catch every planted
+        """LSH banding (8 bands x 4 rows) must catch every planted
         >=0.9-Jaccard pair; at est>=0.5 precision on this corpus is
         perfect (big gap: nothing between 0.3 and 0.9)."""
         exact = {
@@ -60,7 +60,7 @@ class TestDedup:
             for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
         }
         for pair, true_j in exact.items():
-            assert abs(est[pair] - true_j) < 0.25  # 64 perms -> se ~0.06
+            assert abs(est[pair] - true_j) < 0.25  # 32 perms -> se ~0.05
 
     def test_simhash_finds_planted_dups_with_high_precision(self, spark, docs):
         exact = {
