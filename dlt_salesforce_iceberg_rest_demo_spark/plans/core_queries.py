@@ -649,6 +649,28 @@ def subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_agg_nations_per_region",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP - deterministic
+    because the ORDER BY is part of the aggregate)."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("sa_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM sa_nation GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
     "percentile_prices_by_status",
     oracle="""
     SELECT o_orderstatus,

@@ -148,6 +148,41 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_similarity_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      {_DDOT.format(a="a.embedding", b="b.embedding")}
+      / ( sqrt({_DDOT.format(a="a.embedding", b="a.embedding")})
+        * sqrt({_DDOT.format(a="b.embedding", b="b.embedding")}) ) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_DDOT.format(a="a.embedding", b="b.embedding")}
+      / ( sqrt({_DDOT.format(a="a.embedding", b="a.embedding")})
+        * sqrt({_DDOT.format(a="b.embedding", b="b.embedding")}) ) >= 0.4
+    """,
+)
+def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs (fixed-point ->
+    oracle hash-match). The verification path: at scale the candidate
+    set comes from the LSH buckets (similarity_ann_lsh) and only
+    candidates get the exact cosine."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    from ..operators.similarity import _dot_fixed
+
+    cos = _dot_fixed(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(_dot_fixed(F.col("va"), F.col("va")).cast("double"))
+        * F.sqrt(_dot_fixed(F.col("vb"), F.col("vb")).cast("double"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis.
 # ---------------------------------------------------------------------------
