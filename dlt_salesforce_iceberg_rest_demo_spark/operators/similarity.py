@@ -113,7 +113,7 @@ def cosine_topk(
     )
     return (
         scored.select("query_id", "corpus_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -200,6 +200,6 @@ def ann_lsh_topk(
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id", cos.alias("cosine"))
         .distinct()
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

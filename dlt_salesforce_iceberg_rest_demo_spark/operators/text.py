@@ -46,9 +46,9 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(t)
     return docs.select(
         "doc_id",
-        F.length(text_col).alias("n_chars_computed"),
-        n_tok.alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique_tokens"),
         (
             F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double") / n_tok
         ).alias("avg_token_len"),
@@ -60,8 +60,8 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
     return docs.select(
         "doc_id",
-        F.size(tokens(text_col)).alias("ws_tokens"),
-        F.size(tokens_regex(text_col)).alias("bpe_ish_tokens"),
+        F.size(tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(tokens_regex(text_col)).cast("long").alias("bpe_ish_tokens"),
     )
 
 
@@ -104,7 +104,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score = 0.4 * len_component + 0.3 * avg_len_ok + 0.3 * uniq
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         uniq.alias("uniq_ratio"),
         score.alias("quality"),
     )
@@ -138,7 +138,7 @@ def tfidf_top_terms(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("doc_id", "term", "tf", "tfidf", F.col("rn").alias("rank"))
+        .select("doc_id", "term", "tf", "tfidf", F.col("rn").cast("long").alias("rank"))
     )
 
 

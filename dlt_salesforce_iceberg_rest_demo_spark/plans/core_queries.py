@@ -295,8 +295,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank_in_cust
       FROM orders) x
     WHERE rank_in_cust <= 3
     """,
@@ -309,7 +309,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        orders.withColumn("rank_in_cust", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_cust") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
     )
@@ -470,7 +470,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "part").select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),

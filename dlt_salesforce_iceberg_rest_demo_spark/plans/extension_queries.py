@@ -394,9 +394,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, event_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_idx
+               AS BIGINT) AS session_idx
       FROM flagged)
     SELECT user_id, session_idx, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
