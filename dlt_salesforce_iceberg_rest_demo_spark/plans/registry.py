@@ -54,10 +54,41 @@ def register(
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+        def guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_session_semantics(spark)
+            return fn(spark, sf_dir)
+
+        guarded.__doc__ = fn.__doc__
+        guarded.__name__ = fn.__name__
+        REGISTRY[name] = Query(
+            name=name, spark=guarded, oracle=oracle, doc=fn.__doc__ or ""
+        )
         return fn
 
     return deco
+
+
+def _pin_session_semantics(spark: SparkSession) -> None:
+    """The driver runs queries on ITS OWN SparkSession; pin the confs the
+    oracle comparison depends on (all runtime-settable):
+
+    - UTC session timezone - timestamp literals/extractions must match
+      DuckDB's naive-UTC semantics regardless of host timezone;
+    - ANSI off - the engine mirrors the reference's permissive dlt
+      typing (Spark 4 defaults ANSI on);
+    - legacy nanos-as-long so `events.parquet` (TIMESTAMP(NANOS)) reads.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            pass
 
 
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
