@@ -649,6 +649,78 @@ def subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_handling_functions",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.o_orderpriority, 'NO_ORDER') AS priority,
+           IFNULL(o.o_totalprice, 0.0) AS price_or_zero,
+           NULLIF(c.c_mktsegment, 'BUILDING') AS segment_or_null,
+           (o.o_orderkey IS NULL) AS has_no_order
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface over outer-join output: coalesce / ifnull /
+    nullif / IS NULL."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("o_orderpriority", F.lit("NO_ORDER")).alias("priority"),
+        F.ifnull("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("segment_or_null"),
+        F.isnull("o_orderkey").alias("has_no_order"),
+    )
+
+
+@register(
+    "having_active_customers",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_spent")}
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation filter (Catalyst folds it into the
+    aggregate's output filter - no second pass)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "array_norms_by_label",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(list_sum(list_transform(generate_series(1, len(embedding)),
+                  i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e15)
+                       AS BIGINT)))) AS DOUBLE) / 1e15 AS total_sq_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def array_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions feeding an aggregation: squared
+    norms (fixed-point, engine-independent) summed per label - arrays
+    never leave the map side."""
+    from ..operators.similarity import _dot_fixed
+
+    emb = t(spark, sf_dir, "embeddings")
+    sq = _dot_fixed(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum(sq).cast("double") / F.lit(1e15)).alias("total_sq_norm"),
+        )
+    )
+
+
+@register(
     "string_agg_nations_per_region",
     oracle="""
     SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,

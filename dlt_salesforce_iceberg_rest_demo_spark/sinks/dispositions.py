@@ -133,29 +133,49 @@ class ParquetLake:
         tmp.write_text(str(v))
         os.replace(tmp, self._pointer(table))
 
+    def partition_columns(self, table: str) -> list[str]:
+        spec = self.table_properties(table).get("partition-by", "")
+        return [c for c in spec.split(",") if c]
+
     def _new_data_dir(self, table: str, df: DataFrame) -> tuple[str, int]:
         """Materialize df as an immutable data dir; returns (name, rows)."""
         tdir = self.root / table
         v = self._current_version(table) + 1
         name = f"data_{v:06d}"
-        df.write.mode("errorifexists").parquet(str(tdir / name))
+        writer = df.write.mode("errorifexists")
+        parts = self.partition_columns(table)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(str(tdir / name))
         rows = self.spark.read.parquet(str(tdir / name)).count()
         return name, rows
 
     # -- W5: auto-create ---------------------------------------------------
 
     def create_table(
-        self, table: str, schema: T.StructType, properties: dict[str, str] | None = None
+        self,
+        table: str,
+        schema: T.StructType,
+        properties: dict[str, str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """First-contact table creation (salesforce_pipeline.py:140-151):
-        widened, all-nullable schema + parquet/snappy properties."""
+        widened, all-nullable schema + parquet/snappy properties.
+
+        ``partition_by`` columns are recorded as a table property and
+        applied on every data-dir write (hive-style directories), so
+        filters on them prune at the file-listing level - the plain-
+        parquet analog of Iceberg partition transforms. At 100 TB the
+        cursor/date column of every append-heavy table should be here.
+        """
         tdir = self.root / table
         tdir.mkdir(parents=True, exist_ok=True)
         final_schema = nullable_everything(widen_types(schema))
         (tdir / "_SCHEMA.json").write_text(json.dumps(final_schema.jsonValue()))
-        (tdir / "_PROPERTIES.json").write_text(
-            json.dumps(properties or DEFAULT_TABLE_PROPERTIES)
-        )
+        props = dict(properties or DEFAULT_TABLE_PROPERTIES)
+        if partition_by:
+            props["partition-by"] = ",".join(partition_by)
+        (tdir / "_PROPERTIES.json").write_text(json.dumps(props))
         (tdir / "_MANIFEST.0.json").write_text(json.dumps([]))
         tmp = tdir / "_POINTER.tmp.0"
         tmp.write_text("0")
