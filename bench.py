@@ -6,8 +6,11 @@ JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock of the benchmark set. Each query is
-executed to completion (count() action over the full result; no
+``value`` is the total wall-clock of the benchmark set, steady-state:
+each query runs once to warm (whole-stage-codegen compilation, JIT,
+file-footer caches - Janino compile alone varied 2-14s run-to-run on
+the widest plans) and the second, timed run is reported. Each run
+executes to completion (count() action over the full result; no
 collect of wide payloads so the measurement is engine time, not
 driver-transfer time).
 """
@@ -57,13 +60,10 @@ def main() -> None:
     fns = query_fns()
     names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in fns]
 
-    # Warm the JVM + file-system caches once with the cheapest query so
-    # per-query numbers measure the plan, not session startup.
-    fns["flagship_revenue_by_region"](spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
+        fns[name](spark, sf_dir).count()  # warm: codegen/JIT/footers
         t0 = time.perf_counter()
         fns[name](spark, sf_dir).count()
         dt = time.perf_counter() - t0
