@@ -18,10 +18,12 @@ Two tiers, per the standard ANN playbook:
   the bucket id, so shuffle volume is corpus-size, not corpus x
   queries. Recall tuned by n_planes / n_tables / multiprobe.
 
-An IVF variant (k-means coarse quantizer + inverted lists) slots into
-the same two-phase shape: assign-to-centroid (map) -> per-list search
-(join on list id); noted for round 2+ since it needs an iterative
-clustering job.
+- **IVF-flat ANN** - the cluster-structured alternative: a k-means
+  coarse quantizer (Lloyd iterations as DataFrame jobs, centroids
+  collected driver-side - k x dim floats, tiny) assigns every corpus
+  vector to an inverted list; queries probe only the ``n_probe``
+  nearest lists and exact-rerank those candidates. Same two-phase
+  shape as LSH with data-adaptive buckets.
 
 Determinism: hyperplanes derive from a seeded NumPy generator and are
 embedded as plan literals - the same plan every run, broadcast with
@@ -200,6 +202,121 @@ def ann_lsh_topk(
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id", cos.alias("cosine"))
         .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _centroid_literal(centroids: "list[list[float]]") -> Column:
+    """Centroid matrix as a plan-literal array<array<double>>."""
+    return F.array(
+        *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means over DataFrames, centroids driver-side.
+
+    Init = the ``n_centroids`` lowest-id vectors (deterministic).
+    Per iteration: one assignment pass (broadcast centroid literals,
+    argmin squared distance via higher-order functions) and one
+    mean-update (posexplode -> (cluster, dim) partial avg - a shuffle
+    of k x dim cells, independent of corpus size). The collected
+    centroid matrix is k x dim doubles - always driver-safe.
+    """
+    centroids = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+        )
+        cells = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in cells:
+            new[r["cluster"]][r["dim"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def _assign_cluster(vec: Column, centroids: "list[list[float]]") -> Column:
+    """Index of the nearest centroid (squared L2, ties -> lowest index)."""
+    cents = _centroid_literal(centroids)
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: k-means inverted lists + n_probe
+    nearest lists per query + exact cosine rerank of candidates.
+
+    Corpus-side work: one assignment pass (map-only). Query-side: each
+    query explodes to its n_probe list ids; the candidate join keys on
+    the list id, so shuffle volume tracks list sizes (corpus/n_centroids
+    on balanced data), not corpus x queries.
+    """
+    centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+    )
+    cents = _centroid_literal(centroids)
+    qdists = F.transform(
+        cents,
+        lambda cc: F.aggregate(
+            F.zip_with(F.col("qvec"), cc, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(qdists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .select("query_id", "qvec", F.explode(probes).alias("cluster"))
+    )
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -75,6 +75,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    cursor_gt: str,
+) -> DataFrame:
+    """Cursor scan (`ts > cursor`) with the predicate pushed to parquet
+    even for nanos-timestamp columns.
+
+    The plain path (load_table + filter) filters the *converted*
+    timestamp, which Catalyst cannot push through `timestamp_micros(ns
+    DIV 1000)` - every row group gets read. Here the equivalent raw
+    predicate `ns > us*1000 + 999` (exactly `ns DIV 1000 > us` for
+    ns >= 0) is applied before conversion, so row-group min/max skipping
+    works - at 100 TB an idle cursor poll touches only the tail files.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_columns(path)
+    cutoff = F.lit(cursor_gt).cast("timestamp")
+    if ts_col not in ns_cols:
+        return spark.read.parquet(path).filter(F.col(ts_col) > cutoff)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    cutoff_ns = F.unix_micros(cutoff) * 1000 + 999
+    df = df.filter(F.col(ts_col) > cutoff_ns)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
