@@ -47,8 +47,12 @@ EXTENSION_HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
     "text_stats_documents",
+    "text_tfidf_top_terms",
     "sessionize_events",
+    "asof_join_events",
+    "multimodal_decode_features",
 ]
 
 

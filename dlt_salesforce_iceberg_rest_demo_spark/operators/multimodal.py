@@ -106,6 +106,33 @@ def decode_image_features(
     )
 
 
+def resize_payload(mm: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' the binary payload to ``target_bytes`` by stride
+    sampling - pure JVM expressions (sequence/transform/substr over
+    binary), the plumbing a real `PIL.Image.resize` mapInPandas would
+    replace at the codec seam. Payloads shorter than the target pass
+    through unchanged."""
+    n = F.octet_length("payload")
+    stride = F.greatest(F.floor(n / target_bytes).cast("int"), F.lit(1))
+    idx = F.slice(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), stride), 1, target_bytes
+    )
+    resized = F.when(n <= target_bytes, F.col("payload")).otherwise(
+        # concat of 1-byte slices at stride positions
+        F.aggregate(
+            F.transform(idx, lambda i: F.col("payload").substr(i, F.lit(1))),
+            F.lit(b""),
+            lambda acc, b: F.concat(acc, b),
+        )
+    )
+    return mm.select(
+        "doc_id",
+        n.cast("long").alias("orig_bytes"),
+        resized.alias("payload_resized"),
+        F.octet_length(resized).cast("long").alias("resized_bytes"),
+    )
+
+
 def sample_frames(
     mm: DataFrame, frame_size: int = 32, every_k: int = 4
 ) -> DataFrame:

@@ -401,6 +401,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-sampling binary 'resize' to 64 bytes (JVM-side byte
+    slicing; a real image resize plugs into the same output schema).
+    Rows-only (binary output); pytest checks size/content invariants."""
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.resize_payload(mm, target_bytes=64).select(
+        "doc_id", "orig_bytes", "resized_bytes"
+    )
+
+
 @register("multimodal_decode_features")
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode plumbing with the deterministic

@@ -243,6 +243,22 @@ class TestMultimodal:
         joined = b"".join(bytes(f) for f in row.frames)
         assert joined == b"a" * 100  # every_k=1 keeps everything, lossless
 
+    def test_resize_stride_sampling(self, spark, docs):
+        mm = multimodal.attach_binary_payload(docs.limit(20))
+        out = multimodal.resize_payload(mm, target_bytes=64).collect()
+        for r in out:
+            assert r.resized_bytes <= 64 or r.resized_bytes == r.orig_bytes
+            if r.orig_bytes <= 64:
+                assert r.resized_bytes == r.orig_bytes
+
+    def test_resize_short_payload_passthrough(self, spark):
+        from pyspark.sql import Row as R
+
+        df = spark.createDataFrame([R(doc_id=1, text="tiny")])
+        mm = multimodal.attach_binary_payload(df)
+        row = multimodal.resize_payload(mm, target_bytes=64).collect()[0]
+        assert bytes(row.payload_resized) == b"tiny"
+
     def test_payload_roundtrip(self, spark, docs):
         mm = multimodal.attach_binary_payload(docs.limit(5))
         rows = mm.join(docs.limit(5), "doc_id").select("payload", "text").collect()
