@@ -281,18 +281,27 @@ def kmeans_fit(
     return centroids
 
 
+def _assign_cluster_udf(centroids: "list[list[float]]"):
+    """Pandas UDF: nearest-centroid index for a vector batch in one
+    numpy distance computation (ties -> lowest index via argmin).
+    Same rationale as _table_buckets_udf: per-element HOF folds are
+    interpreted; the matmul is two orders faster."""
+    cents = np.array(centroids, dtype=np.float64)  # (k, dim)
+    cents_sq = (cents * cents).sum(axis=1)  # (k,)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+        d = cents_sq[None, :] - 2.0 * (m @ cents.T)  # (n, k)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign
+
+
 def _assign_cluster(vec: Column, centroids: "list[list[float]]") -> Column:
-    """Index of the nearest centroid (squared L2, ties -> lowest index)."""
-    cents = _centroid_literal(centroids)
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    """Index of the nearest centroid for one vector column."""
+    return _assign_cluster_udf(centroids)(vec)
 
 
 def ivf_topk(
