@@ -165,13 +165,27 @@ def _table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        m, valid = _stack_valid(vecs, planes.shape[1])
         bits = (m @ planes.T) > 0  # (n, T*P)
         per_table = bits.reshape(len(m), n_tables, n_planes)
         ids = (per_table * powers).sum(axis=2)  # (n, T)
-        return pd.Series(list(ids))
+        out = [ids[i] if valid[i] else None for i in range(len(valid))]
+        return pd.Series(out)
 
     return buckets
+
+
+def _stack_valid(vecs: "pd.Series", dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Stack a vector batch, tolerating NULL / wrong-length rows: invalid
+    rows become zero vectors and are flagged so callers emit NULL for
+    them (matching the graceful degradation of Column expressions)
+    instead of crashing the Python worker."""
+    valid = np.array([v is not None and len(v) == dim for v in vecs])
+    m = np.zeros((len(vecs), dim), dtype=np.float64)
+    for i, v in enumerate(vecs):
+        if valid[i]:
+            m[i] = np.asarray(v, dtype=np.float64)
+    return m, valid
 
 
 def ann_lsh_topk(
@@ -253,11 +267,12 @@ def kmeans_fit(
     """Lloyd's k-means over DataFrames, centroids driver-side.
 
     Init = the ``n_centroids`` lowest-id vectors (deterministic).
-    Per iteration: one assignment pass (broadcast centroid literals,
-    argmin squared distance via higher-order functions) and one
-    mean-update (posexplode -> (cluster, dim) partial avg - a shuffle
-    of k x dim cells, independent of corpus size). The collected
-    centroid matrix is k x dim doubles - always driver-safe.
+    Per iteration: one assignment pass (Arrow-batched numpy argmin over
+    the centroid matrix, `_assign_cluster_udf`) and one mean-update
+    (posexplode -> (cluster, dim) partial avg - a shuffle of k x dim
+    cells, independent of corpus size). The collected centroid matrix
+    is k x dim doubles - always driver-safe. Rows with NULL/malformed
+    vectors assign to a NULL cluster and are excluded from the update.
     """
     centroids = [
         [float(x) for x in r[vec_col]]
@@ -267,7 +282,7 @@ def kmeans_fit(
         assigned = corpus.select(
             F.col(vec_col).alias("v"),
             _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
-        )
+        ).filter(F.col("cluster").isNotNull())
         cells = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -281,22 +296,49 @@ def kmeans_fit(
     return centroids
 
 
+def _centroid_distances(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Squared L2 distances (n, k) via the expanded form. Used by BOTH
+    corpus assignment and query probe ranking so near-tie decisions
+    agree between the two sides (a corpus vector on a cluster boundary
+    is probed by the same list it was assigned to)."""
+    cents_sq = (cents * cents).sum(axis=1)
+    # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+    return cents_sq[None, :] - 2.0 * (m @ cents.T)
+
+
 def _assign_cluster_udf(centroids: "list[list[float]]"):
     """Pandas UDF: nearest-centroid index for a vector batch in one
-    numpy distance computation (ties -> lowest index via argmin).
-    Same rationale as _table_buckets_udf: per-element HOF folds are
-    interpreted; the matmul is two orders faster."""
+    numpy distance computation (ties -> lowest index via argmin;
+    NULL/wrong-length vectors -> NULL). Same rationale as
+    _table_buckets_udf: per-element HOF folds are interpreted; the
+    matmul is two orders faster."""
     cents = np.array(centroids, dtype=np.float64)  # (k, dim)
-    cents_sq = (cents * cents).sum(axis=1)  # (k,)
 
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
-        d = cents_sq[None, :] - 2.0 * (m @ cents.T)  # (n, k)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        m, valid = _stack_valid(vecs, cents.shape[1])
+        idx = _centroid_distances(m, cents).argmin(axis=1)
+        return pd.Series(
+            [int(idx[i]) if valid[i] else None for i in range(len(valid))],
+            dtype="Int32",
+        )
 
     return assign
+
+
+def _probe_clusters_udf(centroids: "list[list[float]]", n_probe: int):
+    """Pandas UDF: the ``n_probe`` nearest centroid indices per query
+    vector, same distance formulation as assignment."""
+    cents = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        m, valid = _stack_valid(vecs, cents.shape[1])
+        order = np.argsort(_centroid_distances(m, cents), axis=1, kind="stable")
+        top = order[:, :n_probe].astype("int32")
+        return pd.Series([top[i] if valid[i] else None for i in range(len(valid))])
+
+    return probes
 
 
 def _assign_cluster(vec: Column, centroids: "list[list[float]]") -> Column:
@@ -328,22 +370,12 @@ def ivf_topk(
         F.col(vec_col).alias("cvec"),
         _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
     )
-    cents = _centroid_literal(centroids)
-    qdists = F.transform(
-        cents,
-        lambda cc: F.aggregate(
-            F.zip_with(F.col("qvec"), cc, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    ranked = F.array_sort(
-        F.zip_with(qdists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-    )
-    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
+    # Probe ranking shares _centroid_distances with assignment, so a
+    # boundary corpus vector is probed by the list it was assigned to.
+    probes = _probe_clusters_udf(centroids, n_probe)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .select("query_id", "qvec", F.explode(probes).alias("cluster"))
+        .select("query_id", "qvec", F.explode(probes(F.col("qvec"))).alias("cluster"))
     )
     cos = _dot(F.col("qvec"), F.col("cvec")) / (
         _norm(F.col("qvec")) * _norm(F.col("cvec"))

@@ -73,6 +73,36 @@ def test_ivf_recall_at_5(spark):
     assert len(bf & ivf) / len(bf) >= 0.85  # measured 0.93
 
 
+def test_ann_and_ivf_tolerate_null_vectors(spark):
+    """NULL / wrong-length embeddings degrade gracefully (excluded), not
+    crash the Python worker."""
+    from pyspark.sql import Row, types as T
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    bad = spark.createDataFrame(
+        [
+            Row(vec_id=90001, embedding=None, label=0),
+            Row(vec_id=90002, embedding=[1.0, 2.0], label=0),  # wrong dim
+        ],
+        schema=schema,
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(bad)
+    q = emb.filter(F.col("vec_id") < 3)
+    ann = similarity.ann_lsh_topk(corpus, q, k=5, n_planes=8, n_tables=4)
+    ivf = similarity.ivf_topk(corpus, q, k=5, n_centroids=8, n_probe=4)
+    ann_ids = {r.corpus_id for r in ann.collect()}
+    ivf_ids = {r.corpus_id for r in ivf.collect()}
+    assert not ann_ids & {90001, 90002}
+    assert not ivf_ids & {90001, 90002}
+
+
 def test_kmeans_deterministic(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     c1 = similarity.kmeans_fit(emb, n_centroids=4, iters=1)
