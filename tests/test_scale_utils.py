@@ -1,0 +1,91 @@
+"""Scale-technique demonstrations: salted skew joins and bucketed
+co-located joins - the two shuffle strategies the north star names
+beyond broadcast."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dlt_salesforce_iceberg_rest_demo_spark.functions.skew import salted_join
+from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+
+def plan_of(df, mode="simple"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_on_skewed_data(self, spark):
+        # 90% of left rows share one hot key - the classic straggler
+        left = spark.createDataFrame(
+            [Row(k=1 if i % 10 else i, v=i) for i in range(1000)]
+        )
+        right = spark.createDataFrame([Row(k=i, w=f"w{i}") for i in range(200)])
+        plain = salted = None
+        plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+        salted = {(r.k, r.v, r.w) for r in salted_join(left, right, "k", salt=8).collect()}
+        assert plain == salted
+
+    def test_salt_spreads_hot_key(self, spark):
+        left = spark.createDataFrame([Row(k=1, v=i) for i in range(1000)])
+        right = spark.createDataFrame([Row(k=1, w="x")])
+        out = salted_join(left, right, "k", salt=8)
+        assert out.count() == 1000
+        # deterministic: same salt assignment run-to-run
+        a = sorted(r.v for r in out.collect())
+        b = sorted(r.v for r in salted_join(left, right, "k", salt=8).collect())
+        assert a == b
+
+    def test_left_join_preserves_unmatched(self, spark):
+        left = spark.createDataFrame([Row(k=1, v=1), Row(k=2, v=2)])
+        right = spark.createDataFrame([Row(k=1, w="x")])
+        rows = {r.k: r.w for r in salted_join(left, right, "k", salt=4, how="left").collect()}
+        assert rows == {1: "x", 2: None}
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark):
+        """bucketBy co-location: both sides pre-hashed into the same
+        bucket layout on the join key -> SortMergeJoin with ZERO
+        Exchange operators (the 100 TB repeated-join pattern: pay the
+        shuffle once at write time)."""
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_lineitem")
+        )
+        try:
+            # disable broadcast so the join strategy is shuffle-based;
+            # bucketing must eliminate the shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            n = joined.count()
+            assert n == lineitem.count()  # every lineitem has its order
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
