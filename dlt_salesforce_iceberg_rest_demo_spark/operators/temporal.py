@@ -65,6 +65,74 @@ def session_stats(
     )
 
 
+def _floordiv(col, width: int):
+    """Exact floor-division of a long column by a positive long literal.
+
+    `(a - pmod(a, w)) / w`: the numerator is an exact multiple of w, so
+    the double division is exact (values < 2^53) and trunc == floor even
+    for negative a (pmod is a floor-mod).
+    """
+    return ((col - F.pmod(col, F.lit(width))) / F.lit(width)).cast("long")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = -1800.0,
+    upper_seconds: float = 0.0,
+    on: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Range (band) join: all (l, r) pairs with
+    ``l.ts + lower <= r.ts <= l.ts + upper`` (inclusive), optionally
+    AND-ed with equi-keys ``on``.
+
+    Spark has no range-join primitive; the naive encoding is a theta
+    join = broadcast-nested-loop = O(|L|x|R|) - dead at scale. The
+    scale shape used here is *bucketization* (the same trick behind
+    Databricks' range-join optimization and Flink's interval join):
+
+    - pick bucket width w = band span, so each left row's window
+      ``[ts+lower, ts+upper]`` covers at most 2 consecutive buckets;
+    - explode left into those bucket ids (<=2 rows), map right to its
+      single bucket ``floor(ts/w)``;
+    - equi-join on (bucket, *on) - a plain shuffle-hash/SMJ that
+      partitions both sides - then re-check the exact band predicate.
+
+    Each right row lands in exactly one bucket, so no pair dedup is
+    needed. Cost: <=2x left shuffle volume instead of a cross product;
+    per-bucket fan-out is bounded by data density per span, which AQE's
+    skew splitting handles if a bucket runs hot.
+    """
+    lo = int(lower_seconds * 1_000_000)
+    hi = int(upper_seconds * 1_000_000)
+    if hi < lo:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    width = max(hi - lo, 1)
+    on = on or []
+
+    overlap = set(left.columns) & set(right.columns)
+    r = right
+    for c in overlap:
+        if c not in on:
+            r = r.withColumnRenamed(c, f"{c}{suffix}")
+    r_ts = f"{right_ts}{suffix}" if right_ts in overlap and right_ts not in on else right_ts
+
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(r_ts))
+    l_exp = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(_floordiv(l_us + lo, width), _floordiv(l_us + hi, width))),
+    )
+    r_b = r.withColumn("__bucket", _floordiv(r_us, width))
+    joined = l_exp.join(r_b, ["__bucket", *on]).filter(
+        (r_us >= l_us + lo) & (r_us <= l_us + hi)
+    )
+    return joined.drop("__bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

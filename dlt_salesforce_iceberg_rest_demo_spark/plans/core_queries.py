@@ -860,3 +860,149 @@ def sort_limit_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-technique demonstrations + scalar-library breadth (round-1 tail).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_join_supplier",
+    oracle=f"""
+    SELECT s.s_name AS supplier, COUNT(*) AS n_items,
+           {sql_dsum("l.l_quantity", "total_qty")}
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (functions/skew.py): the fact side's key is fanned out
+    `salt` ways and the dim side replicated, splitting any hot key across
+    reducers. Result must be bit-identical to the plain join the oracle
+    runs - salting is a physical rewrite, not a semantic one. (The
+    reference's FK distributions are skewed by design:
+    data/salesforce_medium_scale.recipe.yml random_reference weights.)"""
+    from ..functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, supp, on="l_suppkey", salt=8)
+    return joined.groupBy(F.col("s_name").alias("supplier")).agg(
+        F.count("*").alias("n_items"), dsum("l_quantity", "total_qty")
+    )
+
+
+@register(
+    "scalar_bit_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS key_and,
+           o_orderkey | 15 AS key_or,
+           xor(o_orderkey, 85) AS key_xor,
+           (o_orderkey & 7) << 2 AS key_shl,
+           o_orderkey >> 2 AS key_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS key_bits
+    FROM orders
+    """,
+)
+def scalar_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (&, |, xor, shifts, popcount) - all
+    JVM-side codegen'd expressions."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(15)).alias("key_or"),
+        k.bitwiseXOR(F.lit(85)).alias("key_xor"),
+        F.shiftleft(k.bitwiseAND(F.lit(7)), 2).cast("long").alias("key_shl"),
+        F.shiftright(k, 2).cast("long").alias("key_shr"),
+        F.bit_count(k).cast("long").alias("key_bits"),
+    )
+
+
+@register(
+    "scalar_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS e_first,
+           CAST(embedding[-1] AS DOUBLE) AS e_last,
+           CAST(list_max(embedding) AS DOUBLE) AS e_max,
+           CAST(list_min(embedding) AS DOUBLE) AS e_min
+    FROM embeddings
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding column: size /
+    element_at (1-based, negative = from end, same as DuckDB lists) /
+    array_max / array_min. float32 -> double casts are exact widenings,
+    so both engines see identical values."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e_first"),
+        F.element_at("embedding", -1).cast("double").alias("e_last"),
+        F.array_max("embedding").cast("double").alias("e_max"),
+        F.array_min("embedding").cast("double").alias("e_min"),
+    )
+
+
+@register(
+    "scalar_regexp_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_type, '[aeiou]', '#', 'g') AS type_masked,
+           regexp_matches(p_name, '^[a-m]') AS name_low_alpha,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+           regexp_extract(p_type, '(\\w+) (\\w+)', 2) AS type_word2
+    FROM part
+    """,
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: replace-all / match / count / group extract.
+    Patterns restricted to the syntax subset where Java regex (Spark)
+    and RE2 (DuckDB) agree - char classes, anchors, \\w, groups."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_type", "[aeiou]", "#").alias("type_masked"),
+        F.col("p_name").rlike("^[a-m]").alias("name_low_alpha"),
+        F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.regexp_extract("p_type", r"(\w+) (\w+)", 2).alias("type_word2"),
+    )
+
+
+@register(
+    "window_range_frame_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)::BIGINT
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_7d_total
+    FROM orders
+    """,
+)
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer,
+    the trailing-7-day order total. Ordered by epoch seconds so both
+    engines use the same numeric RANGE semantics; decimal-stabilized
+    sum (frame contents are a set - partial-sum order still differs)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_total"),
+    )

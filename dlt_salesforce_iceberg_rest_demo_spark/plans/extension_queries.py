@@ -480,3 +480,36 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.asof_join(
         purchases, clicks, on="user_id", right_cols=["event_id", "value"]
     )
+
+
+@register(
+    "range_join_click_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    GROUP BY 1
+    """,
+)
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: every click from ANY user in the 30 minutes
+    before each purchase - no equi-key, the case a naive theta join
+    turns into a cross product. `temporal.band_join` bucketizes time
+    into band-width buckets so the join is a plain equi shuffle; the
+    oracle is DuckDB's native inequality join (IEJoin)."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "value"
+    )
+    pairs = temporal.band_join(
+        purchases, clicks, lower_seconds=-1800.0, upper_seconds=0.0, suffix="_c"
+    )
+    return pairs.groupBy(F.col("event_id").alias("purchase_id")).agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("click_value"),
+    )

@@ -219,6 +219,92 @@ class TestTemporal:
         ).collect()[0]
         assert row.event_id_asof is None
 
+    def test_band_join_matches_naive_theta(self, spark):
+        """Bucketized band join == brute-force theta join (inclusive
+        bounds both ends), on a window that straddles bucket edges."""
+        ev = self._events(spark)
+        p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "ts", "value"
+        )
+        got = {
+            (r.event_id, r.click_id)
+            for r in temporal.band_join(
+                p, c, lower_seconds=-1800.0, upper_seconds=0.0, suffix="_c"
+            ).collect()
+        }
+        lo, hi = -1800 * 1_000_000, 0
+        naive = {
+            (r.event_id, r.click_id)
+            for r in p.alias("p")
+            .join(
+                c.alias("c"),
+                (F.unix_micros(F.col("c.ts")) >= F.unix_micros(F.col("p.ts")) + lo)
+                & (F.unix_micros(F.col("c.ts")) <= F.unix_micros(F.col("p.ts")) + hi),
+            )
+            .select(F.col("p.event_id"), F.col("c.click_id"))
+            .collect()
+        }
+        assert got == naive
+        # equal-timestamp click is inclusive at the upper bound; the
+        # 110-min-old click falls outside the band
+        assert (6, 5) in got and (4, 2) not in got and (3, 1) in got
+
+    def test_band_join_bounds_inclusive_exact(self, spark):
+        """Rows exactly ON the band edges are kept; 1s past is dropped."""
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        p = spark.createDataFrame([Row(event_id=1, ts=t0)])
+        c = spark.createDataFrame(
+            [
+                Row(click_id=10, ts=t0 - datetime.timedelta(seconds=1800)),
+                Row(click_id=11, ts=t0 - datetime.timedelta(seconds=1801)),
+                Row(click_id=12, ts=t0),
+                Row(click_id=13, ts=t0 + datetime.timedelta(seconds=1)),
+            ]
+        )
+        got = {
+            r.click_id
+            for r in temporal.band_join(
+                p, c, lower_seconds=-1800.0, upper_seconds=0.0
+            ).collect()
+        }
+        assert got == {10, 12}
+
+    def test_band_join_with_equi_key(self, spark):
+        """Equi-key restricts matches to the same user."""
+        rows = [
+            Row(user_id=u, event_id=i, ts=datetime.datetime(2024, 1, 1, 0, m))
+            for i, (u, m) in enumerate([(1, 0), (1, 10), (2, 10)])
+        ]
+        df = spark.createDataFrame(rows)
+        out = temporal.band_join(
+            df,
+            df.select(F.col("event_id").alias("rid"), "ts", "user_id"),
+            lower_seconds=-3600.0,
+            upper_seconds=3600.0,
+            on=["user_id"],
+        )
+        pairs = {(r.event_id, r.rid) for r in out.collect()}
+        assert pairs == {(0, 0), (0, 1), (1, 0), (1, 1), (2, 2)}
+
+    def test_band_join_empty_band_and_plan_is_equi(self, spark):
+        ev = self._events(spark)
+        p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "ts"
+        )
+        # band strictly in the future of all clicks relative to purchases
+        out = temporal.band_join(p, c, lower_seconds=3600.0, upper_seconds=3600.0)
+        assert out.count() == 0
+        # the physical plan must be an equi join on the bucket key, not
+        # a nested-loop theta join
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain()
+        assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
 
 class TestMultimodal:
     def test_decode_stub_features_normalized_and_deterministic(self, spark, docs):
