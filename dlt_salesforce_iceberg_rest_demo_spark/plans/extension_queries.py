@@ -513,3 +513,29 @@ def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clicks"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("click_value"),
     )
+
+
+@register(
+    "rollup_event_multigrain",
+    oracle="""
+    WITH src AS (
+      SELECT value,
+             date_trunc('minute', ts) AS g_minute,
+             date_trunc('hour', ts) AS g_hour,
+             date_trunc('day', ts) AS g_day
+      FROM events)
+    SELECT CASE WHEN GROUPING(g_minute) = 0 THEN 'minute'
+                WHEN GROUPING(g_hour) = 0 THEN 'hour'
+                WHEN GROUPING(g_day) = 0 THEN 'day' END AS grain,
+           COALESCE(g_minute, g_hour, g_day) AS bucket_ts,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM src
+    GROUP BY GROUPING SETS ((g_minute), (g_hour), (g_day))
+    """,
+)
+def rollup_event_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (minute/hour/day) in one
+    scan: GROUPING SETS expands the grains inside a single shuffle
+    (Expand -> one hash aggregate) instead of three scans + union."""
+    return temporal.multi_grain_rollup(t(spark, sf_dir, "events"))

@@ -3,6 +3,7 @@ from .incremental import (
     windowed_counts,
     streaming_sessionize,
     incremental_merge_stream,
+    stateful_user_totals,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "windowed_counts",
     "streaming_sessionize",
     "incremental_merge_stream",
+    "stateful_user_totals",
 ]

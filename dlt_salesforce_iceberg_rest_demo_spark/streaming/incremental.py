@@ -129,3 +129,60 @@ def incremental_merge_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stateful_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user lifetime totals
+    maintained across micro-batches with ``applyInPandasWithState``.
+
+    This is the escape hatch for state machines the built-in windowed
+    aggregations can't express (the reference has no analog - its state
+    is one cursor per table). Per group key, Spark hands the operator
+    its Arrow-batched rows plus a persistent ``GroupState``; we fold the
+    batch into (n_events, total_value) and emit the updated running
+    totals, so the sink sees one row per user per micro-batch touched.
+
+    Scale notes: state is partitioned by the group key across the state
+    store (RocksDB/HDFS-backed per executor), so state size scales out
+    with the cluster; only keys present in a micro-batch are loaded.
+    Totals use a compensated float sum per batch; for exact long-horizon
+    accounting swap the state payload to fixed-point integers.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -106,3 +106,45 @@ def test_incremental_merge_stream_upserts(spark, tmp_path):
     q.stop()
     rows = {r.event_id: r.v for r in lake.read("events_merged").collect()}
     assert rows == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    totals after drop2 include drop1's rows for returning users."""
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import stateful_user_totals
+
+    landing = tmp_path / "stateful_in"
+    landing.mkdir()
+    b1 = [Row(user_id=1, value=10.0), Row(user_id=1, value=5.0), Row(user_id=2, value=1.0)]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(landing / "b1"))
+
+    stream = spark.readStream.schema("user_id long, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(landing / "*"))
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("sut")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sut_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {r.user_id: (r.n_events, r.total_value) for r in spark.sql("SELECT * FROM sut").collect()}
+    assert first == {1: (2, 15.0), 2: (1, 1.0)}
+
+    b2 = [Row(user_id=1, value=2.5), Row(user_id=3, value=7.0)]
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(landing / "b2"))
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends updated rows in unspecified
+    # order; running totals are monotone in n_events, so max() per user
+    # is the latest state
+    rows = spark.sql("SELECT * FROM sut").collect()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (3, 17.5)  # state carried: 2 events + 1 new
+    assert latest[2] == (1, 1.0)   # untouched in batch 2
+    assert latest[3] == (1, 7.0)   # new key
