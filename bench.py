@@ -53,6 +53,9 @@ EXTENSION_HEADLINE = [
     "sessionize_events",
     "asof_join_events",
     "multimodal_decode_features",
+    "range_join_click_attribution",
+    "rollup_event_multigrain",
+    "skew_salted_join_supplier",
 ]
 
 
