@@ -65,6 +65,57 @@ def session_stats(
     )
 
 
+def gapfill(
+    events: DataFrame,
+    grain: str = "hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series gap-fill (hypertable ``time_bucket_gapfill`` analog):
+    per key, a dense time grid at ``grain`` between the key's first and
+    last bucket, with empty buckets carrying 0 events and a
+    forward-filled value.
+
+    Shape: bucket-aggregate (one shuffle on (key, bucket)), per-key
+    span, ``sequence()``+``explode`` to densify - the grid is generated
+    distributed, per key, never on the driver - then a left join back
+    and one window pass of ``last(ignorenulls)`` for the fill. The join
+    and window share the key partitioning. Grid size is bounded by
+    span/grain per key, independent of input row count - the 100 TB
+    behavior is dominated by the first bucket aggregation.
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
+    b = events.groupBy(F.col(user_col), bucket).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("bucket_value"),
+    )
+    spans = b.groupBy(user_col).agg(
+        F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+    )
+    grid = spans.select(
+        user_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL 1 {grain}"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(b, [user_col, "bucket_ts"], "left")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        user_col,
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "bucket_value",
+        F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
 def multi_grain_rollup(
     events: DataFrame,
     grains: tuple[str, ...] = ("minute", "hour", "day"),

@@ -1006,3 +1006,38 @@ def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_7d_total"),
     )
+
+
+@register(
+    "scalar_string_functions2",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_brand, '#', 'N') AS brand_translated,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           rpad(p_type, 16, '.') AS type_padded,
+           reverse(p_brand) AS brand_rev,
+           left(p_name, 5) AS name_left,
+           right(p_name, 3) AS name_right,
+           repeat(p_brand, 2) AS brand_twice,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+           string_split(p_type, ' ')[1] AS type_head
+    FROM part
+    """,
+)
+def scalar_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-library tranche: translate / lpad / rpad / reverse /
+    left / right / repeat / strpos (instr) / split+element_at. initcap
+    is Spark-only (DuckDB lacks it) so it stays out of the oracle set."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "N").alias("brand_translated"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_type", 16, ".").alias("type_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 5).alias("name_left"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_right"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+    )

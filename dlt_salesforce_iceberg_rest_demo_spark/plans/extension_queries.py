@@ -539,3 +539,36 @@ def rollup_event_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: GROUPING SETS expands the grains inside a single shuffle
     (Expand -> one hash aggregate) instead of three scans + union."""
     return temporal.multi_grain_rollup(t(spark, sf_dir, "events"))
+
+
+@register(
+    "gapfill_hourly_user_values",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_value
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+      FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans)
+    SELECT g.user_id, g.bucket_ts,
+           COALESCE(b.n_events, 0) AS n_events,
+           b.bucket_value,
+           last_value(b.bucket_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g
+    LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_ts = b.bucket_ts
+    """,
+)
+def gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per user with forward-filled values
+    (`temporal.gapfill`): sequence()+explode densification generated
+    distributed per key; empty buckets -> 0 events, carried-forward
+    value. Oracle: DuckDB generate_series + IGNORE NULLS window."""
+    return temporal.gapfill(t(spark, sf_dir, "events"), grain="hour")

@@ -250,6 +250,28 @@ class TestTemporal:
         # 110-min-old click falls outside the band
         assert (6, 5) in got and (4, 2) not in got and (3, 1) in got
 
+    def test_gapfill_dense_grid_and_forward_fill(self, spark):
+        """Empty hours appear with 0 events and the carried value; a
+        single-event user gets a 1-row grid."""
+        t0 = datetime.datetime(2024, 1, 1, 0, 30)
+        rows = [
+            Row(user_id=1, ts=t0, value=10.0),
+            Row(user_id=1, ts=t0 + datetime.timedelta(hours=3), value=4.0),
+            Row(user_id=2, ts=t0, value=7.0),
+        ]
+        out = temporal.gapfill(spark.createDataFrame(rows), grain="hour")
+        got = {
+            (r.user_id, r.bucket_ts.hour): (r.n_events, r.bucket_value, r.filled_value)
+            for r in out.collect()
+        }
+        assert got == {
+            (1, 0): (1, 10.0, 10.0),
+            (1, 1): (0, None, 10.0),  # gap: 0 events, value carried
+            (1, 2): (0, None, 10.0),
+            (1, 3): (1, 4.0, 4.0),
+            (2, 0): (1, 7.0, 7.0),  # single-event user: 1-row grid
+        }
+
     def test_band_join_bounds_inclusive_exact(self, spark):
         """Rows exactly ON the band edges are kept; 1s past is dropped."""
         t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
