@@ -53,6 +53,8 @@ EXTENSION_HEADLINE = [
     "sessionize_events",
     "asof_join_events",
     "multimodal_decode_features",
+    "dedup_clusters_minhash",
+    "text_repetition_score",
     "range_join_click_attribution",
     "rollup_event_multigrain",
     "skew_salted_join_supplier",

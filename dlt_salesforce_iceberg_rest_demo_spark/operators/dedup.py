@@ -370,3 +370,84 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (pair list -> duplicate clusters).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: the step that
+    turns near-dup PAIRS (minhash/jaccard/simhash output) into duplicate
+    CLUSTERS so a 100 TB dedup pass can keep exactly one canonical doc
+    per cluster. Returns ``(node, cluster_id)`` with ``cluster_id`` =
+    the minimum node id in the component (deterministic labeling).
+
+    Algorithm: iterative min-label propagation - each round every node
+    takes the min of its own label and its neighbors' labels (one
+    shuffle join + one groupBy per round). Rounds needed = graph
+    diameter; near-dup clusters are dense, tiny-diameter graphs, so
+    2-4 rounds in practice. Per-round state is only (long, long) pairs
+    - document payloads never enter the loop - and lineage is truncated
+    with an eager localCheckpoint so the plan stays O(1) deep instead
+    of growing by two joins per round. For adversarial long-chain
+    graphs the same message/update shape upgrades to large-star/
+    small-star (O(log^2 n) rounds, Kiveris et al., "Connected
+    Components in MapReduce and Beyond").
+
+    Convergence: SUM(label) over all nodes is monotonically
+    non-increasing and strictly decreases while any label changes, so
+    one cheap global agg per round detects the fixpoint (summed in
+    DECIMAL(38,0): exact, overflow-free at any node count).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v"), F.col("u"))).distinct()
+    sym = spread(sym).localCheckpoint(eager=True)
+
+    # The loop runs over EDGE ENDPOINTS only - in a dedup corpus the
+    # overwhelming majority of docs are singletons, and dragging them
+    # through every propagation round would multiply loop state by
+    # corpus/endpoint ratio (~20x on the fixtures). Singletons join
+    # back in one final left join below.
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _sig(labels)
+    for _ in range(max_iter):
+        msgs = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.u") == F.col("l.node"))
+            .select(F.col("e.v").alias("node"), F.col("l.label").alias("label"))
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = _sig(labels)
+        if cur == prev:
+            break
+        prev = cur
+    out = labels.select("node", F.col("label").alias("cluster_id"))
+    if nodes is not None:
+        allnodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        out = allnodes.join(out, "node", "left").select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+        )
+    return out

@@ -164,3 +164,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.xxhash64(c).alias("xxh64"),
         F.array_min(shingle_hashes).alias("winnow_min"),
     )
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metric: the fraction of a document's
+    tokens taken by its single most frequent token (high -> degenerate
+    / boilerplate text, a standard pretraining filter signal).
+
+    Two partial-aggregated shuffles keyed by (doc_id, token) then
+    doc_id - map-side combine keeps reduce fan-in corpus-size-
+    independent; only (id, token, count) tuples move, never text.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_token_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_token_frac"
+        ),
+    )

@@ -1041,3 +1041,37 @@ def scalar_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "a").cast("long").alias("first_a"),
         F.element_at(F.split("p_type", " "), 1).alias("type_head"),
     )
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window tranche: ntile / percent_rank / cume_dist /
+    dense_rank in one window pass (single hash-partition shuffle on
+    o_custkey, per-partition sort; absent in the reference - free from
+    Spark, SURVEY §2.7). Ordering is made unique with the o_orderkey
+    tie-break so rank-derived doubles are deterministic; int ranks cast
+    to BIGINT for cross-engine schema agreement."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )

@@ -572,3 +572,158 @@ def gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed per key; empty buckets -> 0 events, carried-forward
     value. Oracle: DuckDB generate_series + IGNORE NULLS window."""
     return temporal.gapfill(t(spark, sf_dir, "events"), grain="hour")
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering (pairs -> connected components) and sampling.
+# ---------------------------------------------------------------------------
+
+# Same bigram-Jaccard pair derivation as JACCARD_ORACLE, then min-label
+# closure via a recursive CTE (UNION dedups, so the fixpoint terminates
+# despite cycles): min reachable start label == min node id in the
+# component, because the edge set is symmetrized.
+CC_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk)-1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS s
+  FROM toks WHERE len(tk) >= 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_components", oracle=CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact bigram Jaccard >= 0.5) closed into
+    duplicate clusters via iterative min-label propagation
+    (operators.dedup.connected_components); cluster_id = min doc_id in
+    the component, singletons label themselves. The pairs->clusters
+    step is what makes cluster-level "keep one canonical doc" dedup
+    possible; the oracle computes the same closure with a recursive
+    CTE."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=2, threshold=0.5)
+    cc = dedup.connected_components(
+        pairs,
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+    )
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(MAX(c) AS BIGINT) AS top_token_count,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of tokens taken
+    by the most frequent token. Exact-int division -> deterministic
+    double on both engines."""
+    return text.repetition_score(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 100
+          < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5-of-key buckets (engine-
+    independent, reproducible across runs/cluster sizes, unlike
+    df.sample's partition-seeded RNG) with a per-stratum rate -
+    downsample over-represented languages (10% en, 50% rest). Pure
+    map-side filter: no shuffle, scales linearly."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@register("dedup_clusters_minhash")
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup pipeline end-to-end: MinHash signatures -> LSH
+    banding -> candidate pairs -> connected components -> per-cluster
+    summary (cluster id, member count). Linear in corpus size (no
+    exact-Jaccard self-join anywhere); rows-only because the pair set
+    depends on engine hashes - pytest pins recall 1.0 vs exact pairs
+    at threshold 0.5, and the exact-pairs twin
+    ``dedup_connected_components`` is the oracle-checked closure."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    cc = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+@register(
+    "corpus_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(tk)-1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks WHERE len(tk) >= 2)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM sh GROUP BY bigram
+    ORDER BY doc_freq DESC, bigram LIMIT 20
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-20 bigrams by document
+    frequency. Shuffles only (bigram, partial-count) pairs after
+    map-side combine - reduce fan-in is vocabulary-sized, independent
+    of corpus row count; final top-k is a TakeOrdered, no global sort
+    materialization. Tie-broken on the bigram for determinism."""
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.spread(docs).select(
+        "doc_id", F.explode(dedup.shingles("text", 2)).alias("bigram")
+    )
+    return (
+        sh.groupBy("bigram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
+        .limit(20)
+    )

@@ -78,7 +78,17 @@ def _pin_session_semantics(spark: SparkSession) -> None:
     - ANSI off - the engine mirrors the reference's permissive dlt
       typing (Spark 4 defaults ANSI on);
     - legacy nanos-as-long so `events.parquet` (TIMESTAMP(NANOS)) reads.
+
+    Also ships the package zip to executor Python workers (addPyFile):
+    Pandas-UDF closures are pickled by module reference, so worker
+    imports must work no matter what cwd the driving process has.
     """
+    from ..session import ensure_package_on_workers
+
+    try:
+        ensure_package_on_workers(spark)
+    except Exception:
+        pass
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),

@@ -21,8 +21,39 @@ its implicit "execution engine".
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures reference module-level functions, which
+    cloudpickle serializes BY NAME - so the worker process must be able
+    to ``import dlt_salesforce_iceberg_rest_demo_spark`` itself. When the driving
+    script runs from inside the repo the cwd lands on the worker path
+    and this is invisible; an external driver (arbitrary cwd, its own
+    SparkSession) gets ``ModuleNotFoundError`` from every UDF task.
+    Shipping the package once per SparkContext with ``addPyFile`` makes
+    worker imports independent of the driver's cwd - exactly what a
+    real multi-machine cluster needs anyway (``--py-files`` equivalent).
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"dlt_salesforce_iceberg_rest_demo_spark_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))
+    _SHIPPED_APPS.add(app_id)
 
 
 def get_spark(

@@ -372,3 +372,53 @@ class TestMultimodal:
         rows = mm.join(docs.limit(5), "doc_id").select("payload", "text").collect()
         for r in rows:
             assert bytes(r.payload).decode("utf-8") == r.text
+
+
+class TestConnectedComponents:
+    def _labels(self, df):
+        return {r.node: r.cluster_id for r in df.collect()}
+
+    def test_two_components_and_singleton(self, spark):
+        edges = spark.createDataFrame(
+            [(2, 3), (3, 7), (10, 11)], ["src", "dst"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in (2, 3, 7, 10, 11, 99)], ["id"])
+        got = self._labels(
+            dedup.connected_components(edges, nodes=nodes, node_col="id")
+        )
+        assert got == {2: 2, 3: 2, 7: 2, 10: 10, 11: 10, 99: 99}
+
+    def test_long_chain_converges(self, spark):
+        # Path graph 0-1-2-...-9: worst case for propagation (diameter 9).
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], ["src", "dst"]
+        )
+        got = self._labels(dedup.connected_components(edges))
+        assert got == {i: 0 for i in range(10)}
+
+    def test_nodes_optional_defaults_to_edge_endpoints(self, spark):
+        edges = spark.createDataFrame([(5, 4)], ["src", "dst"])
+        got = self._labels(dedup.connected_components(edges))
+        assert got == {4: 4, 5: 4}
+
+    def test_cycle_terminates(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+        )
+        got = self._labels(dedup.connected_components(edges))
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestRepetition:
+    def test_degenerate_doc_scores_high(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as text_ops
+
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam ham"), (2, "a b c d e")],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in text_ops.repetition_score(df).collect()}
+        assert rows[1].n_tokens == 5
+        assert rows[1].top_token_count == 4
+        assert abs(rows[1].top_token_frac - 0.8) < 1e-12
+        assert abs(rows[2].top_token_frac - 0.2) < 1e-12
