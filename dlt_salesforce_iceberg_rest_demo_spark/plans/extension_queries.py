@@ -727,3 +727,59 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             unnest(embedding) AS v
+      FROM embeddings)
+    SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+             / (1e6 * COUNT(v)) AS c
+    FROM ex GROUP BY label, i
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the reduce step of k-means / IVF
+    training) as (label, component, mean) rows: posexplode, then one
+    partial-aggregated shuffle keyed by (label, pos) - the shuffle
+    carries dim x labels rows, independent of corpus size. Component
+    means are fixed-point (floor at 1e-6) so parallel sums are
+    order-independent and engine-exact; scalar output columns keep the
+    result hashable by the driver (array reassembly would be
+    array_sort(collect_list(struct)) on top)."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    fixed = F.floor(F.col("v").cast("double") * F.lit(1e6)).cast("bigint")
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        (F.sum(fixed).cast("double") / (F.lit(1e6) * F.count("v"))).alias("c")
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: email-like tokens and long digit runs
+    replaced map-side with regexp_replace (JVM codegen, no UDF). The
+    patterns are chosen to mean the same thing in Java regex (Spark)
+    and RE2 (DuckDB); Spark replaces globally by default, DuckDB needs
+    the 'g' flag."""
+    docs = t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{6,}",
+        "<NUM>",
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
