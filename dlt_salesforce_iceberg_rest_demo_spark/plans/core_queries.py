@@ -1075,3 +1075,43 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.dense_rank().over(w).cast("long").alias("drank"),
     )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             map(['type', 'user'],
+                 [event_type, CAST(user_id AS VARCHAR)]) AS mm
+      FROM events)
+    SELECT event_id,
+           mm['type'][1] AS m_type,
+           mm['user'][1] AS m_user,
+           mm['missing'][1] AS m_missing,
+           CAST(cardinality(mm) AS BIGINT) AS m_size,
+           array_to_string(map_keys(mm), ',') AS m_keys,
+           array_to_string(map_values(mm), ',') AS m_vals
+    FROM m
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface: construct (map_from_arrays), point
+    lookup incl. missing key -> NULL, size, keys/values flattened to
+    strings. DuckDB map extraction yields a LIST, so the oracle
+    unwraps with [1] and list outputs go through array_to_string -
+    scalar columns on both sides keep the driver hash comparable."""
+    ev = t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "user").alias("m_user"),
+        F.element_at(m, "missing").alias("m_missing"),
+        F.size(m).cast("long").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.array_join(F.map_values(m), ",").alias("m_vals"),
+    )
