@@ -122,3 +122,30 @@ class TestSourceScale:
         df = read_object_distributed(spark, make_transport, "Account", num_partitions=8)
         # the fetch stage must carry the requested fan-out
         assert df.rdd.getNumPartitions() >= 8
+
+
+class TestNewOperatorPlans:
+    def test_corpus_top_bigrams_is_take_ordered(self, spark):
+        # top-k must be TakeOrdered (per-partition heap + driver merge),
+        # never a global sort materialization.
+        plan = plan_of(REGISTRY["corpus_top_bigrams"].spark(spark, SF_DIR), "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan  # map-side combine before shuffle
+
+    def test_centroids_partial_aggregated(self, spark):
+        # (label, pos) mean must partial-aggregate before shuffling:
+        # reduce fan-in is dim x labels, independent of corpus size.
+        plan = plan_of(
+            REGISTRY["embedding_centroids_by_label"].spark(spark, SF_DIR), "simple"
+        )
+        assert "partial_sum" in plan
+
+    def test_redact_pii_no_shuffle(self, spark):
+        plan = plan_of(REGISTRY["text_redact_pii"].spark(spark, SF_DIR), "simple")
+        assert "Exchange" not in plan
+
+    def test_stratified_sample_no_shuffle(self, spark):
+        plan = plan_of(
+            REGISTRY["sample_stratified_hash"].spark(spark, SF_DIR), "simple"
+        )
+        assert "Exchange" not in plan
