@@ -184,3 +184,41 @@ def repetition_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "top_token_frac"
         ),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 6,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the standard
+    LLM-pipeline chunking transform: context windows with overlap so
+    no span falls across a boundary unseen).
+
+    One row per (doc, chunk): explode a stride-stepped start-offset
+    sequence, then slice the token array - all JVM-side array
+    functions, no UDF. A doc shorter than ``window`` yields exactly
+    one chunk. Map-only (explode is pipelined into the scan): no
+    shuffle, scales linearly with corpus size regardless of document
+    length skew.
+    """
+    tk = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(tk) - F.lit(window - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    ex = docs.select(
+        "doc_id", tk.alias("tk"), F.explode(starts).alias("start")
+    )
+    return ex.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(stride)).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(F.col("tk"), F.col("start"), window)).alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(window), F.size(F.col("tk")) - F.col("start") + 1
+        ).cast("long").alias("n_tokens"),
+    )

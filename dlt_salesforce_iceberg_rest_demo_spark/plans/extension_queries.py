@@ -783,3 +783,28 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<NUM>",
     )
     return docs.select("doc_id", redacted.alias("redacted"))
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    st AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, greatest(len(tk) - 7, 1), 6)) AS start
+      FROM toks)
+    SELECT doc_id,
+           CAST((start - 1) / 6 AS BIGINT) AS chunk_idx,
+           array_to_string(tk[start:start+7], ' ') AS chunk_text,
+           CAST(least(8, len(tk) - start + 1) AS BIGINT) AS n_tokens
+    FROM st
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 8, stride 6): the
+    transform that turns a document corpus into training-context rows.
+    Explode + array slice, fully JVM-side, shuffle-free."""
+    return text.chunk_documents(
+        t(spark, sf_dir, "documents"), window=8, stride=6
+    )

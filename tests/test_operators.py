@@ -422,3 +422,32 @@ class TestRepetition:
         assert rows[1].top_token_count == 4
         assert abs(rows[1].top_token_frac - 0.8) < 1e-12
         assert abs(rows[2].top_token_frac - 0.2) < 1e-12
+
+
+class TestChunking:
+    def test_short_doc_single_chunk(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as text_ops
+
+        df = spark.createDataFrame([(1, "just three words")], ["doc_id", "text"])
+        rows = text_ops.chunk_documents(df, window=8, stride=6).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "just three words"
+        assert rows[0].chunk_idx == 0 and rows[0].n_tokens == 3
+
+    def test_overlap_and_coverage(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as text_ops
+
+        words = [f"w{i}" for i in range(20)]
+        df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+        rows = sorted(
+            text_ops.chunk_documents(df, window=8, stride=6).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # starts at 1, 7, 13 (last start <= 20-8+1=13): 3 chunks
+        assert [r.chunk_idx for r in rows] == [0, 1, 2]
+        assert rows[0].chunk_text.split() == words[0:8]
+        assert rows[1].chunk_text.split() == words[6:14]
+        assert rows[2].chunk_text.split() == words[12:20]
+        # every token appears in some chunk
+        covered = {w for r in rows for w in r.chunk_text.split()}
+        assert covered == set(words)
