@@ -451,3 +451,91 @@ def connected_components(
             "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
         )
     return out
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log^2 n) rounds regardless of graph DIAMETER, where
+    plain min-label propagation (:func:`connected_components`) needs
+    O(diameter) rounds - the variant to use when duplicate chains can
+    be long (e.g. transitive near-dup chains A~B~C~...~Z).
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its closed neighborhood; small-star: the not-larger neighbors
+    (and itself). Each round is one groupBy-min plus one join on the
+    current edge list, canonicalized to undirected (min,max) pairs; at
+    the fixpoint every component is a star centered at its minimum
+    node. Same output contract as :func:`connected_components`.
+
+    Convergence: (edge count, SUM(xxhash64(u,v))) signature per round
+    - one cheap agg instead of a set-difference join.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    cur = (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def _star(cdf: DataFrame, large: bool) -> DataFrame:
+        sym = cdf.union(cdf.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        j = sym.join(mins, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(j.select("u", F.col("m").alias("v")))
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    prev = _sig(cur)
+    for _ in range(max_iter):
+        cur = _star(cur, large=True).localCheckpoint(eager=True)
+        cur = _star(cur, large=False).localCheckpoint(eager=True)
+        s = _sig(cur)
+        if s == prev:
+            break
+        prev = s
+
+    sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    out = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("mn", F.col("u")).alias("cluster_id"),
+        )
+    )
+    if nodes is not None:
+        allnodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        out = allnodes.join(out, "node", "left").select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+        )
+    return out

@@ -808,3 +808,23 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
         t(spark, sf_dir, "documents"), window=8, stride=6
     )
+
+
+@register("dedup_connected_components_star", oracle=CC_ORACLE)
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as ``dedup_connected_components`` but
+    via alternating large-star/small-star (O(log^2 n) rounds
+    independent of graph diameter - the variant for adversarially long
+    duplicate chains). Both algorithms hash-match the same recursive-
+    CTE oracle; pytest additionally asserts they agree on random
+    graphs."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=2, threshold=0.5)
+    cc = dedup.connected_components_star(
+        pairs,
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+    )
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -451,3 +451,35 @@ class TestChunking:
         # every token appears in some chunk
         covered = {w for r in rows for w in r.chunk_text.split()}
         assert covered == set(words)
+
+
+class TestStarConnectedComponents:
+    def _labels(self, df):
+        return {r.node: r.cluster_id for r in df.collect()}
+
+    def _assert_same_as_propagation(self, spark, pairs):
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        star = self._labels(dedup.connected_components_star(edges))
+        prop = self._labels(dedup.connected_components(edges))
+        assert star == prop
+
+    def test_long_chain(self, spark):
+        self._assert_same_as_propagation(spark, [(i, i + 1) for i in range(30)])
+
+    def test_random_graph_matches_propagation(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pairs = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        self._assert_same_as_propagation(spark, pairs)
+
+    def test_two_components_and_singleton(self, spark):
+        edges = spark.createDataFrame([(2, 3), (3, 7), (10, 11)], ["src", "dst"])
+        nodes = spark.createDataFrame([(i,) for i in (2, 3, 7, 10, 11, 99)], ["id"])
+        got = self._labels(
+            dedup.connected_components_star(edges, nodes=nodes, node_col="id")
+        )
+        assert got == {2: 2, 3: 2, 7: 2, 10: 10, 11: 10, 99: 99}
