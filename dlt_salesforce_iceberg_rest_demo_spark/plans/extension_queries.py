@@ -828,3 +828,48 @@ def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
         node_col="doc_id",
     )
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# Composite pretraining corpus filter: reuse the already-registered
+# signal oracles as nested CTEs so the filter's oracle is BY
+# CONSTRUCTION consistent with the individual signal oracles.
+def _corpus_filter_oracle() -> str:
+    from .registry import REGISTRY
+
+    return f"""
+    WITH lang AS ({REGISTRY["text_lang_id"].oracle}),
+         qual AS ({REGISTRY["text_quality_score"].oracle}),
+         rep AS ({REGISTRY["text_repetition_score"].oracle})
+    SELECT lang.doc_id, lang.lang_pred, qual.quality, rep.top_token_frac,
+           (lang.lang_pred <> 'und' AND qual.quality >= 0.5
+            AND rep.top_token_frac <= 0.3) AS keep
+    FROM lang
+    JOIN qual ON lang.doc_id = qual.doc_id
+    JOIN rep ON lang.doc_id = rep.doc_id
+    """
+
+
+@register("corpus_quality_filter", oracle=_corpus_filter_oracle())
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style corpus filter: language identified AND composite
+    quality >= 0.5 AND top-token repetition <= 0.3 -> keep flag per
+    document. The three signals are computed in parallel branches over
+    ONE cached scan shape (two are map-only; repetition adds its two
+    partial-aggregated shuffles) and joined on doc_id; at 100 TB this
+    is the shape of a real pretraining filter pass, and the decision
+    column is a plain boolean so downstream pruning is a pushed-down
+    predicate, not a recompute."""
+    docs = t(spark, sf_dir, "documents")
+    lang = text.lang_id(docs).select("doc_id", "lang_pred")
+    qual = text.quality_score(docs).select("doc_id", "quality")
+    rep = text.repetition_score(docs).select("doc_id", "top_token_frac")
+    keep = (
+        (F.col("lang_pred") != F.lit("und"))
+        & (F.col("quality") >= 0.5)
+        & (F.col("top_token_frac") <= 0.3)
+    )
+    return (
+        lang.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .select("doc_id", "lang_pred", "quality", "top_token_frac", keep.alias("keep"))
+    )
