@@ -1115,3 +1115,74 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("m_keys"),
         F.array_join(F.map_values(m), ",").alias("m_vals"),
     )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing: one partial-aggregated
+    shuffle of (bucket, count) - the distributed histogram primitive
+    (floor of the identical IEEE division is engine-exact, unlike
+    engine-specific width_bucket edge conventions)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        F.floor(F.col("value") / 10.0).cast("long").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+@register(
+    "zscore_order_prices",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             CAST(SUM(CAST(FLOOR(o_totalprice * o_totalprice * 1e6)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+               / (1e6 * COUNT(*)) AS ex2
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o.o_orderkey, o.o_orderstatus,
+           (o.o_totalprice - s.mu) / sqrt(s.ex2 - s.mu * s.mu) AS z
+    FROM orders o JOIN s ON o.o_orderstatus = s.o_orderstatus
+    """,
+)
+def zscore_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (z-score), the ML-pipeline
+    normalization step: group moments from ORDER-INDEPENDENT fixed
+    point sums (prices are exact at 2dp -> DECIMAL(18,6) sum is exact;
+    squares go through FLOOR at 1e-6 into DECIMAL(38,0) so no rounding
+    ambiguity and no int64 overflow), broadcast back, then one
+    identical IEEE subtract/divide per row on both engines. At scale:
+    tiny stats table broadcast, map-side standardization, no second
+    shuffle of the fact table."""
+    orders = t(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderstatus").agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*")).alias(
+            "mu"
+        ),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.col("o_totalprice") * F.lit(1e6))
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / (F.lit(1e6) * F.count("*"))
+        ).alias("ex2"),
+    )
+    return (
+        orders.join(F.broadcast(stats), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (
+                (F.col("o_totalprice") - F.col("mu"))
+                / F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu"))
+            ).alias("z"),
+        )
+    )
