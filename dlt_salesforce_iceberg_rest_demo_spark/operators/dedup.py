@@ -187,20 +187,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, num_perm: int = 32
-) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands of
-    ``num_perm/bands`` rows, hash each band, and emit pairs that share
-    any (band_id, band_hash) bucket.
-
-    The self-join runs per-bucket - at scale the shuffle key is
-    (band_id, band_hash), and bucket sizes stay tiny for non-duplicate
-    corpora, so candidate generation is ~linear. 8 bands x 4 rows:
-    s=0.9 -> P≈0.9998, s=0.3 -> P≈0.063.
-    """
+def _banded(signatures: DataFrame, bands: int, num_perm: int) -> DataFrame:
+    """(doc, band, bucket) rows: each signature split into ``bands``
+    bands of ``num_perm/bands`` positions, each band xxhash64'd."""
     r = num_perm // bands
-    banded = signatures.select(
+    return signatures.select(
         "doc",
         F.explode(
             F.array(
@@ -218,6 +209,21 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, num_perm: int = 32
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_perm/bands`` rows, hash each band, and emit pairs that share
+    any (band_id, band_hash) bucket.
+
+    The self-join runs per-bucket - at scale the shuffle key is
+    (band_id, band_hash), and bucket sizes stay tiny for non-duplicate
+    corpora, so candidate generation is ~linear. 8 bands x 4 rows:
+    s=0.9 -> P≈0.9998, s=0.3 -> P≈0.063.
+    """
+    banded = _banded(signatures, bands, num_perm)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -539,3 +545,69 @@ def connected_components_star(
             "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
         )
     return out
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    base_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 2,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dedup: match a NEW batch of
+    documents against the PERSISTED signature table of the already-
+    ingested corpus, without touching the corpus text again - the
+    production shape at 100 TB, where re-shingling the whole lake per
+    ingest is a non-starter. The signature table (1 row/doc x
+    ``num_perm`` ints, the asset :func:`minhash_dedup_pairs` tells you
+    to keep) is re-banded map-side; only bucket-collision pairs join.
+
+    Returns ``(doc_new, doc_match, est_jaccard >= threshold)`` where
+    ``doc_match`` is an existing corpus doc, or an earlier doc of the
+    same new batch (so intra-batch duplicates are caught in the same
+    pass - counted once via the id ordering).
+    """
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, n, num_perm).persist()
+    all_sigs = base_signatures.withColumn("is_new", F.lit(False)).unionByName(
+        new_sigs.withColumn("is_new", F.lit(True))
+    )
+    nb = _banded(new_sigs, bands, num_perm).alias("a")
+    ab = _banded(all_sigs.select("doc", "signature"), bands, num_perm).join(
+        all_sigs.select("doc", "is_new"), "doc"
+    ).alias("b")
+    cands = (
+        nb.join(
+            ab,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (
+                (~F.col("b.is_new"))
+                | (F.col("b.doc") < F.col("a.doc"))
+            ),
+        )
+        .select(F.col("a.doc").alias("doc_new"), F.col("b.doc").alias("doc_match"))
+        .distinct()
+    )
+    sa = new_sigs.alias("sa")
+    sb = all_sigs.alias("sb")
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sa.signature"),
+                F.col("sb.signature"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / num_perm
+    )
+    return (
+        cands.join(sa, F.col("doc_new") == F.col("sa.doc"))
+        .join(sb, F.col("doc_match") == F.col("sb.doc"))
+        .select("doc_new", "doc_match", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

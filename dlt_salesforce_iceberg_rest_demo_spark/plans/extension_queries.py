@@ -873,3 +873,19 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, "doc_id")
         .select("doc_id", "lang_pred", "quality", "top_token_frac", keep.alias("keep"))
     )
+
+
+@register("dedup_incremental_batch")
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup gate: docs with doc_id % 10 == 0 play the NEW
+    ingest batch, the rest are the existing corpus whose persisted
+    MinHash signature table is all the batch ever touches (corpus text
+    is never re-read - the shape that keeps per-ingest cost O(batch)
+    instead of O(lake) at 100 TB). Rows-only (engine hashes);
+    TestIncrementalDedup pins planted corpus-dup and intra-batch-dup
+    detection."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    base_sigs = dedup.minhash_signatures(base)
+    return dedup.incremental_minhash_pairs(new, base_sigs, threshold=0.5)

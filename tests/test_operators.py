@@ -483,3 +483,42 @@ class TestStarConnectedComponents:
             dedup.connected_components_star(edges, nodes=nodes, node_col="id")
         )
         assert got == {2: 2, 3: 2, 7: 2, 10: 10, 11: 10, 99: 99}
+
+
+class TestIncrementalDedup:
+    def test_new_batch_matches_corpus_and_itself(self, spark):
+        base = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+                (3, "red orange yellow green blue indigo"),
+            ],
+            ["doc_id", "text"],
+        )
+        base_sigs = dedup.minhash_signatures(base)
+        new = spark.createDataFrame(
+            [
+                (10, "one two three four five six seven"),   # dup of base 2
+                (11, "totally novel content nothing shared"),
+                (12, "one two three four five six seven"),   # dup of 10 (intra-batch)
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r.doc_new, r.doc_match)
+            for r in dedup.incremental_minhash_pairs(new, base_sigs).collect()
+        }
+        assert (10, 2) in pairs
+        assert (12, 2) in pairs
+        assert (12, 10) in pairs          # intra-batch pair, counted once
+        assert not any(a == 11 or b == 11 for a, b in pairs)
+        assert not any(b == a for a, b in pairs)
+        # base-vs-base pairs never appear (corpus already deduped)
+        assert all(a in (10, 12) for a, _ in pairs)
+
+    def test_candidates_unchanged_by_refactor(self, spark, docs):
+        # _banded extraction must not change minhash_lsh_candidates.
+        sigs = dedup.minhash_signatures(docs.limit(50))
+        cands = dedup.minhash_lsh_candidates(sigs)
+        rows = cands.collect()
+        assert all(r.doc_a < r.doc_b for r in rows)
