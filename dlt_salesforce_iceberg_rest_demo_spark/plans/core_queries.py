@@ -1186,3 +1186,72 @@ def zscore_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@register(
+    "setop_except_all_suppkeys",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def setop_except_all_suppkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL - multiset difference (per-key multiplicities
+    subtract, unlike the distinct EXCEPT already covered). Spark plans
+    it as an aggregate on counts, one shuffle keyed by the value."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 10).select("l_suppkey").exceptAll(
+        li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    )
+
+
+@register(
+    "setop_intersect_all_nationkeys",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def setop_intersect_all_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL - multiset intersection (min of per-key
+    multiplicities)."""
+    c = t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_nationkey"
+    ).intersectAll(c.filter(F.col("c_acctbal") > 0).select("c_nationkey"))
+
+
+@register(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 1000)
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL subquery planner
+    (Catalyst decorrelates to a left-semi + left-anti join - same
+    physical shape as the explicit join queries, arrived at from SQL).
+    """
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q_exists_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q_exists_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM q_exists_customer c
+        WHERE EXISTS (SELECT 1 FROM q_exists_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM q_exists_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 1000)
+        """
+    )
