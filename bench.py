@@ -58,6 +58,9 @@ EXTENSION_HEADLINE = [
     "range_join_click_attribution",
     "rollup_event_multigrain",
     "skew_salted_join_supplier",
+    "text_block_dedup",
+    "text_contamination",
+    "similarity_quantized_topk",
 ]
 
 

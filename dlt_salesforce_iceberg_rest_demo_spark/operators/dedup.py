@@ -53,8 +53,21 @@ def shingles(col: Column | str, n: int = 2) -> Column:
 
     n=2 bigrams: discriminative enough on small vocabularies while
     staying cheap; character k-grams would drop in identically.
+
+    NOTE: prefer ``shingles_tokens`` over an already-projected token
+    array when the plan is expression-heavy - higher-order functions
+    run interpreted (no codegen, no common-subexpression elimination),
+    so the inlined split/lower here re-evaluates per element_at.
     """
-    t = tokens(col)
+    return shingles_tokens(tokens(col), n)
+
+
+def shingles_tokens(t: Column, n: int = 2) -> Column:
+    """``shingles`` over a pre-tokenized array column. Materializing the
+    token array into a projected column first makes it a per-row
+    attribute (computed once), instead of re-splitting the text for
+    every element of the interpreted shingle lambda - observed 5x on
+    the contamination scan at sf0.1."""
     if n == 1:
         return F.array_distinct(t)
     # Guard: sequence(0, -1) would produce a DEscending sequence in
@@ -106,8 +119,10 @@ def jaccard_pairs(
     production path is :func:`minhash_lsh_candidates` which feeds its
     survivors through this same exact check on candidates only.
     """
-    sh = spread(docs).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    sh = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
+        .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("s"))
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -168,8 +183,10 @@ def minhash_signatures(
     of (doc, 64 ints), O(corpus) work, no pairwise anything.
     """
     consts = _permutation_constants(num_perm, seed)
-    sh = spread(docs).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    sh = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
+        .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("s"))
     )
     h = F.hash("s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
     proj = sh.select(
@@ -298,8 +315,10 @@ def simhash_signatures(
     64 partial-aggregated sums, one shuffle of (doc, 64 ints). Chunked
     layout feeds the pigeonhole join directly.
     """
-    tok = spread(docs).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("t")
+    tok = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
+        .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("t"))
     )
     h = F.xxhash64("t")
     bit_sums = tok.groupBy("doc").agg(

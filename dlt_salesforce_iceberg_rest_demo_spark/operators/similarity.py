@@ -390,3 +390,166 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage/bandwidth path for 100 TB vectors).
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = round(x_i * 127 /
+    max|x|)`` - the standard storage/bandwidth compression for embedding
+    columns (4x smaller than float32, 8x than float64; int8 dot products
+    SIMD-accelerate downstream).
+
+    Determinism across engines: rounding is ``floor(x*scale + 0.5)`` on
+    the double product (bit-identical IEEE ops everywhere; library
+    round() rounding modes differ between Java and C). A zero vector
+    quantizes to all zeros with scale 0.
+
+    Map-only - no shuffle at any scale. Output keeps the dequantization
+    scale (``max|x|/127``) per row.
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / maxabs
+    q = F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"))
+    )
+    return vecs.select(
+        F.col(id_col).alias("vec_id"),
+        q.alias("qvec"),
+        F.when(maxabs == 0.0, F.lit(0.0))
+        .otherwise(maxabs / F.lit(127.0))
+        .alias("dequant_scale"),
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int arrays (order-free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors: the cheap first-pass
+    ranking in a quantize -> shortlist -> full-precision-rerank ANN
+    stack. All similarity math is exact integer arithmetic (then one
+    double division) - bit-reproducible across engines, no fixed-point
+    scaling needed.
+    """
+    q = quantize_int8(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qa")
+    )
+    c = quantize_int8(corpus, id_col, vec_col).select(
+        F.col("vec_id").alias("corpus_id"), F.col("qvec").alias("qb")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    qcos = _idot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(_idot(F.col("qa"), F.col("qa")).cast("double"))
+        * F.sqrt(_idot(F.col("qb"), F.col("qb")).cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.select("query_id", "corpus_id", qcos.alias("qcosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then greedy cosine prune).
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    within each cluster greedily drop vectors whose cosine similarity
+    to an already-kept vector exceeds ``threshold`` (scan order = id
+    order, so output is deterministic).
+
+    Scale shape: clustering bounds the pairwise work to within-cluster
+    (corpus**2 / k on balanced clusters) and the greedy pass runs
+    per-cluster via applyInPandas - one shuffle on the cluster id. At
+    100 TB the cluster count scales with corpus size so per-group state
+    stays bounded; skewed clusters would be recursively re-clustered
+    (not needed at fixture scale).
+
+    Returns one row per input vector: ``vec_id, cluster, keep,
+    dup_of, max_sim`` (``dup_of``/``max_sim`` NULL for kept vectors
+    with no prior neighbor above threshold).
+    """
+    centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+    ).filter(F.col("cluster").isNotNull())
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
+        unit = m / norms[:, None]
+        kept_rows: list[int] = []
+        keep = np.ones(len(pdf), dtype=bool)
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        max_sim = np.full(len(pdf), np.nan)
+        for i in range(len(pdf)):
+            if kept_rows:
+                sims = unit[kept_rows] @ unit[i]
+                j = int(np.argmax(sims))
+                max_sim[i] = float(sims[j])
+                if sims[j] > threshold:
+                    keep[i] = False
+                    dup_of[i] = int(pdf["vec_id"].iloc[kept_rows[j]])
+            if keep[i]:
+                kept_rows.append(i)
+        out = pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cluster": pdf["cluster"].astype("int32"),
+                "keep": keep,
+                "dup_of": pd.array(
+                    [None if d < 0 else d for d in dup_of], dtype="Int64"
+                ),
+                "max_sim": max_sim,
+            }
+        )
+        return out
+
+    return assigned.groupBy("cluster").applyInPandas(prune, out_schema)

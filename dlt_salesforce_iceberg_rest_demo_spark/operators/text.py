@@ -222,3 +222,93 @@ def chunk_documents(
             F.lit(window), F.size(F.col("tk")) - F.col("start") + 1
         ).cast("long").alias("n_tokens"),
     )
+
+
+def block_dedup(
+    docs: DataFrame, text_col: str = "text", block: int = 16
+) -> DataFrame:
+    """Paragraph-level exact dedup (Dolma/RefinedWeb-style), adapted to
+    unstructured text: segment each document into non-overlapping
+    ``block``-token blocks (the fixtures have no newline paragraph
+    structure; real corpora would split on '\\n\\n' with the same plan
+    shape), then mark every block instance whose exact text occurred
+    earlier in the corpus (keep-first by (doc_id, block_idx)).
+
+    Returns per-doc ``n_blocks``, ``n_dup_blocks``, ``dup_frac``.
+
+    Scale shape: explode is map-side; the only shuffle is the
+    ROW_NUMBER partition on the block text - equivalent to the
+    hash-groupBy a Bloom-filter-free exact paragraph dedup needs at
+    any scale. Block text itself never re-shuffles after the window
+    (per-doc agg shuffles only (doc_id, counts)).
+    """
+    blocks = chunk_documents(docs, text_col, window=block, stride=block)
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    flagged = blocks.select(
+        "doc_id",
+        (F.row_number().over(w) > 1).cast("long").alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("is_dup").alias("n_dup_blocks"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_dup_blocks",
+            (F.col("n_dup_blocks").cast("double") / F.col("n_blocks")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination check (the standard n-gram-overlap
+    test run before training): for each candidate document, the
+    fraction of its DISTINCT word ``n``-grams that appear anywhere in
+    the benchmark corpus.
+
+    Plan shape at scale: both sides reduce to distinct n-gram sets
+    (map-side explode + partial-distinct combine), then one
+    hash-aggregated LEFT SEMI-shaped join on the n-gram string. The
+    benchmark gram set is tiny relative to the corpus - Spark/AQE
+    broadcasts it - so the corpus never shuffles its payload, only
+    (doc_id, gram) pairs.
+    """
+    from .dedup import shingles_tokens
+
+    doc_grams = (
+        docs.select("doc_id", tokens(text_col).alias("tk"))
+        .select("doc_id", F.explode(shingles_tokens(F.col("tk"), n=n)).alias("gram"))
+        .distinct()
+    )
+    bench_grams = (
+        benchmark.select(tokens(text_col).alias("tk"))
+        .select(F.explode(shingles_tokens(F.col("tk"), n=n)).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_grams")
+            ).alias("contamination"),
+        )
+    )

@@ -889,3 +889,174 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") % 10 != 0)
     base_sigs = dedup.minhash_signatures(base)
     return dedup.incremental_minhash_pairs(new, base_sigs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Round-1 continuation: paragraph-block dedup, benchmark decontamination,
+# int8 quantization, semantic dedup.
+# ---------------------------------------------------------------------------
+
+BLOCK_DEDUP_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+st AS (SELECT doc_id, tk,
+              unnest(generate_series(1, greatest(len(tk) - 15, 1), 16)) AS s
+       FROM tk),
+blocks AS (
+  SELECT doc_id,
+         CAST(FLOOR((s - 1) / 16.0) AS BIGINT) AS block_idx,
+         array_to_string(list_slice(tk, s, s + 15), ' ') AS chunk_text
+  FROM st),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY chunk_text
+                                      ORDER BY doc_id, block_idx) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM blocks)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_blocks,
+       CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("text_block_dedup", oracle=BLOCK_DEDUP_ORACLE)
+def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (Dolma/RefinedWeb-style) on
+    16-token blocks: per-doc duplicated-block fraction with keep-first
+    semantics. The reference has no sub-document operator at all (its
+    unit is the whole row, salesforce_pipeline.py:90-130); this is the
+    finer-grained dedup a pretraining pipeline layers on top."""
+    return text.block_dedup(t(spark, sf_dir, "documents"), block=16)
+
+
+CONTAMINATION_ORACLE = """
+WITH cand AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents WHERE doc_id % 10 <> 0),
+bench AS (SELECT string_split(lower(text), ' ') AS tk
+          FROM documents WHERE doc_id % 10 = 0),
+cg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+  FROM cand WHERE len(tk) >= 3),
+bg AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+  FROM bench WHERE len(tk) >= 3),
+j AS (SELECT cg.doc_id, bg.g IS NOT NULL AS hit
+      FROM cg LEFT JOIN bg ON cg.g = bg.g)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS contamination
+FROM j GROUP BY doc_id
+"""
+
+
+@register("text_contamination", oracle=CONTAMINATION_ORACLE)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: docs with doc_id % 10 == 0 play
+    the held-out eval set; every other document reports the fraction of
+    its distinct word 3-grams that appear in that set. The benchmark
+    gram set is broadcast, so the corpus side never shuffles payloads -
+    the standard pre-training decontamination shape at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    return text.contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=3,
+    )
+
+
+_SQL_QVEC = """
+CASE WHEN {ma} = 0 THEN list_transform({v}, x -> 0)
+     ELSE list_transform({v}, x ->
+          CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / {ma}) + 0.5) AS INT))
+END
+"""
+
+QUANTIZE_ORACLE = f"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS maxabs
+  FROM embeddings)
+SELECT vec_id,
+       CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127.0 END AS dequant_scale,
+       array_to_string({_SQL_QVEC.format(ma="maxabs", v="embedding")}, ',')
+         AS qvec_str
+FROM m
+"""
+
+
+@register("embedding_quantize_int8", oracle=QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (4x storage/shuffle reduction for vector columns at 100 TB).
+    Rounding is floor(x*scale + 0.5) on doubles - bit-identical across
+    engines, unlike library round(). Map-only, no shuffle. The vector
+    output is serialized to a string for the hash compare."""
+    qz = similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id",
+        "dequant_scale",
+        F.array_join(F.col("qvec"), ",").alias("qvec_str"),
+    )
+
+
+_SQL_IDOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT))) AS DOUBLE)"
+)
+
+QUANTIZED_TOPK_ORACLE = f"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS maxabs
+  FROM embeddings),
+qz AS (SELECT vec_id, {_SQL_QVEC.format(ma="maxabs", v="embedding")} AS qv
+       FROM m),
+q AS (SELECT vec_id AS query_id, qv AS qa FROM qz WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, qv AS qb FROM qz),
+scored AS (
+  SELECT query_id, corpus_id,
+         {_SQL_IDOT.format(a="qa", b="qb")}
+         / ( sqrt({_SQL_IDOT.format(a="qa", b="qa")})
+           * sqrt({_SQL_IDOT.format(a="qb", b="qb")}) ) AS qcosine
+  FROM c, q WHERE corpus_id <> query_id)
+SELECT query_id, corpus_id, qcosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcosine DESC, corpus_id) AS rank
+  FROM scored) x
+WHERE rank <= 5
+"""
+
+
+@register("similarity_quantized_topk", oracle=QUANTIZED_TOPK_ORACLE)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over int8-quantized vectors - the cheap first-pass
+    shortlist of a quantize -> shortlist -> rerank ANN stack. All
+    similarity math is exact integer arithmetic (then one double
+    division), so Spark and DuckDB agree bit-for-bit with no
+    fixed-point scaffolding."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    )
+
+
+@register("similarity_semantic_dedup")
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters bound the
+    pairwise work, then a per-cluster greedy cosine prune (id order,
+    deterministic) marks vectors >0.95-similar to an already-kept
+    vector as duplicates. Iterative k-means + per-group greedy state
+    is not SQL-expressible -> rows-only gate; pytest plants exact
+    near-duplicates and asserts they (and only they) are pruned."""
+    return similarity.semantic_dedup(
+        t(spark, sf_dir, "embeddings"), threshold=0.95, n_centroids=8
+    )

@@ -522,3 +522,175 @@ class TestIncrementalDedup:
         cands = dedup.minhash_lsh_candidates(sigs)
         rows = cands.collect()
         assert all(r.doc_a < r.doc_b for r in rows)
+
+
+class TestBlockDedup:
+    def test_planted_duplicate_blocks(self, spark):
+        """A 16-token block shared verbatim by two docs is a duplicate
+        in the later doc only (keep-first by doc_id)."""
+        block = " ".join(f"w{i}" for i in range(16))
+        rows = [
+            Row(doc_id=1, text=block + " " + "x " * 15 + "x"),
+            Row(doc_id=2, text=block + " " + "y " * 15 + "y"),
+            Row(doc_id=3, text="z " * 31 + "z"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in text.block_dedup(spark.createDataFrame(rows)).collect()
+        }
+        assert out[1].n_blocks == 2 and out[1].n_dup_blocks == 0
+        assert out[2].n_blocks == 2 and out[2].n_dup_blocks == 1
+        assert out[2].dup_frac == pytest.approx(0.5)
+        # doc 3 repeats 'z' -> its second block duplicates its first?
+        # blocks are 'z'*16 each -> intra-doc duplicate counts too.
+        assert out[3].n_dup_blocks == 1
+
+    def test_short_doc_single_block(self, spark):
+        out = text.block_dedup(
+            spark.createDataFrame([Row(doc_id=1, text="just three words")])
+        ).collect()
+        assert out[0].n_blocks == 1 and out[0].n_dup_blocks == 0
+
+
+class TestContamination:
+    def test_contained_and_disjoint_docs(self, spark):
+        bench = spark.createDataFrame(
+            [Row(doc_id=100, text="alpha beta gamma delta epsilon")]
+        )
+        docs = spark.createDataFrame(
+            [
+                # every 3-gram inside the benchmark text
+                Row(doc_id=1, text="alpha beta gamma delta"),
+                # no overlap at all
+                Row(doc_id=2, text="one two three four"),
+                # half: 'beta gamma delta' yes, 'delta zzz qqq' chain no
+                Row(doc_id=3, text="beta gamma delta zzz qqq"),
+            ]
+        )
+        out = {
+            r.doc_id: r for r in text.contamination(docs, bench, n=3).collect()
+        }
+        assert out[1].contamination == pytest.approx(1.0)
+        assert out[2].contamination == pytest.approx(0.0)
+        assert out[3].n_grams == 3 and out[3].n_contaminated == 1
+
+    def test_too_short_docs_excluded(self, spark):
+        bench = spark.createDataFrame([Row(doc_id=9, text="a b c")])
+        docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+        assert text.contamination(docs, bench, n=3).count() == 0
+
+
+class TestQuantize:
+    def test_roundtrip_error_bounded(self, spark, emb):
+        """Dequantized values must sit within scale/2 of the original
+        (the definition of symmetric round-to-nearest int8)."""
+        joined = (
+            similarity.quantize_int8(emb)
+            .join(emb, "vec_id")
+            .select(
+                F.max(
+                    F.array_max(
+                        F.zip_with(
+                            "embedding",
+                            "qvec",
+                            lambda x, q: F.abs(
+                                x.cast("double")
+                                - q.cast("double") * F.col("dequant_scale")
+                            ),
+                        )
+                    )
+                    / F.col("dequant_scale")
+                ).alias("worst")
+            )
+            .collect()
+        )
+        assert joined[0].worst <= 0.5 + 1e-9
+
+    def test_range_and_extremum(self, spark, emb):
+        """All codes within [-127,127]; every vector uses the full range
+        (its max-|x| element maps to +/-127)."""
+        qz = similarity.quantize_int8(emb)
+        stats = qz.select(
+            F.min(F.array_min("qvec")).alias("lo"),
+            F.max(F.array_max("qvec")).alias("hi"),
+            F.min(
+                F.array_max(F.transform("qvec", lambda q: F.abs(q)))
+            ).alias("min_peak"),
+        ).collect()[0]
+        assert -127 <= stats.lo and stats.hi <= 127
+        assert stats.min_peak == 127
+
+    def test_zero_vector(self, spark):
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[0.0, 0.0, 0.0])]
+        )
+        r = similarity.quantize_int8(df).collect()[0]
+        assert r.qvec == [0, 0, 0] and r.dequant_scale == 0.0
+
+    def test_quantized_topk_agrees_with_exact_mostly(self, spark, emb):
+        """int8 shortlist must keep >=80% of the true top-5 on the
+        fixtures (it's the shortlist pass, not the final ranking)."""
+        exact = {
+            (r.query_id, r.corpus_id)
+            for r in similarity.cosine_topk(
+                emb, emb.filter(F.col("vec_id") < 8), k=5
+            ).collect()
+        }
+        quant = {
+            (r.query_id, r.corpus_id)
+            for r in similarity.quantized_topk(
+                emb, emb.filter(F.col("vec_id") < 8), k=5
+            ).collect()
+        }
+        assert len(exact & quant) / len(exact) >= 0.8
+
+
+class TestSemanticDedup:
+    def _planted(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((20, 16))
+        rows = [
+            Row(vec_id=i, embedding=[float(x) for x in base[i]])
+            for i in range(20)
+        ]
+        # vec 100/101: near-copies of vec 3 (tiny perturbation)
+        for j, vid in enumerate((100, 101)):
+            rows.append(
+                Row(
+                    vec_id=vid,
+                    embedding=[
+                        float(x + 0.001 * (j + 1)) for x in base[3]
+                    ],
+                )
+            )
+        return spark.createDataFrame(rows)
+
+    def test_planted_near_copies_pruned(self, spark):
+        out = {
+            r.vec_id: r
+            for r in similarity.semantic_dedup(
+                self._planted(spark), threshold=0.95, n_centroids=4
+            ).collect()
+        }
+        assert len(out) == 22
+        assert out[3].keep  # lowest id in the duplicate group survives
+        assert not out[100].keep and not out[101].keep
+        assert out[100].dup_of == 3
+        # random gaussians in 16-dim are far below 0.95 cosine
+        assert all(r.keep for v, r in out.items() if v not in (100, 101))
+
+    def test_deterministic(self, spark):
+        df = self._planted(spark)
+        a = sorted(
+            similarity.semantic_dedup(df, 0.95, 4).collect(),
+            key=lambda r: r.vec_id,
+        )
+        b = sorted(
+            similarity.semantic_dedup(df, 0.95, 4).collect(),
+            key=lambda r: r.vec_id,
+        )
+        assert [(r.vec_id, r.keep, r.dup_of) for r in a] == [
+            (r.vec_id, r.keep, r.dup_of) for r in b
+        ]
