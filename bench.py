@@ -41,6 +41,8 @@ HEADLINE = [
     "merge_keep_last_per_key",
     "count_distinct_customers_per_nation",
     "sort_limit_top_events",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
 ]
 # Extension headliners are appended dynamically when registered.
 EXTENSION_HEADLINE = [

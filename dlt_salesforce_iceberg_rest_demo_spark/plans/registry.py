@@ -122,5 +122,6 @@ def _ensure_loaded() -> None:
     from . import core_queries  # noqa: F401
     from . import parity_queries  # noqa: F401
     from . import extension_queries  # noqa: F401
+    from . import tpch_queries  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,455 @@
+"""TPC-H-shaped analytic queries over the fixture star schema.
+
+SURVEY.md §2.7: the reference implements no joins, aggregation, or
+subqueries at all - its FK model (e.g. contact.AccountId -> account.Id,
+reference data/salesforce_medium_scale.recipe.yml:78-79,136-137) defers
+every analytic shape to downstream consumers. This module registers the
+classic downstream shapes - the TPC-H queries expressible over the
+fixture columns (no partsupp table, no l_commitdate/l_receiptdate /
+p_container columns; those queries are adapted to available columns) -
+written Spark-first and scored against the DuckDB oracle.
+
+Scale notes applied throughout:
+
+- dimensions (region/nation/customer/supplier/part at warehouse ratios)
+  are broadcast, so every dim hop stays shuffle-free on the fact side;
+- float aggregates are decimal-stabilized (`_helpers`) so parallel
+  partial aggregation is order-independent;
+- every LIMIT/top-k orders by a unique tiebreak key;
+- correlated subqueries are expressed as the decorrelated join Catalyst
+  would produce, keeping the plan explicit and AQE-optimizable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._helpers import DEC, SQL_DEC, davg, dsum, sql_davg, sql_dsum, t
+from .registry import register
+
+def _rev():
+    """Per-lineitem revenue expression (built lazily: Column
+    construction needs an active SparkContext, and this module is
+    imported at registry load before any session exists)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           {sql_dsum(_SQL_REV, "revenue")}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped BUILDING-segment orders by revenue.
+
+    Plan shape: customer filter is broadcast into orders, orders into
+    lineitem via the join; both date filters reach the parquet scans
+    (PushedFilters), so at 100 TB only the post-cutoff slice of
+    lineitem is read. Tie broken by l_orderkey for a deterministic
+    LIMIT set.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                         THEN CAST({_SQL_REV} AS {SQL_DEC})
+                         ELSE CAST(0 AS {SQL_DEC}) END) AS DOUBLE)
+             / CAST(SUM(CAST({_SQL_REV} AS {SQL_DEC})) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+    JOIN region r    ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted: no p_type filter year window): NATION_3
+    suppliers' share of revenue into ASIA-region customers, per year.
+
+    The same nation table joins twice under different roles (customer
+    nation -> region filter; supplier nation -> share numerator) -
+    alias-disambiguated. Every dim is broadcast; numerator and
+    denominator are separate exact decimal sums so the final division
+    is one identical IEEE op in both engines.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _rev().cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("n2.n_name") == "NATION_3", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           {sql_dsum(_SQL_REV, "revenue")}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items
+    ('R' lineitems) in 1996. Returnflag + date predicates push to the
+    lineitem/orders scans; customer and nation broadcast."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to available columns (the fixtures carry no
+    l_commitdate/l_receiptdate/l_shipmode): per order priority, how
+    many lineitems shipped more than 90 days after the order date.
+    Timestamp interval arithmetic inside a conditional aggregate."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT year(l.l_shipdate) AS ship_year,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST({_SQL_REV} AS {SQL_DEC})
+                                 ELSE CAST(0 AS {SQL_DEC}) END) AS DOUBLE)
+                 / CAST(SUM(CAST({_SQL_REV} AS {SQL_DEC})) AS DOUBLE)
+             AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY year(l.l_shipdate)
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (per ship-year instead of one month): percentage of
+    revenue from PROMO-type parts. Part is broadcast; numerator and
+    denominator are exact decimal sums, then 100*num/den runs the same
+    IEEE ops in both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    vol = _rev().cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double")
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum(_SQL_REV, "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum revenue in 1996 Q1.
+
+    The scalar MAX subquery is expressed as a 1-row broadcast
+    cross-join against the same cached revenue aggregate - computed
+    once, used for both the max and the equality filter (Catalyst's
+    ReuseExchange makes the second read free; equality on doubles is
+    safe because both sides come from the identical decimal sum).
+    """
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pavg AS (
+      SELECT l_partkey, {sql_davg("l_quantity", "avg_qty")}
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {sql_dsum("l.l_extendedprice", "sum_price")},
+           CAST(SUM(CAST(l.l_extendedprice AS {SQL_DEC})) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pavg  ON l.l_partkey = pavg.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND l.l_quantity < 0.2 * pavg.avg_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity Brand#2 orders - the
+    correlated per-part AVG subquery, decorrelated into a group-by +
+    self-join (exactly Catalyst's rewrite, stated explicitly).
+
+    The per-part average is decimal-stabilized, so the 0.2*avg
+    threshold is the same double in both engines and the filter is
+    deterministic.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    pavg = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pavg, l.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice", "sum_price"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_dsum("l.l_quantity", "sum_qty")}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS DOUBLE) > 300)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders with total quantity > 300 and their customers.
+
+    The IN-subquery is a left-semi join against the qualifying-order
+    aggregate. At scale the semi join's right side (qualifying keys) is
+    tiny -> broadcast, so the big lineitem re-scan never shuffles on
+    the probe side.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        l.join(F.broadcast(big), l.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum(_SQL_REV, "revenue")}
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under a 3-way disjunction of (brand, size,
+    quantity) bands - the classic OR-predicate pushdown test. Catalyst
+    extracts the common join key and pushes the brand/size disjunction
+    to the part scan; part broadcasts so the OR is evaluated map-side.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(20, 50)
+        & (F.col("l_quantity") >= 20)
+    )
+    return j.filter(cond).agg(dsum(_rev(), "revenue"))
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg("c_acctbal", "a")} FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           {sql_dsum("c.c_acctbal", "totacctbal")}
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nationkey instead of the absent phone
+    country code, and "idle since 1999" instead of "never ordered" -
+    every fixture customer has at least one order): wealthy customers
+    with no order after the cutoff, per nation. Composes a scalar AVG
+    subquery (broadcast 1-row cross join), an anti join against the
+    filtered orders (the NOT EXISTS decorrelation), and a final
+    aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )

@@ -149,3 +149,37 @@ class TestNewOperatorPlans:
             REGISTRY["sample_stratified_hash"].spark(spark, SF_DIR), "simple"
         )
         assert "Exchange" not in plan
+
+
+class TestTpchPlans:
+    def test_q3_pushdown_and_broadcast(self, spark):
+        plan = plan_of(REGISTRY["tpch_q3_shipping_priority"].spark(spark, SF_DIR))
+        # both date cutoffs reach their parquet scans
+        assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+        assert "LessThan(o_orderdate" in plan
+        # customer dim broadcast; top-10 is TakeOrdered, not global sort
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q8_all_dims_broadcast(self, spark):
+        # 6 joins; only lineitem-orders may shuffle - customer, both
+        # nation roles, region, supplier all broadcast
+        plan = plan_of(REGISTRY["tpch_q8_market_share"].spark(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 5
+
+    def test_q18_semi_join_broadcasts_qualifying_keys(self, spark):
+        plan = plan_of(REGISTRY["tpch_q18_large_orders"].spark(spark, SF_DIR))
+        # the HAVING subquery becomes a broadcast left-semi: the big
+        # lineitem probe side never shuffles for qualification
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_q19_disjunction_reaches_part_scan(self, spark):
+        plan = plan_of(REGISTRY["tpch_q19_disjunctive_revenue"].spark(spark, SF_DIR))
+        # the brand/size OR-predicate is pushed to the part scan
+        assert "Or(And(EqualTo(p_brand" in plan
+
+    def test_q22_anti_join_after_scalar_subquery(self, spark):
+        plan = plan_of(REGISTRY["tpch_q22_idle_customers"].spark(spark, SF_DIR))
+        assert "LeftAnti" in plan
+        # the orders side of the anti join is date-filtered at the scan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
