@@ -281,3 +281,45 @@ def asof_join(
         *[c for c in left.columns if c != on],
         *[F.col(f"__p.{f}").alias(f) for f in payload_fields],
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average, ordered by time:
+    ``y_0 = x_0; y_t = alpha*x_t + (1-alpha)*y_{t-1}``.
+
+    The recursion is inherently sequential per key - not expressible
+    with Spark window frames (which aggregate, not fold). The Spark
+    shape: one shuffle on the key, then an Arrow-batched per-group
+    pandas fold (`applyInPandas`). State per group is O(1); group
+    sizes are per-entity event counts, bounded at any corpus scale.
+
+    Returns ``key, ts, value, ewma`` (input row count preserved).
+    """
+    import pandas as pd
+
+    out_fields = []
+    for name in (key_col, ts_col, value_col):
+        out_fields.append(df.schema[name])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(out_fields + [T.StructField("ewma", T.DoubleType())])
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        # pandas ewm(adjust=False) computes exactly this recursion
+        pdf["ewma"] = (
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf[[key_col, ts_col, value_col, "ewma"]]
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fold, schema)
+    )

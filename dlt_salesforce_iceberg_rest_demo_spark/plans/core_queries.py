@@ -1255,3 +1255,73 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_totalprice < 1000)
         """
     )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers
+               FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+               FROM supplier WHERE s_acctbal > 3000 GROUP BY s_nationkey)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.n_rich_customers, s.n_rich_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the join-type surface: inner, left,
+    semi, anti, cross elsewhere): per-nation high-balance customer
+    counts vs supplier counts, where each side can miss nations the
+    other has. Aggregate-then-join keeps the outer join's input tiny
+    (<= #nations rows per side) regardless of table scale."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").cast("int").alias("nationkey"),
+        "n_rich_customers",
+        "n_rich_suppliers",
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-position window functions (first_value / last_value /
+    nth_value) over each customer's order history - the whole-partition
+    frame, deduplicated to one row per customer. Tie broken by
+    o_orderkey so the frame order (and thus nth_value) is
+    deterministic in both engines."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).distinct()

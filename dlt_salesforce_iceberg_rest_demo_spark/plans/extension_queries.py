@@ -1060,3 +1060,86 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         t(spark, sf_dir, "embeddings"), threshold=0.95, n_centroids=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 continuation 2: profiling, EWMA, Python UDTF.
+# ---------------------------------------------------------------------------
+
+PROFILE_ORACLE = """
+WITH one AS (
+  SELECT
+    COUNT(1) AS r1, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+      COUNT(DISTINCT o_orderkey) AS d1, CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+    COUNT(1) AS r2, CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+      COUNT(DISTINCT o_orderstatus) AS d2, CAST(MIN(o_orderstatus) AS VARCHAR) AS mn2, CAST(MAX(o_orderstatus) AS VARCHAR) AS mx2,
+    COUNT(1) AS r3, CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+      COUNT(DISTINCT o_orderpriority) AS d3, CAST(MIN(o_orderpriority) AS VARCHAR) AS mn3, CAST(MAX(o_orderpriority) AS VARCHAR) AS mx3,
+    COUNT(1) AS r4, CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u4,
+      COUNT(DISTINCT o_orderdate) AS d4, CAST(MIN(o_orderdate) AS VARCHAR) AS mn4, CAST(MAX(o_orderdate) AS VARCHAR) AS mx4
+  FROM orders)
+SELECT 'o_orderkey' AS "column", r1 AS n_rows, u1 AS n_null, d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM one
+UNION ALL
+SELECT 'o_orderstatus', r2, u2, d2, mn2, mx2 FROM one
+UNION ALL
+SELECT 'o_orderpriority', r3, u3, d3, mn3, mx3 FROM one
+UNION ALL
+SELECT 'o_orderdate', r4, u4, d4, mn4, mx4 FROM one
+"""
+
+
+@register("profile_table_orders", oracle=PROFILE_ORACLE)
+def profile_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (generalizes the reference's count+head
+    verification, check_tables.py:39-53): per-column row/null/distinct
+    counts and min/max over orders. Columns restricted to types whose
+    string casts agree between engines (doubles format differently)."""
+    from ..operators.profiling import profile_table
+
+    return profile_table(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
+@register("timeseries_ewma_user_values")
+def timeseries_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values over time (alpha=0.3). The
+    recursion y_t = a*x_t + (1-a)*y_{t-1} is a sequential fold - not a
+    window aggregate - so it runs as one shuffle + Arrow-batched
+    per-group pandas fold. Rows-only gate (SQL can only express the
+    fold via recursive CTE whose float op order differs); pytest
+    checks the recursion exactly against a Python loop."""
+    ev = t(spark, sf_dir, "events")
+    return temporal.ewma(ev, "user_id", "ts", "value", alpha=0.3)
+
+
+UDTF_RUNS_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM tk),
+tokens AS (
+  SELECT doc_id, i - 1 AS idx, tk[i] AS token FROM pos),
+islands AS (
+  SELECT doc_id, token, idx,
+         idx - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY idx)
+           AS grp
+  FROM tokens)
+SELECT doc_id, token,
+       MIN(idx) AS run_start,
+       COUNT(*) AS run_len
+FROM islands GROUP BY doc_id, token, grp
+"""
+
+
+@register("udtf_token_runs", oracle=UDTF_RUNS_ORACLE)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (PySpark 4 table function) lateral-joined against
+    the corpus: run-length encoding of consecutive repeated tokens.
+    The oracle is the declarative twin - the gaps-and-islands double
+    window - demonstrating the UDTF computes it in one imperative
+    map-side pass with no shuffle."""
+    from ..functions.udtfs import token_runs
+
+    return token_runs(spark, t(spark, sf_dir, "documents"))

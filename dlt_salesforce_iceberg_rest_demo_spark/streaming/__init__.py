@@ -4,6 +4,8 @@ from .incremental import (
     streaming_sessionize,
     incremental_merge_stream,
     stateful_user_totals,
+    dedup_within_watermark,
+    stream_stream_interval_join,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "streaming_sessionize",
     "incremental_merge_stream",
     "stateful_user_totals",
+    "dedup_within_watermark",
+    "stream_stream_interval_join",
 ]

@@ -186,3 +186,57 @@ def stateful_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint only
+    until the watermark passes it, so state size tracks the event rate
+    x watermark horizon instead of growing forever - the streaming
+    twin of the batch `dedup_exact` operator, and the I4 idempotence
+    guard (reference salesforce/helpers/records.py:90 strict-cursor +
+    merge-on-PK) expressed natively.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join on key + event-time interval: a right
+    event matches a left event at-or-after it within ``horizon``
+    (click-attribution shape, streaming twin of
+    `temporal.band_join`). Watermarks on both sides + the interval
+    condition let Spark expire join state once the watermark clears
+    the horizon - without them stream-stream state grows forever.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l.{user_col} = r.{user_col} AND
+            r.{ts_col} >= l.{ts_col} AND
+            r.{ts_col} <= l.{ts_col} + interval {horizon}
+            """
+        ),
+    ).select(
+        F.col(f"l.{user_col}").alias(user_col),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"l.event_id").alias("left_event_id"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        F.col(f"r.event_id").alias("right_event_id"),
+    )

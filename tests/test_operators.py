@@ -33,6 +33,11 @@ def emb(spark):
     return load_table(spark, SF_DIR, "embeddings")
 
 
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
 class TestDedup:
     def test_minhash_full_recall_on_planted_dups(self, spark, docs):
         """LSH banding (8 bands x 4 rows) must catch every planted
@@ -694,3 +699,94 @@ class TestSemanticDedup:
         assert [(r.vec_id, r.keep, r.dup_of) for r in a] == [
             (r.vec_id, r.keep, r.dup_of) for r in b
         ]
+
+
+class TestEwma:
+    def test_matches_reference_recursion(self, spark):
+        rows = [
+            Row(user_id=1, ts=i, value=float(v))
+            for i, v in enumerate([10.0, 20.0, 0.0, 5.0])
+        ] + [Row(user_id=2, ts=0, value=7.0)]
+        out = {
+            (r.user_id, r.ts): r.ewma
+            for r in temporal.ewma(
+                spark.createDataFrame(rows), "user_id", "ts", "value", alpha=0.5
+            ).collect()
+        }
+        # hand recursion, alpha=0.5: 10, 15, 7.5, 6.25
+        y, a = None, 0.5
+        for i, v in enumerate([10.0, 20.0, 0.0, 5.0]):
+            y = v if y is None else a * v + (1 - a) * y
+            assert out[(1, i)] == pytest.approx(y, abs=0)
+        assert out[(2, 0)] == 7.0
+
+    def test_row_count_preserved(self, spark, events):
+        n = events.count()
+        assert temporal.ewma(events).count() == n
+
+
+class TestProfiling:
+    def test_nulls_distinct_minmax(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.profiling import (
+            profile_table,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(a=1, b="x"),
+                Row(a=1, b=None),
+                Row(a=3, b="y"),
+            ]
+        )
+        prof = {r.column: r for r in profile_table(df).collect()}
+        assert prof["a"].n_rows == 3 and prof["a"].n_null == 0
+        assert prof["a"].n_distinct == 2
+        assert prof["a"].min_value == "1" and prof["a"].max_value == "3"
+        assert prof["b"].n_null == 1 and prof["b"].n_distinct == 2
+        assert prof["b"].min_value == "x" and prof["b"].max_value == "y"
+
+    def test_single_aggregation_pass(self, spark, events):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.profiling import (
+            profile_table,
+        )
+
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            profile_table(events, ["user_id", "event_type"]).explain("simple")
+        plan = buf.getvalue()
+        # one scan of the input, however many Expand/agg stages follow
+        assert plan.count("Scan parquet") == 1
+
+
+class TestTokenRunsUDTF:
+    def test_planted_runs(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.functions.udtfs import token_runs
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a a a b a"), Row(doc_id=2, text="x")]
+        )
+        rows = sorted(
+            token_runs(spark, docs).collect(),
+            key=lambda r: (r.doc_id, r.run_start),
+        )
+        assert [(r.doc_id, r.token, r.run_start, r.run_len) for r in rows] == [
+            (1, "a", 0, 3),
+            (1, "b", 3, 1),
+            (1, "a", 4, 1),
+            (2, "x", 0, 1),
+        ]
+
+    def test_total_lengths_reconstruct(self, spark, docs):
+        from dlt_salesforce_iceberg_rest_demo_spark.functions.udtfs import token_runs
+
+        runs = token_runs(spark, docs).groupBy("doc_id").agg(
+            F.sum("run_len").alias("n")
+        )
+        toks = docs.select(
+            "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n")
+        )
+        assert runs.join(toks, "doc_id").filter(
+            runs["n"] != toks["n"]
+        ).count() == 0

@@ -148,3 +148,74 @@ def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
     assert latest[1] == (3, 17.5)  # state carried: 2 events + 1 new
     assert latest[2] == (1, 1.0)   # untouched in batch 2
     assert latest[3] == (1, 7.0)   # new key
+
+
+def test_dedup_within_watermark_drops_repeats(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a repeated event_id arriving in a
+    later micro-batch (inside the horizon) is emitted only once."""
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import dedup_within_watermark
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    t0 = "2024-01-01 00:00:00"
+    t1 = "2024-01-01 00:02:00"
+    rows1 = [Row(event_id=1, ts=t0, v="a"), Row(event_id=2, ts=t1, v="b")]
+    spark.createDataFrame(rows1).withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(landing / "b1"))
+
+    schema = "event_id long, ts timestamp, v string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
+        .parquet(str(landing / "*"))
+    dedup = dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        dedup.writeStream.format("memory").queryName("wmdedup")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+
+    # duplicate id 1 (same horizon) + fresh id 3
+    rows2 = [Row(event_id=1, ts=t1, v="dup"), Row(event_id=3, ts=t1, v="c")]
+    spark.createDataFrame(rows2).withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(landing / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT event_id, v FROM wmdedup ORDER BY event_id").collect()
+    assert [r.event_id for r in out] == [1, 2, 3]
+    assert dict((r.event_id, r.v) for r in out)[1] == "a"  # first wins
+
+
+def test_stream_stream_interval_join_attributes_within_horizon(spark, tmp_path):
+    """Stream-stream interval join: right events match left events
+    at-or-after them within the horizon; outside-horizon pairs drop."""
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    left_dir = tmp_path / "l"
+    right_dir = tmp_path / "r"
+    left_dir.mkdir(); right_dir.mkdir()
+    mk = lambda eid, ts, u: Row(event_id=eid, ts=ts, user_id=u)
+    lrows = [mk(10, "2024-01-01 00:00:00", 1), mk(11, "2024-01-01 02:00:00", 2)]
+    rrows = [
+        mk(20, "2024-01-01 00:10:00", 1),   # in horizon of 10
+        mk(21, "2024-01-01 01:00:00", 1),   # outside 30-min horizon
+        mk(22, "2024-01-01 01:00:00", 2),   # BEFORE left 11 - no match
+    ]
+    schema = "event_id long, ts timestamp, user_id long"
+    for d, rows in ((left_dir, lrows), (right_dir, rrows)):
+        spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).select("event_id", "ts", "user_id").coalesce(1).write.parquet(str(d / "b1"))
+    l = spark.readStream.schema(schema).parquet(str(left_dir / "*"))
+    r = spark.readStream.schema(schema).parquet(str(right_dir / "*"))
+    joined = stream_stream_interval_join(l, r, horizon="30 minutes")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.left_event_id, r.right_event_id)
+           for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == {(10, 20)}
