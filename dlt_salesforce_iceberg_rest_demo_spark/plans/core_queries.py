@@ -1325,3 +1325,103 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     ).distinct()
+
+
+@register(
+    "stats_corr_regression",
+    oracle="""
+    WITH ints AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qi,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pi
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(qi) AS DOUBLE) AS sx,
+             CAST(SUM(pi) AS DOUBLE) AS sy,
+             CAST(SUM(qi * qi) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(pi AS HUGEINT) * pi) AS DOUBLE) AS syy,
+             CAST(SUM(qi * pi) AS DOUBLE) AS sxy
+      FROM ints GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (sxy - sx * sy / n) / n AS covar_pop_qty_cents,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope_cents,
+           (sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n
+             AS regr_intercept_cents
+    FROM m
+    """,
+)
+def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_pop / regression slope +
+    intercept) per return flag. Built from moment sums instead of the
+    engines' incremental corr/covar kernels (whose float accumulation
+    is order-dependent and engine-specific): the moments are computed
+    EXACTLY in integer space (quantity is integral; price has 2
+    decimals -> cents via floor(x*100+0.5), the near-integer rounding
+    both engines agree on), summed without rounding (decimal(38,0) /
+    HUGEINT), and only then converted to double - a single correctly
+    rounded integer conversion in both engines. The closed-form
+    arithmetic after that is the identical IEEE op sequence.
+
+    Decimal-SCALED sums (the dsum pattern) are NOT enough here:
+    casting an arbitrary double like price^2 to decimal rounds
+    HALF_UP in Java but to-nearest-even in C, and those per-row
+    divergences accumulate. Exact integers sidestep rounding
+    entirely. Single-pass partial aggregation, same shape as the
+    native kernels at any scale."""
+    l = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5)
+    m = l.select("l_returnflag", x.alias("qi"), y.alias("pi")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("qi").cast("double").alias("sx"),
+        F.sum("pi").cast("double").alias("sy"),
+        F.sum(F.col("qi") * F.col("qi")).cast("double").alias("sxx"),
+        F.sum(F.col("pi").cast("decimal(38,0)") * F.col("pi")).cast("double").alias("syy"),
+        F.sum(F.col("qi") * F.col("pi")).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+         ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / n).alias("covar_pop_qty_cents"),
+        slope.alias("regr_slope_cents"),
+        ((sy - sx * slope) / n).alias("regr_intercept_cents"),
+    )
+
+
+@register(
+    "generator_posexplode_tokens",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk
+      FROM documents WHERE doc_id < 100),
+    ex AS (
+      SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+      FROM tk WHERE doc_id % 50 <> 0)
+    SELECT doc_id, i - 1 AS pos, tk[i] AS token FROM ex
+    UNION ALL
+    SELECT doc_id, NULL, NULL FROM tk WHERE doc_id % 50 = 0
+    """,
+)
+def generator_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function surface: posexplode_outer over a token array
+    that is NULLed for every 50th doc - outer semantics keep those
+    docs as a single (NULL, NULL) row where plain posexplode would drop
+    them. Map-side expansion, no shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    arr = F.when(
+        F.col("doc_id") % 50 != 0, F.split(F.lower("text"), " ")
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer(arr).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): algebraic invariants that must
+hold for ARBITRARY inputs, not just the fixtures - the reference's
+test strategy has nothing like this (SURVEY §5: its checks are row
+counts and head samples); these pin the operator contracts.
+
+Each property keeps max_examples small: every example pays a Spark
+job, so the value is in the generator's edge cases (empty strings,
+negative values, duplicate keys, zero vectors), not in volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dlt_salesforce_iceberg_rest_demo_spark.functions.skew import salted_join
+from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity, temporal
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64)
+
+
+class TestSaltedJoinProperty:
+    @SETTINGS
+    @given(
+        left=st.lists(st.tuples(keys, vals), min_size=0, max_size=30),
+        right=st.lists(st.tuples(keys, vals), min_size=0, max_size=10),
+    )
+    def test_salted_equals_plain_inner_join(self, spark, left, right):
+        """Salting must be invisible: same multiset of matched pairs as
+        the plain inner join, for any key skew including empty sides
+        and keys present on only one side."""
+        l = spark.createDataFrame(
+            [Row(k=k, lv=v) for k, v in left], "k long, lv double"
+        )
+        r = spark.createDataFrame(
+            [Row(k=k, rv=v) for k, v in right], "k long, rv double"
+        )
+        plain = sorted(
+            (x.k, x.lv, x.rv) for x in l.join(r, "k").collect()
+        )
+        salted = sorted(
+            (x.k, x.lv, x.rv)
+            for x in salted_join(l, r, "k", salt=4).select("k", "lv", "rv").collect()
+        )
+        assert salted == plain
+
+
+class TestQuantizeProperty:
+    @SETTINGS
+    @given(
+        vec=st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_roundtrip_error_within_half_step(self, spark, vec):
+        """For any vector, dequantized values sit within scale/2 of the
+        original and codes stay in [-127, 127]."""
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[float(x) for x in vec])]
+        )
+        r = similarity.quantize_int8(df).collect()[0]
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        if r.dequant_scale == 0.0:
+            assert all(q == 0 for q in r.qvec)
+        else:
+            for orig, q in zip(vec, r.qvec):
+                assert abs(float(orig) - q * r.dequant_scale) <= r.dequant_scale / 2 + 1e-9
+
+
+class TestEwmaProperty:
+    @SETTINGS
+    @given(series=st.lists(vals, min_size=1, max_size=12))
+    def test_ewma_stays_within_running_envelope(self, spark, series):
+        """EWMA is a convex combination of the values seen so far, so
+        every output lies within [min, max] of the prefix."""
+        rows = [Row(user_id=1, ts=i, value=float(v)) for i, v in enumerate(series)]
+        out = sorted(
+            temporal.ewma(
+                spark.createDataFrame(rows), "user_id", "ts", "value", alpha=0.4
+            ).collect(),
+            key=lambda r: r.ts,
+        )
+        lo, hi = float("inf"), float("-inf")
+        for i, r in enumerate(out):
+            lo = min(lo, series[i])
+            hi = max(hi, series[i])
+            assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+
+
+class TestSessionizeProperty:
+    @SETTINGS
+    @given(
+        gaps=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=15)
+    )
+    def test_sessions_partition_events_and_respect_gap(self, spark, gaps):
+        """Sessionization is a partition of the input: event count is
+        preserved, and consecutive events in one session are <= the
+        gap apart while session boundaries exceed it."""
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        ts, acc = [], 0
+        for g in gaps:
+            acc += g
+            ts.append(t0 + datetime.timedelta(minutes=acc))
+        rows = [
+            Row(user_id=1, ts=x, value=1.0, event_id=i) for i, x in enumerate(ts)
+        ]
+        out = temporal.sessionize(
+            spark.createDataFrame(rows), gap_minutes=30
+        ).collect()
+        assert len(out) == len(rows)
+        by_ts = sorted(out, key=lambda r: r.ts)
+        for prev, cur in zip(by_ts, by_ts[1:]):
+            delta = (cur.ts - prev.ts).total_seconds() / 60
+            if cur.session_idx == prev.session_idx:
+                assert delta <= 30
+            else:
+                assert delta > 30
