@@ -89,3 +89,66 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+@contextlib.contextmanager
+def _confs(spark, **kv):
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+class TestAdaptiveExecution:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """With skew thresholds forced low, AQE must mark the hot
+        partition of a sort-merge join as skew=true in the final
+        adaptive plan - the runtime answer to stragglers that salting
+        solves statically."""
+        left = spark.createDataFrame(
+            [Row(k=1 if i % 20 else i, pad="x" * 200, v=i) for i in range(20000)]
+        )
+        right = spark.createDataFrame([Row(k=i, w=i) for i in range(200)])
+        with _confs(
+            spark,
+            **{
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+            },
+        ):
+            df = left.join(right, "k")
+            df.collect()  # materialize so AQE finalizes the plan
+            plan = plan_of(df)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+
+    def test_dynamic_partition_pruning(self, spark, tmp_path):
+        """A selective dim filter must prune fact PARTITIONS at runtime
+        (dynamicpruningexpression in the fact scan) - the mechanism
+        that makes dim-filtered fact queries read a sliver of 100 TB."""
+        fact = spark.createDataFrame(
+            [Row(k=i % 10, v=i) for i in range(1000)]
+        )
+        fact.write.partitionBy("k").parquet(str(tmp_path / "fact"))
+        dim = spark.createDataFrame(
+            [Row(k=i, attr="keep" if i < 2 else "drop") for i in range(10)]
+        )
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        j = f.join(dim.filter(F.col("attr") == "keep"), "k")
+        plan = plan_of(j, "formatted")
+        assert "dynamicpruning" in plan.lower(), plan
+        # and the result only touches the surviving partitions
+        assert j.select(F.count_distinct("k")).collect()[0][0] == 2
