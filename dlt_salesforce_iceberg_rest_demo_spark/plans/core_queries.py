@@ -1425,3 +1425,40 @@ def generator_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode_outer(arr).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@register(
+    "scalar_json_functions2",
+    oracle="""
+    WITH j AS (
+      SELECT c_custkey,
+             CAST(to_json(struct_pack(id := c_custkey, seg := c_mktsegment))
+                  AS VARCHAR) AS doc
+      FROM customer)
+    SELECT c_custkey, doc,
+           json_extract_string(doc, '$.seg') AS seg_extracted,
+           CAST(json_extract(doc, '$.id') AS BIGINT) AS id_parsed,
+           json_valid(doc) AS is_valid
+    FROM j
+    """,
+)
+def scalar_json_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function tranche 2: serialize (to_json over a struct),
+    path-extract (get_json_object), schema'd re-parse (from_json), and
+    validity probe. Round-trips a struct through its JSON string form -
+    all JVM-side expressions, map-only."""
+    c = t(spark, sf_dir, "customer")
+    doc = F.to_json(
+        F.struct(F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("seg"))
+    )
+    parsed = F.from_json(F.col("doc"), "id BIGINT, seg STRING")
+    return (
+        c.select("c_custkey", doc.alias("doc"))
+        .select(
+            "c_custkey",
+            "doc",
+            F.get_json_object("doc", "$.seg").alias("seg_extracted"),
+            parsed.getField("id").alias("id_parsed"),
+            F.get_json_object("doc", "$.id").isNotNull().alias("is_valid"),
+        )
+    )
