@@ -1462,3 +1462,84 @@ def scalar_json_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("doc", "$.id").isNotNull().alias("is_valid"),
         )
     )
+
+
+@register(
+    "scalar_higher_order_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS sumsq,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_first
+    FROM embeddings
+    """,
+)
+def scalar_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: filter /
+    exists / transform+aggregate (sum-of-squares fold, left-to-right in
+    both engines so the doubles agree exactly) / array_sort. These are
+    interpreted (no codegen) - fine for scalar use; hot loops get the
+    Arrow/pandas tier instead (see operators/similarity.py lessons)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(v, lambda x: x < 0).alias("has_neg"),
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ).alias("sumsq"),
+        F.element_at(F.array_sort(v), 1).cast("double").alias("sorted_first"),
+    )
+
+
+@register(
+    "percentile_disc_order_prices",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           MAX(n) AS n_orders,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50_disc,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p90_disc
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def percentile_disc_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (p50/p90 of order price per
+    priority): the value at rank ceil(q*n) under a deterministic total
+    order - no float interpolation, so the result is an actual data
+    value both engines agree on exactly (the approximate twin is
+    approx_distinct_and_quantiles). One shuffle on the group key; the
+    rank formula is written out identically in both engines rather
+    than trusting percentile_disc tie-break conventions."""
+    o = t(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    at = lambda q: F.max(
+        F.when(
+            F.col("rn") == F.ceil(q * F.col("n")).cast("long"),
+            F.col("o_totalprice"),
+        )
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        at(0.5).alias("p50_disc"),
+        at(0.9).alias("p90_disc"),
+    )
