@@ -312,3 +312,47 @@ def contamination(
             ).alias("contamination"),
         )
     )
+
+
+def rare_token_fraction(
+    docs: DataFrame, text_col: str = "text", max_df: int = 2
+) -> DataFrame:
+    """Quality signal: per document, the fraction of its DISTINCT
+    tokens that are corpus-rare (document frequency <= ``max_df``).
+    High rare-token fractions flag OCR garbage, boilerplate mangling,
+    or wrong-language content - a standard pretraining quality filter
+    alongside `quality_score` (integer counts only, so the oracle is
+    exact).
+
+    Plan shape: one distinct (doc, token) explode, a token DF
+    aggregate (vocabulary-sized, shuffles (token, count) partials),
+    broadcast of the rare-token set back onto the per-doc pass. At
+    100 TB the DF table is vocabulary-bounded, orders of magnitude
+    smaller than the corpus.
+    """
+    dt = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tk"))
+    )
+    rare = (
+        dt.groupBy("tk")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("tk", F.lit(1).alias("is_rare"))
+    )
+    return (
+        dt.join(F.broadcast(rare), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.count("is_rare").alias("n_rare_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_tokens",
+            "n_rare_tokens",
+            (
+                F.col("n_rare_tokens").cast("double")
+                / F.col("n_distinct_tokens")
+            ).alias("rare_fraction"),
+        )
+    )

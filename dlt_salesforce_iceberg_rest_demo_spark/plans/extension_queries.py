@@ -1143,3 +1143,44 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtfs import token_runs
 
     return token_runs(spark, t(spark, sf_dir, "documents"))
+
+
+RARE_TOKEN_ORACLE = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+  FROM documents),
+rare AS (
+  SELECT tk FROM dt GROUP BY tk HAVING COUNT(*) <= 2)
+SELECT dt.doc_id,
+       COUNT(*) AS n_distinct_tokens,
+       CAST(SUM(CASE WHEN rare.tk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare_tokens,
+       CAST(SUM(CASE WHEN rare.tk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS rare_fraction
+FROM dt LEFT JOIN rare ON dt.tk = rare.tk
+GROUP BY dt.doc_id
+"""
+
+
+@register("text_rare_token_fraction", oracle=RARE_TOKEN_ORACLE)
+def text_rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-rare-token quality signal: fraction of each doc's
+    distinct tokens with document frequency <= 2. The rare-token set
+    is vocabulary-bounded and broadcast - the corpus side never
+    shuffles its payload."""
+    return text.rare_token_fraction(t(spark, sf_dir, "documents"), max_df=2)
+
+
+@register("approx_heavy_hitters_users")
+def approx_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries top-10 heaviest users by event count: per-partition
+    bounded-state summaries (capacity 64), merged in one tiny reduce -
+    the top-k shape that avoids shuffling a billion-key histogram at
+    100 TB. Rows-only gate (the sketch's intermediate state is not
+    SQL); pytest asserts the MG guarantees (all true heavy hitters
+    present, estimates within n/capacity of truth) against exact
+    counts."""
+    from ..operators.sketches import heavy_hitters
+
+    ev = t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", capacity=64, k=10)

@@ -790,3 +790,55 @@ class TestTokenRunsUDTF:
         assert runs.join(toks, "doc_id").filter(
             runs["n"] != toks["n"]
         ).count() == 0
+
+
+class TestHeavyHitters:
+    def test_mg_guarantees_on_skewed_data(self, spark):
+        """Every key with true count > n/capacity must appear, with
+        estimate in [c - n/capacity, c]."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.sketches import (
+            heavy_hitters,
+        )
+
+        # zipf-ish: key 0 x 5000, key 1 x 2000, key 2 x 1000, tail unique
+        rows = (
+            [Row(k=0)] * 5000 + [Row(k=1)] * 2000 + [Row(k=2)] * 1000
+            + [Row(k=100 + i) for i in range(2000)]
+        )
+        df = spark.createDataFrame(rows).repartition(8)
+        n = len(rows)
+        cap = 64
+        out = {r.key: r for r in heavy_hitters(df, "k", capacity=cap, k=10).collect()}
+        truth = {0: 5000, 1: 2000, 2: 1000}
+        for key, c in truth.items():
+            assert c > n / cap  # premise: they are true heavy hitters
+            assert key in out, f"heavy hitter {key} missing"
+            assert c - n / cap <= out[key].est <= c
+        assert out[0].max_underestimate == pytest.approx(n / cap)
+
+    def test_exact_when_capacity_exceeds_cardinality(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.sketches import (
+            heavy_hitters,
+        )
+
+        rows = [Row(k=i % 5) for i in range(500)]
+        out = heavy_hitters(
+            spark.createDataFrame(rows).repartition(4), "k", capacity=64, k=5
+        ).collect()
+        assert {r.key: r.est for r in out} == {i: 100 for i in range(5)}
+
+
+class TestRareTokenFraction:
+    def test_planted_rare_and_common(self, spark):
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="common zzzq common"),
+                Row(doc_id=2, text="common common"),
+                Row(doc_id=3, text="common"),
+            ]
+        )
+        out = {r.doc_id: r for r in text.rare_token_fraction(docs, max_df=1).collect()}
+        # 'common' appears in 3 docs (df=3, not rare); 'zzzq' df=1 (rare)
+        assert out[1].n_distinct_tokens == 2 and out[1].n_rare_tokens == 1
+        assert out[1].rare_fraction == pytest.approx(0.5)
+        assert out[2].n_rare_tokens == 0 and out[3].n_rare_tokens == 0
