@@ -1543,3 +1543,99 @@ def percentile_disc_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.5).alias("p50_disc"),
         at(0.9).alias("p90_disc"),
     )
+
+
+@register(
+    "join_null_safe_equality",
+    oracle="""
+    WITH c AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer WHERE c_custkey < 200),
+         s AS (SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer)
+    SELECT c.c_custkey, c.seg
+    FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+    """,
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of dropping - the semantics merge keys
+    with optional columns need. BUILDING is NULLed on both sides so
+    the null-match path is actually exercised."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"))
+    )
+    s = (
+        t(spark, sf_dir, "customer")
+        .select(F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"))
+        .distinct()
+        .select(F.col("seg").alias("s_seg"))
+    )
+    return (
+        c.join(F.broadcast(s), c["seg"].eqNullSafe(s["s_seg"]))
+        .select("c_custkey", "seg")
+    )
+
+
+@register(
+    "fuzzy_levenshtein_part_names",
+    oracle="""
+    WITH a AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 30),
+         b AS (SELECT p_partkey, p_name FROM part)
+    SELECT a.p_partkey,
+           MIN(CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)) AS nearest_dist
+    FROM a JOIN b ON a.p_partkey <> b.p_partkey
+    GROUP BY a.p_partkey
+    """,
+)
+def fuzzy_levenshtein_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: for each probe part, the distance
+    to its nearest other part name (levenshtein agrees exactly between
+    engines - integer DP). The probe side is tiny and broadcast; at
+    scale the probe x corpus product is bounded by blocking (length
+    bands / first-char buckets) exactly like the LSH banding used for
+    near-dup."""
+    a = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 30)
+        .select(F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"))
+    )
+    b = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name")
+    )
+    return (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("a_key") != F.col("b_key"))
+        .groupBy(F.col("a_key").alias("p_partkey"))
+        .agg(
+            F.min(F.levenshtein("a_name", "b_name")).cast("long").alias("nearest_dist")
+        )
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL FILTER-clause conditional aggregation (ANSI syntax, same
+    text in both engines) - the declarative twin of the CASE WHEN
+    aggregates used elsewhere; Catalyst compiles both to the same
+    partial/final aggregate."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q_filter_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+        FROM q_filter_orders GROUP BY o_orderstatus
+        """
+    )

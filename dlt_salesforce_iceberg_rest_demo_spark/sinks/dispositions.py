@@ -195,9 +195,18 @@ class ParquetLake:
     # -- W1/W2/W3 dispositions ----------------------------------------------
 
     def append(self, df: DataFrame, table: str) -> WriteReport:
-        """W1: new snapshot = old manifest + one new data dir."""
+        """W1: new snapshot = old manifest + one new data dir.
+
+        An empty batch is a no-op: no data dir, no commit. dlt never
+        invokes the destination for a zero-item batch, so an idle
+        incremental poll (cursor advanced past all rows) must not grow
+        the snapshot chain - at scale that is one spurious manifest per
+        table per tick."""
         df = self._prepare(table, df)
         name, rows = self._new_data_dir(table, df)
+        if rows == 0:
+            shutil.rmtree(self.root / table / name, ignore_errors=True)
+            return WriteReport(table, "append", 0)
         self._commit(table, self._current_manifest(table) + [name])
         return WriteReport(table, "append", rows)
 

@@ -53,6 +53,21 @@ class TestCreateAndAppend:
         lake.append(df_of(spark, [Row(id=2, v="b")]), "t")
         assert lake.count("t") == 2
 
+    def test_empty_append_does_not_commit(self, spark, tmp_path):
+        """Idle incremental poll (0 rows) must not grow the snapshot
+        chain: no new manifest, no new data dir, pointer unchanged.
+        This is the no-PK-merge/append analog of the merge empty-batch
+        guard - dlt never invokes the destination for an empty batch."""
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        before = sorted(p.name for p in (tmp_path / "lake" / "t").iterdir())
+        empty = df_of(spark, [Row(id=1, v="a")]).filter("id < 0")
+        rep = lake.append(empty, "t")
+        assert rep.rows_written == 0
+        after = sorted(p.name for p in (tmp_path / "lake" / "t").iterdir())
+        assert before == after
+        assert lake.count("t") == 1
+
     def test_append_aligns_schema(self, spark, tmp_path):
         lake = make_lake(spark, tmp_path)
         lake.append(df_of(spark, [Row(id=1, v="a")]), "t")

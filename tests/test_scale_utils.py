@@ -152,3 +152,21 @@ class TestAdaptiveExecution:
         assert "dynamicpruning" in plan.lower(), plan
         # and the result only touches the surviving partitions
         assert j.select(F.count_distinct("k")).collect()[0][0] == 2
+
+
+class TestWriteHygiene:
+    def test_max_records_per_file_bounds_file_sizes(self, spark, tmp_path):
+        """Lake writes must be able to bound file sizes: with
+        maxRecordsPerFile set, no output file exceeds the cap (the
+        knob that prevents giant files from a skewed final partition
+        at 100 TB; the complementary small-file fix is the
+        coalesce/repartition before write used by the dispositions)."""
+        df = load_table(spark, SF_DIR, "orders")
+        n = df.count()
+        out = tmp_path / "sized"
+        df.coalesce(1).write.option("maxRecordsPerFile", 200).parquet(str(out))
+        files = [p for p in out.glob("*.parquet")]
+        assert len(files) >= n // 200  # split despite 1 input partition
+        for p in files:
+            cnt = spark.read.parquet(str(p)).count()
+            assert cnt <= 200
