@@ -183,3 +183,39 @@ class TestTpchPlans:
         assert "LeftAnti" in plan
         # the orders side of the anti join is date-filtered at the scan
         assert "GreaterThanOrEqual(o_orderdate" in plan
+
+    def test_q4_exists_is_semi_join_with_pushed_window(self, spark):
+        plan = plan_of(REGISTRY["tpch_q4_order_priority"].spark(spark, SF_DIR))
+        # EXISTS decorrelates to a semi join; each order counted once
+        assert "LeftSemi" in plan
+        # the orders year window reaches the parquet scan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+        assert "LessThan(o_orderdate" in plan
+
+    def test_q5_dims_broadcast_single_fact_shuffle(self, spark):
+        plan = plan_of(REGISTRY["tpch_q5_local_supplier_volume"].spark(spark, SF_DIR))
+        # customer, supplier, nation, region all broadcast
+        assert plan.count("BroadcastHashJoin") >= 4
+
+    def test_q6_pure_scan_agg_no_row_shuffle(self, spark):
+        plan = plan_of(REGISTRY["tpch_q6_forecast_revenue"].spark(spark, SF_DIR))
+        # all three predicates pushed to the lineitem scan
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+        assert "LessThan(l_quantity,24.0)" in plan
+        # only the one-row partials move: a single partial->final exchange
+        simple = plan_of(
+            REGISTRY["tpch_q6_forecast_revenue"].spark(spark, SF_DIR), "simple"
+        )
+        assert simple.count("Exchange") <= 1
+
+    def test_q13_outer_join_preserved(self, spark):
+        plan = plan_of(REGISTRY["tpch_q13_customer_distribution"].spark(spark, SF_DIR))
+        # the zero-order bucket requires the outer join to survive planning
+        assert "LeftOuter" in plan or "RightOuter" in plan
+
+    def test_q16_part_predicates_pushed(self, spark):
+        plan = plan_of(REGISTRY["tpch_q16_supplier_part_counts"].spark(spark, SF_DIR))
+        # the IN-list prunes the part scan before the broadcast build
+        assert "In(p_size" in plan
+        assert "Not(EqualTo(p_brand,Brand#19))" in plan
