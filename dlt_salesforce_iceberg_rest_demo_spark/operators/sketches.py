@@ -98,3 +98,66 @@ def heavy_hitters(
         .limit(k)
         .select("key", "est", (F.col("n") / capacity).alias("max_underestimate"))
     )
+
+
+def count_min_table(df: DataFrame, col: str, depth: int = 4, width: int = 64) -> DataFrame:
+    """Build a count-min sketch as a plain ``(i, bucket, cnt)`` DataFrame:
+    ``depth`` md5-derived hash rows x ``width`` buckets.
+
+    Unlike Spark's builtin ``count_min_sketch`` aggregate (an opaque
+    binary blob with no SQL point-query), the sketch HERE is a
+    first-class table: mergeable by unioning and re-summing (the 100 TB
+    story - per-day sketches roll up into monthly ones without
+    re-reading the raw data), queryable with a join, and reproducible
+    in any engine that has md5 (the DuckDB oracle rebuilds it
+    bit-for-bit, so estimates hash-match exactly).
+
+    Plan shape: a ``depth``-way map-side expand, then partial aggregation
+    into at most ``depth * width`` cells - reduce fan-in is sketch-sized,
+    independent of row count.
+    """
+    keyed = df.select(F.col(col).cast("string").alias("k"))
+    expanded = keyed.select(
+        "k", F.explode(F.array([F.lit(i) for i in range(depth)])).alias("i")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", "k", F.col("i").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return expanded.groupBy("i", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame, keys: DataFrame, col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-estimate ``cnt`` for every key in ``keys[col]`` against a
+    :func:`count_min_table` sketch: min over the ``depth`` cells the key
+    hashes into. Classic CM guarantee: estimate >= true count always
+    (collisions only ever inflate), excess ~ n/width per hash row.
+
+    The sketch is at most ``depth * width`` rows, so it is broadcast and
+    the lookup is a map-side join - no shuffle of the key set.
+    """
+    k = keys.select(F.col(col)).distinct().withColumn("k", F.col(col).cast("string"))
+    probes = k.select(
+        col, "k", F.explode(F.array([F.lit(i) for i in range(depth)])).alias("i")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", "k", F.col("i").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est"))
+    )

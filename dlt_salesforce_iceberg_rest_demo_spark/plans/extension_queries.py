@@ -1184,3 +1184,107 @@ def approx_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", capacity=64, k=10)
+
+
+@register(
+    "sketch_count_min_users",
+    oracle="""
+    WITH ds AS (SELECT unnest(generate_series(0, 3)) AS i),
+    exp AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, i FROM events CROSS JOIN ds),
+    sk AS (
+      SELECT i,
+             CAST(('0x' || substring(md5(k || '#' || CAST(i AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM exp GROUP BY 1, 2),
+    dk AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k FROM events),
+    probes AS (
+      SELECT user_id, i,
+             CAST(('0x' || substring(md5(k || '#' || CAST(i AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 64 AS bucket
+      FROM dk CROSS JOIN ds)
+    SELECT p.user_id, CAST(MIN(s.cnt) AS BIGINT) AS est
+    FROM probes p JOIN sk s ON p.i = s.i AND p.bucket = s.bucket
+    GROUP BY p.user_id
+    """,
+)
+def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: build a 4x64 md5-bucket
+    sketch table over event user_ids, then point-estimate every
+    distinct user's event count from the sketch alone.
+
+    The sketch is a first-class mergeable TABLE (union + re-sum rolls
+    daily sketches into monthly), and because buckets are md5-derived
+    - not engine-private hashes - DuckDB rebuilds the identical sketch
+    and the estimates hash-match exactly. Estimates never
+    underestimate; tests/test_approx.py pins est >= exact and the
+    mean-excess bound. Reduce fan-in is depth*width cells regardless
+    of corpus size; the lookup joins against a broadcast sketch.
+    """
+    from ..operators.sketches import count_min_lookup, count_min_table
+
+    ev = t(spark, sf_dir, "events")
+    sketch = count_min_table(ev, "user_id", depth=4, width=64)
+    return count_min_lookup(sketch, ev, "user_id", depth=4, width=64)
+
+
+@register("sketch_hll_distinct_users")
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL per event_type: a MERGEABLE distinct-
+    count summary - per-type sketches union into the global sketch
+    without touching raw rows again, the re-aggregation property
+    approx_count_distinct (HLL++) lacks a SQL surface for.
+
+    At 100 TB this is the distinct-users story: sketch once per
+    partition/day (bounded bytes per group), union forever after.
+    Rows-only at the driver (sketch binaries are engine-internal);
+    tests/test_approx.py pins each estimate within 5% of the exact
+    count and asserts union-of-group-sketches == whole-table sketch.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("est_distinct_users"),
+    ).orderBy("event_type")
+
+
+@register(
+    "sample_topk_per_key",
+    oracle="""
+    SELECT event_id, user_id FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events) x
+    WHERE rn <= 3
+    """,
+)
+def sample_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key sampling: exactly min(3, n) events per
+    user, chosen by md5(event_id) order - a reservoir-sample stand-in
+    that is reproducible across engines, runs, and cluster sizes
+    (df.sample's partition-seeded RNG is none of those).
+
+    Spark plans the rank-filter as WindowGroupLimit: each partition
+    keeps only its top-3 per key BEFORE the shuffle, so the full
+    event payload never moves - only per-key survivors. The md5 sort
+    key is uniform, so the sample is unbiased per key.
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id")
+    )

@@ -57,3 +57,71 @@ def test_sample_fraction_and_determinism(spark):
     assert sorted(r.event_id for r in df1.collect()) == sorted(
         r.event_id for r in df2.collect()
     )
+
+
+def test_count_min_never_underestimates_and_excess_bounded(spark):
+    est = {
+        r.user_id: r.est
+        for r in REGISTRY["sketch_count_min_users"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.user_id: r.c
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+    assert set(est) == set(exact)
+    excesses = []
+    for uid, c in exact.items():
+        assert est[uid] >= c, f"CM underestimated user {uid}"
+        excesses.append(est[uid] - c)
+    # expected excess per hash row is ~n/width (=64); min over depth=4
+    # rows keeps the mean well under that - allow 2x headroom
+    assert sum(excesses) / len(excesses) <= 2 * n / 64
+
+
+def test_hll_sketch_within_5pct_and_mergeable(spark):
+    est = {
+        r.event_type: r.est_distinct_users
+        for r in REGISTRY["sketch_hll_distinct_users"].spark(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.exact
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, m in exact.items():
+        assert abs(est[et] - m) / m < 0.05, (et, est[et], m)
+    # mergeability: union of per-type sketches == one whole-table sketch
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert merged == direct
+
+
+def test_sample_topk_per_key_exact_sizes(spark):
+    out = REGISTRY["sample_topk_per_key"].spark(spark, SF_DIR)
+    sizes = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(sizes) == set(totals)
+    for uid, n in totals.items():
+        assert sizes[uid] == min(3, n)

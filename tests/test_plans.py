@@ -89,6 +89,14 @@ class TestShuffleShape:
         # top-k (WindowGroupLimit): only 3 rows/group/partition shuffle
         assert "WindowGroupLimit" in plan
 
+    def test_sample_topk_per_key_group_limit_and_cm_fanin(self, spark):
+        plan = plan_of(REGISTRY["sample_topk_per_key"].spark(spark, SF_DIR), "simple")
+        # per-key sample keeps only 3 rows/key/partition pre-shuffle
+        assert "WindowGroupLimit" in plan
+        cm = plan_of(REGISTRY["sketch_count_min_users"].spark(spark, SF_DIR), "simple")
+        # the sketch side is broadcast into the lookup join
+        assert "BroadcastHashJoin" in cm
+
     def test_sessionize_reuses_one_shuffle(self, spark):
         plan = plan_of(REGISTRY["sessionize_events"].spark(spark, SF_DIR), "simple")
         # both window passes + final agg ride partitioning on user_id:
