@@ -356,3 +356,84 @@ def rare_token_fraction(
             ).alias("rare_fraction"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-capacity token bins
+    (training batches) so that each bin's token total stays <=
+    ``max_tokens`` with high fill - the transform that turns a deduped
+    corpus into dense training sequences instead of one padded
+    sequence per short document.
+
+    Distributed shape: docs hash-repartition by id into
+    ``num_partitions`` independent packing domains; within each, a
+    first-fit-decreasing greedy (sort by token count desc, place into
+    the first open bin with room) runs in one arrow-batched
+    mapInPandas pass - no shuffle after the repartition, no global
+    coordination, bins are partition-local by construction. FFD is a
+    11/9-OPT+1 approximation, and cross-partition packing loss is at
+    most one underfull bin per partition - negligible when partitions
+    hold thousands of docs. Bin ids are globally unique:
+    ``partition_id * 2^32 + local_bin``. Docs longer than
+    ``max_tokens`` are truncated to capacity (chunk first with
+    :func:`chunk_documents` when that matters).
+
+    Determinism: hash partitioning fixes each doc's domain; the
+    in-partition sort key (n_tokens desc, doc_id) fixes placement
+    order - same input, same bins, on any cluster size with the same
+    ``num_partitions``.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.least(F.size(tokens(text_col)).cast("long"), F.lit(max_tokens)).alias(
+            "n_tokens"
+        ),
+    ).repartition(num_partitions, "doc_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+        ]
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        chunks = list(batches)
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_space: list[int] = []  # remaining capacity per open bin
+        assignment = []
+        for n in rows["n_tokens"]:
+            placed = None
+            for b, space in enumerate(bin_space):
+                if space >= n:
+                    placed = b
+                    bin_space[b] = space - n
+                    break
+            if placed is None:
+                bin_space.append(max_tokens - n)
+                placed = len(bin_space) - 1
+            assignment.append(pid * (1 << 32) + placed)
+        rows["bin_id"] = assignment
+        yield rows[["doc_id", "n_tokens", "bin_id"]]
+
+    return sized.mapInPandas(pack, out_schema)

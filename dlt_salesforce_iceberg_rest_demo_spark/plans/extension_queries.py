@@ -1288,3 +1288,120 @@ def sample_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("event_id", "user_id")
     )
+
+
+@register("text_pack_sequences")
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing summary: documents greedily packed into
+    128-token bins (FFD per hash partition, globally unique bin ids),
+    reported as per-bin fill statistics. Rows-only at the driver (bin
+    assignment is an argmin over mutable packing state, not
+    SQL-expressible); tests/test_operators.py pins the invariants:
+    every doc assigned exactly once, every bin <= capacity,
+    deterministic assignment across runs."""
+    docs = t(spark, sf_dir, "documents")
+    packed = text.pack_sequences(docs, max_tokens=128, num_partitions=8)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# Mirrors text_quality_score's oracle EXACTLY (same sub-expression
+# association order) - 0.3 * uniq_ratio with uniq_ratio a named column,
+# NOT 0.3 * num / den, which associates differently and drifts a ulp.
+_QUALITY_CTE = """
+    WITH qs AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS uniq_ratio,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS avg_len
+      FROM documents)
+    SELECT doc_id,
+           0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * uniq_ratio AS quality
+    FROM qs
+"""
+
+
+@register(
+    "corpus_sample_quality_weighted",
+    oracle=f"""
+    WITH q AS ({_QUALITY_CTE})
+    SELECT doc_id, quality FROM q
+    WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) AS DOUBLE) / 4294967296.0 < quality
+    """,
+)
+def corpus_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each document with
+    probability equal to its quality score - the pretraining-mix move
+    that upsamples clean text without a global sort or any RNG state.
+
+    The uniform draw is md5(doc_id)/2^32: engine-independent,
+    reproducible across runs and cluster sizes, and independent of the
+    quality signal (md5 of the id, not the text). Pure map-side
+    filter - no shuffle, linear scan, trivially parallel at 100 TB.
+    """
+    docs = t(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+    return q.filter(u < F.col("quality"))
+
+
+@register(
+    "dedup_keep_best_representative",
+    oracle=f"""
+    WITH q AS ({_QUALITY_CTE})
+    SELECT keep_id, quality, n_copies FROM (
+      SELECT d.doc_id AS keep_id, q.quality,
+             CAST(COUNT(*) OVER (PARTITION BY d.text) AS BIGINT) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY d.text
+                                ORDER BY q.quality DESC, d.doc_id) AS rn
+      FROM documents d JOIN q ON d.doc_id = q.doc_id) x
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with QUALITY-aware canonical selection: per
+    duplicate group keep the highest-quality copy (tie: lowest id) -
+    the production policy, vs the min-id baseline of
+    ``dedup_exact_documents``.
+
+    Spark-first shape: a single groupBy(text) with max(struct(quality,
+    -doc_id)) - an ordinary partial-aggregatable MAX, so the argmax
+    rides map-side combine and only (text-hash, 16-byte struct)
+    partials shuffle. No window, no per-group sort: at 100 TB the
+    window formulation (the oracle's) would sort every group; the
+    struct-max doesn't.
+    """
+    docs = t(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    joined = docs.select("doc_id", "text").join(q, "doc_id")
+    best = (
+        joined.groupBy("text")
+        .agg(
+            F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))).alias(
+                "best"
+            ),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            (-F.col("best.neg_id")).alias("keep_id"),
+            F.col("best.quality").alias("quality"),
+            "n_copies",
+        )
+    )
+    return best

@@ -842,3 +842,55 @@ class TestRareTokenFraction:
         assert out[1].n_distinct_tokens == 2 and out[1].n_rare_tokens == 1
         assert out[1].rare_fraction == pytest.approx(0.5)
         assert out[2].n_rare_tokens == 0 and out[3].n_rare_tokens == 0
+
+
+class TestPackSequences:
+    def _packed(self, spark, max_tokens=10, num_partitions=2):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as text_ops
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in enumerate(
+                [3, 7, 2, 9, 5, 5, 1, 4, 8, 6], start=1
+            )],
+            ["doc_id", "text"],
+        )
+        return text_ops.pack_sequences(
+            docs, max_tokens=max_tokens, num_partitions=num_partitions
+        )
+
+    def test_every_doc_assigned_once_and_bins_fit(self, spark):
+        rows = self._packed(spark).collect()
+        assert sorted(r.doc_id for r in rows) == list(range(1, 11))
+        fills: dict = {}
+        for r in rows:
+            fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+        assert all(v <= 10 for v in fills.values()), fills
+
+    def test_deterministic_across_runs(self, spark):
+        a = {(r.doc_id, r.bin_id) for r in self._packed(spark).collect()}
+        b = {(r.doc_id, r.bin_id) for r in self._packed(spark).collect()}
+        assert a == b
+
+    def test_long_doc_truncated_to_capacity(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as text_ops
+
+        docs = spark.createDataFrame([(1, " ".join(["w"] * 50))], ["doc_id", "text"])
+        rows = text_ops.pack_sequences(docs, max_tokens=10, num_partitions=1).collect()
+        assert len(rows) == 1 and rows[0].n_tokens == 10
+
+    def test_ffd_fills_tightly(self, spark):
+        # sizes 9,8,7,6,5,5,4,3,2,1 into cap-10 bins: FFD in one
+        # partition packs 50 tokens into exactly 5 full bins
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as text_ops
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in enumerate(
+                [9, 8, 7, 6, 5, 5, 4, 3, 2, 1], start=1
+            )],
+            ["doc_id", "text"],
+        )
+        rows = text_ops.pack_sequences(docs, max_tokens=10, num_partitions=1).collect()
+        fills: dict = {}
+        for r in rows:
+            fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+        assert len(fills) == 5 and all(v == 10 for v in fills.values())
