@@ -43,6 +43,8 @@ HEADLINE = [
     "sort_limit_top_events",
     "tpch_q3_shipping_priority",
     "tpch_q18_large_orders",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_customer_distribution",
 ]
 # Extension headliners are appended dynamically when registered.
 EXTENSION_HEADLINE = [
@@ -63,6 +65,8 @@ EXTENSION_HEADLINE = [
     "text_block_dedup",
     "text_contamination",
     "similarity_quantized_topk",
+    "sketch_count_min_users",
+    "text_pack_sequences",
 ]
 
 

@@ -96,6 +96,9 @@ def get_spark(
         # ANSI off: the engine mirrors the reference's permissive dlt typing
         # (silent NULL on bad cast, no overflow errors mid-pipeline).
         .config("spark.sql.ansi.enabled", "false")
+        # Python DataSource filter pushdown (sources/datasource.py):
+        # lets pushFilters() compile predicates into server-side SOQL.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
 
     if enable_iceberg:
