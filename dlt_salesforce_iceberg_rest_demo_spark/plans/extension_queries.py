@@ -1405,3 +1405,128 @@ def dedup_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return best
+
+
+@register(
+    "bitmap_exact_distinct_users",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitmap_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmaps
+    (bitmap_bit_position -> bitmap_construct_agg -> bitmap_count):
+    each group's partial state is a fixed-width bitmap instead of a
+    hash set of raw keys, and partials OR-merge - the exact-count
+    analog of the HLL sketch rollup, for when "approximately" isn't
+    acceptable but a COUNT(DISTINCT) expand-shuffle is too expensive.
+
+    The oracle is plain COUNT(DISTINCT): the bitmap path must agree
+    exactly, which is the whole point. Bucketed bitmaps partition the
+    key domain (bitmap_bucket_number), so the state stays bounded per
+    (group, bucket) at any key cardinality.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0.0) AS safe_ratio,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS bad_number,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS priority_digit
+    FROM orders
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_-family error-safe expressions (NULL instead of raise):
+    division by zero, unparseable casts - the ANSI-off permissive
+    semantics the reference relies on (dlt silently nulls bad values),
+    expressed explicitly so they survive even with ANSI mode ON.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+        ).alias("safe_ratio"),
+        F.col("o_orderpriority").cast("double").alias("bad_number"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_digit"),
+    )
+
+
+@register(
+    "window_locf_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'click' THEN value END AS v
+          FROM events) x
+    """,
+)
+def window_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward via LAST_VALUE ... IGNORE
+    NULLS: forward-fill each user's most recent click value onto every
+    subsequent event - the window-function gap-fill idiom (vs the
+    grid-join approach in ``gapfill_hourly_user_values``).
+
+    One shuffle on user_id; the running frame is computed in a single
+    sort pass per partition. Deterministic total order via (ts,
+    event_id) tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@register(
+    "layout_zorder_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               (((l_partkey >> i) & 1) << (2 * i))
+             + (((l_suppkey >> i) & 1) << (2 * i + 1))
+           )) AS BIGINT) AS zkey
+    FROM lineitem
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleaved sort key over (l_partkey, l_suppkey):
+    the clustering key behind multi-dimensional file pruning
+    (`operators/layout.py`). Exact integer bit arithmetic, identical in
+    any engine - the oracle recomputes it bit-for-bit. One codegen'd
+    projection; no shuffle."""
+    from ..operators.layout import zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(["l_partkey", "l_suppkey"]).alias("zkey"),
+    )

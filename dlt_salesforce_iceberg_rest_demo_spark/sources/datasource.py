@@ -252,3 +252,107 @@ class SalesforceDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> SalesforceReader:
         return SalesforceReader(self.options, schema, self._meta())
+
+    def simpleStreamReader(self, schema: T.StructType) -> "SalesforceStreamReader":
+        return SalesforceStreamReader(self.options, schema, self._meta())
+
+
+# ---------------------------------------------------------------------------
+# Streaming: cursor-polling incremental as a Structured Streaming source.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+_INITIAL_CURSOR = "2000-01-01T00:00:00.000000Z"  # salesforce/__init__.py:41-47
+
+
+class SalesforceStreamReader(SimpleDataSourceStreamReader):
+    """The reference's batch cursor-polling (dlt ``incremental``,
+    ``salesforce/__init__.py:39-47`` + strict ``>`` predicate,
+    ``records.py:87-90``) upgraded to a real Structured Streaming
+    source: the replication-key watermark IS the stream offset.
+
+    Offsets are ``{"cursor": <ISO-8601>}``; each micro-batch reads
+    ``WHERE key > cursor ORDER BY key ASC`` server-side and advances
+    the cursor to the max key seen, so Spark's checkpoint replaces the
+    reference's ``~/.dlt/pipelines`` state dir (I1/I3) and
+    ``readBetweenOffsets`` gives deterministic failure replay - a
+    guarantee the reference does not have (a crash between delete and
+    append loses the batch).
+
+    SimpleDataSourceStreamReader reads on the driver - matching the
+    reference's single-reader extraction model (README.md:271); the
+    batch DataSource path covers partition-parallel backfills.
+    """
+
+    def __init__(self, options: dict, schema: T.StructType, meta: ObjectMeta) -> None:
+        self.options = options
+        self.out_schema = schema
+        self.meta = meta
+        self.sobject: str = options["sobject"]
+        self.replication_key: str = options.get("replication_key", "SystemModstamp")
+        self.initial_cursor: str = options.get("initial_cursor", _INITIAL_CURSOR)
+        self.is_production = str(options.get("is_production", "true")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.initial_cursor}
+
+    def _fetch(self, extra_predicate: str | None) -> tuple[list[dict], str]:
+        transport = transport_from_options(self.options)
+        soql = build_soql(
+            self.sobject,
+            self.meta.fields,
+            replication_key=self.replication_key,
+            is_production=self.is_production,
+            extra_predicate=extra_predicate,
+        )
+        records: list[dict[str, Any]] = []
+        api_type = "bulk"
+        try:
+            for page in transport.query_bulk(self.sobject, soql):
+                records.extend(page)
+        except BulkNotEnabledError:
+            api_type = "standard"
+            records = []
+            for page in transport.query_standard(soql):
+                records.extend(page)
+        return records, api_type
+
+    def _cursor_of(self, record: dict, api_type: str) -> str:
+        v = record.get(self.replication_key)
+        if api_type == "bulk":  # epoch millis
+            return _dt.datetime.fromtimestamp(v / 1000.0, tz=_dt.timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%S.%fZ"
+            )
+        return str(v)
+
+    def _rows(self, records: list[dict], api_type: str) -> list[tuple]:
+        # a LIST, not a generator: Spark pickles the prefetched batch
+        # into its offset cache for failure replay
+        fields = [(f.name, f.dataType) for f in self.out_schema.fields]
+        return [
+            tuple(
+                SalesforceReader._convert(
+                    r.get(name), dtype, name in self.meta.date_fields, api_type
+                )
+                for name, dtype in fields
+            )
+            for r in records
+        ]
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        records, api_type = self._fetch(
+            f"{self.replication_key} > {start['cursor']}"
+        )
+        if records:
+            end = {"cursor": max(self._cursor_of(r, api_type) for r in records)}
+        else:
+            end = dict(start)
+        return self._rows(records, api_type), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        records, api_type = self._fetch(
+            f"{self.replication_key} > {start['cursor']}"
+            f" AND {self.replication_key} <= {end['cursor']}"
+        )
+        return self._rows(records, api_type)

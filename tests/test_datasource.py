@@ -141,3 +141,65 @@ class TestRangeBounds:
             assert bounds[0][0] is None and bounds[-1][1] is None
             for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
                 assert hi == lo  # contiguous half-open ranges
+
+
+class TestStreamReader:
+    def _stream_reader(self, version=1):
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.datasource import (
+            SalesforceStreamReader,
+        )
+
+        opts = _opts(version)
+        ds = SalesforceDataSource(opts)
+        meta = object_meta(transport_from_options(opts), "Account")
+        return SalesforceStreamReader(opts, ds.schema(), meta)
+
+    def test_initial_offset_is_reference_epoch(self):
+        r = self._stream_reader()
+        assert r.initialOffset() == {"cursor": "2000-01-01T00:00:00.000000Z"}
+
+    def test_read_advances_cursor_then_drains(self):
+        r = self._stream_reader()
+        rows, end = r.read(r.initialOffset())
+        rows = list(rows)
+        assert len(rows) == 2
+        # cursor advanced to the max SystemModstamp (001B at day 3)
+        assert end == {"cursor": "2024-01-03T00:00:00.000000Z"}
+        # second poll from the new offset: strict `>` -> nothing new
+        rows2, end2 = r.read(end)
+        assert list(rows2) == [] and end2 == end
+
+    def test_incremental_poll_sees_only_new_rows(self):
+        r1 = self._stream_reader(version=1)
+        _, end = r1.read(r1.initialOffset())
+        # org moves to v2 (001B updated day 10, 001C created day 9)
+        r2 = self._stream_reader(version=2)
+        rows, end2 = r2.read(end)
+        ids = sorted(row[0] for row in rows)
+        assert ids == ["001B", "001C"]
+        assert end2 == {"cursor": "2024-01-10T00:00:00.000000Z"}
+
+    def test_read_between_offsets_replays_deterministically(self):
+        r = self._stream_reader(version=2)
+        start = {"cursor": "2024-01-03T00:00:00.000000Z"}
+        end = {"cursor": "2024-01-09T00:00:00.000000Z"}
+        replay1 = sorted(list(r.readBetweenOffsets(start, end)))
+        replay2 = sorted(list(r.readBetweenOffsets(start, end)))
+        assert replay1 == replay2
+        # inclusive upper bound, exclusive lower: only 001C (day 9)
+        assert [row[0] for row in replay1] == ["001C"]
+
+    def test_end_to_end_micro_batch(self, registered, tmp_path):
+        q = (
+            registered.readStream.format("salesforce")
+            .options(**_opts())
+            .load()
+            .writeStream.format("memory")
+            .queryName("sf_stream_accounts")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        out = registered.sql("SELECT Id FROM sf_stream_accounts").collect()
+        assert sorted(r.Id for r in out) == ["001A", "001B"]

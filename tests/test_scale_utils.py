@@ -170,3 +170,55 @@ class TestWriteHygiene:
         for p in files:
             cnt = spark.read.parquet(str(p)).count()
             assert cnt <= 200
+
+
+class TestZOrderLayout:
+    def test_zorder_key_interleaves_bits(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+        # x bits -> even positions, y bits -> odd positions:
+        # i=0: x bit 1 -> pos0, y bit 1 -> pos1 ; i=1: x 0 -> pos2, y 1 -> pos3
+        # i=2: x 1 -> pos4, y 0 -> pos5  => 1+2+8+16 = 0b011011 = 27
+        [row] = df.select(zorder_key(["x", "y"]).alias("z")).collect()
+        assert row.z == 0b011011
+
+    def test_zorder_overflow_guard(self):
+        import pytest as _pytest
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.layout import zorder_key
+
+        with _pytest.raises(ValueError):
+            zorder_key(["a", "b", "c", "d"], bits=16)
+
+    def test_layout_partitions_have_disjoint_key_ranges(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.layout import (
+            zorder_key,
+            zorder_layout,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        out = zorder_layout(li, ["l_partkey", "l_suppkey"], num_files=8)
+        ranges = (
+            out.withColumn("z", zorder_key(["l_partkey", "l_suppkey"]))
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+            .orderBy("lo")
+            .collect()
+        )
+        assert len(ranges) > 1
+        # consecutive partitions cover non-overlapping z ranges -> each
+        # output file gets tight min/max stats on BOTH dimensions
+        for a, b in zip(ranges, ranges[1:]):
+            assert a.hi <= b.lo
+
+    def test_layout_preserves_rows(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.layout import zorder_layout
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        out = zorder_layout(li, ["l_partkey", "l_suppkey"], num_files=8)
+        assert out.count() == li.count()
+        assert out.columns == li.columns
