@@ -116,6 +116,77 @@ def gapfill(
     )
 
 
+def gapfill_interpolate(
+    events: DataFrame,
+    grain: str = "hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION between known buckets (the
+    hypertable ``interpolate()`` analog; `gapfill` does LOCF).
+
+    Same densify shape as `gapfill` (bucket agg -> per-key span ->
+    distributed sequence()/explode grid -> left join), then two window
+    passes over one (key, ts) sort: backward-looking last-known
+    (value, ts) and forward-looking next-known (value, ts). The
+    interpolation ``prev + (next - prev) * frac`` is a fixed sequence
+    of IEEE ops on engine-identical inputs, so the DuckDB oracle
+    reproduces it bit-for-bit; edge buckets clamp to the nearest known
+    value.
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
+    b = events.groupBy(F.col(user_col), bucket).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("bucket_value"),
+    )
+    spans = b.groupBy(user_col).agg(
+        F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+    )
+    grid = spans.select(
+        user_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL 1 {grain}"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(b, [user_col, "bucket_ts"], "left")
+    back = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_ts = F.when(F.col("bucket_value").isNotNull(), F.col("bucket_ts"))
+    w = joined.select(
+        user_col,
+        "bucket_ts",
+        "bucket_value",
+        F.last("bucket_value", ignorenulls=True).over(back).alias("__pv"),
+        F.last(known_ts, ignorenulls=True).over(back).alias("__pt"),
+        F.first("bucket_value", ignorenulls=True).over(fwd).alias("__nv"),
+        F.first(known_ts, ignorenulls=True).over(fwd).alias("__nt"),
+    )
+    frac = (
+        (F.unix_micros(F.col("bucket_ts")) - F.unix_micros(F.col("__pt")))
+        .cast("double")
+        / (F.unix_micros(F.col("__nt")) - F.unix_micros(F.col("__pt"))).cast("double")
+    )
+    interp = (
+        F.when(F.col("bucket_value").isNotNull(), F.col("bucket_value"))
+        .when(F.col("__pv").isNull(), F.col("__nv"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
+    )
+    return w.select(
+        user_col, "bucket_ts", "bucket_value", interp.alias("interp_value")
+    )
+
+
 def multi_grain_rollup(
     events: DataFrame,
     grains: tuple[str, ...] = ("minute", "hour", "day"),

@@ -437,3 +437,38 @@ def pack_sequences(
         yield rows[["doc_id", "n_tokens", "bin_id"]]
 
     return sized.mapInPandas(pack, out_schema)
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", scale: int = 1_000_000_000
+) -> DataFrame:
+    """Unigram LM surprisal proxy: per document, the sum and mean of
+    integer rarity weights ``scale DIV corpus_tf(token)`` — the
+    perplexity-shaped quality signal (rare-token-heavy docs score
+    high) expressed entirely in integer arithmetic so the oracle is
+    exact (float ``-log p`` sums are order- and libm-dependent;
+    integer division + integer sums are not).
+
+    Plan shape: one token explode, a vocabulary-sized term-frequency
+    aggregate (map-side combine), then a token-key join back and a
+    per-doc aggregate. At 100 TB the TF table is vocabulary-bounded —
+    AQE broadcasts it when small; the explode never rewrites payloads.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count("*").alias("tf"))
+    return (
+        tok.join(freq, "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.expr(f"{scale} DIV tf")).cast("long").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rarity_sum",
+            (F.col("rarity_sum").cast("double") / F.col("n_tokens")).alias(
+                "avg_surprisal"
+            ),
+        )
+    )

@@ -178,3 +178,145 @@ def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r_regionkey") * 5 + F.col("b_regionkey")).alias("pair_code"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension tranche 2: LM surprisal scoring, FK-graph PageRank,
+# interpolating gap-fill.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents),
+    freq AS (SELECT tk, COUNT(*) AS tf FROM tok GROUP BY tk)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(1000000000 // tf) AS BIGINT) AS rarity_sum,
+           CAST(CAST(SUM(1000000000 // tf) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS avg_surprisal
+    FROM tok JOIN freq USING (tk)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal proxy (perplexity-shaped quality signal):
+    per-doc sum/mean of integer rarity weights `1e9 DIV corpus_tf` —
+    exact in any aggregation order, unlike float -log p sums
+    (`operators.text.unigram_surprisal`). Complements
+    text_rare_token_fraction (distinct-token df) with a
+    frequency-weighted whole-doc score."""
+    from ..operators import text as text_ops
+
+    return text_ops.unigram_surprisal(t(spark, sf_dir, "documents"))
+
+
+_PAGERANK_ROUND = """
+m{i} AS (
+  SELECT s.v AS node, CAST(SUM(r.rank // g.d) AS BIGINT) AS acc
+  FROM sym s JOIN r{p} r ON s.u = r.node JOIN deg g ON g.node = s.u
+  GROUP BY s.v),
+r{i} AS (
+  SELECT node, CAST(150000 + (85 * acc) // 100 AS BIGINT) AS rank FROM m{i})"""
+
+_PAGERANK_SQL = (
+    """
+WITH edges AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+         CAST(1000000 + l_suppkey AS BIGINT) AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM deg),"""
+    + ",".join(_PAGERANK_ROUND.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, rank FROM r3
+"""
+)
+
+
+@register("graph_pagerank_customers_suppliers", oracle=_PAGERANK_SQL)
+def graph_pagerank_customers_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 rounds, damping 0.85) over the customer<->supplier
+    interaction graph implied by orders x lineitem — the FK-column
+    graph the reference leaves to consumers
+    (`data/salesforce_medium_scale.recipe.yml:78-79`), run as a
+    DataFrame message-passing loop (`operators.graph.pagerank_int`).
+    Integer micro-unit arithmetic makes the oracle exact: DuckDB
+    unrolls the identical three rounds as CTEs."""
+    from pyspark.sql import functions as F
+
+    from ..operators import graph
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank_int(edges, iterations=3)
+
+
+@register(
+    "gapfill_interpolate_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_value
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+      FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans),
+    j AS (
+      SELECT g.user_id, g.bucket_ts, b.bucket_value
+      FROM grid g
+      LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_ts = b.bucket_ts),
+    w AS (
+      SELECT user_id, bucket_ts, bucket_value,
+        last_value(bucket_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN bucket_value IS NOT NULL THEN bucket_ts END
+                   IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(bucket_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN bucket_value IS NOT NULL THEN bucket_ts END
+                    IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+    SELECT user_id, bucket_ts, bucket_value,
+      CASE WHEN bucket_value IS NOT NULL THEN bucket_value
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv) *
+                (CAST(epoch_us(bucket_ts) - epoch_us(pt) AS DOUBLE)
+                 / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+      END AS interp_value
+    FROM w
+    """,
+)
+def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with linear interpolation between known hourly buckets
+    (`temporal.gapfill_interpolate`; LOCF twin:
+    gapfill_hourly_user_values). prev/next known (value, ts) from two
+    window passes over one sort; `prev + (next-prev)*frac` is the
+    identical IEEE op sequence in both engines, so the oracle matches
+    exactly; edges clamp to the nearest known value."""
+    return temporal_ops.gapfill_interpolate(t(spark, sf_dir, "events"), grain="hour")
+
+
+from ..operators import temporal as temporal_ops  # noqa: E402

@@ -56,23 +56,43 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
         return ()
 
 
+def _ntz_to_sessiontz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-tz TIMESTAMP.
+
+    The driver fixtures store naive microsecond timestamps
+    (`timestamp[us]`, isAdjustedToUTC=false), which Spark reads as
+    TIMESTAMP_NTZ. Every operator (and DuckDB's naive-UTC oracle
+    semantics) works on session-tz timestamps with the session pinned
+    to UTC, so the cast changes the type, not the instant."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan -> full pushdown support.
 
-    Nanosecond-timestamp columns (e.g. `events.ts`) are read as long
-    nanos (`spark.sql.legacy.parquet.nanosAsLong`, set at runtime so the
+    Nanosecond-timestamp columns (a historical fixture format for
+    `events.ts`) are read as long nanos
+    (`spark.sql.legacy.parquet.nanosAsLong`, set at runtime so the
     driver's own SparkSession works too) and converted to native
     microsecond timestamps - truncation, matching DuckDB's ns->us cast.
+    Naive microsecond columns (the current fixture format) are cast
+    from TIMESTAMP_NTZ to session-tz TIMESTAMP (UTC session -> same
+    instant; see `_ntz_to_sessiontz`).
     """
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_sessiontz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return _ntz_to_sessiontz(df)
 
 
 def load_table_incremental(
@@ -96,7 +116,15 @@ def load_table_incremental(
     ns_cols = _nanos_timestamp_columns(path)
     cutoff = F.lit(cursor_gt).cast("timestamp")
     if ts_col not in ns_cols:
-        return spark.read.parquet(path).filter(F.col(ts_col) > cutoff)
+        from pyspark.sql.types import TimestampNTZType
+
+        df = spark.read.parquet(path)
+        if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+            # Filter the raw NTZ column (pushes to the parquet scan);
+            # UTC session makes the NTZ cutoff the same instant.
+            cutoff_ntz = F.lit(cursor_gt).cast("timestamp_ntz")
+            return _ntz_to_sessiontz(df.filter(F.col(ts_col) > cutoff_ntz))
+        return df.filter(F.col(ts_col) > cutoff)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     cutoff_ns = F.unix_micros(cutoff) * 1000 + 999
