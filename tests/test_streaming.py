@@ -10,6 +10,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import ParquetLake
+from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
 from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
     incremental_merge_stream,
     stream_source,
@@ -42,11 +43,9 @@ def _run_to_memory(stream_df, name):
 
 
 def test_windowed_counts_match_batch(spark, landing):
-    # events fixture is ns-timestamp parquet; stream with the long-nanos
-    # workaround is exercised via a rewritten us-precision drop instead
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(str(landing / "drop1.parquet"))
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # normalize the fixture's timestamp encoding (ns-long or naive-us)
+    # through load_table, then stream a rewritten session-tz drop
+    df = load_table(spark, SF_DIR, "events")
     df.coalesce(1).write.parquet(str(landing / "clean"))
     df = spark.read.parquet(str(landing / "clean"))
 
@@ -67,10 +66,7 @@ def test_windowed_counts_match_batch(spark, landing):
 
 
 def test_streaming_sessionize_runs(spark, landing):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(str(landing / "drop1.parquet")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    df = load_table(spark, SF_DIR, "events")
     df.limit(500).coalesce(1).write.parquet(str(landing / "clean2"))
     stream = stream_source(spark, str(landing / "clean2"))
     name = _run_to_memory(streaming_sessionize(stream), "sess")
