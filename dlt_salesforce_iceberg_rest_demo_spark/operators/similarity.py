@@ -553,3 +553,169 @@ def semantic_dedup(
         return out
 
     return assigned.groupBy("cluster").applyInPandas(prune, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: codebook compression + ADC scoring.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list[list[list[float]]]":
+    """Train ``m`` per-subspace codebooks (each ``n_codes`` centroids)
+    by running the DataFrame k-means (`kmeans_fit`) on each
+    ``dim/m``-slice of the L2-normalized corpus. Codebook matrix is
+    ``m * n_codes * (dim/m)`` doubles - always driver-safe. At 100 TB
+    you'd train on a corpus sample (`df.sample`) - the codebook
+    quality saturates long before the corpus is exhausted."""
+    dim = len(corpus.select(vec_col).first()[0])
+    dsub = dim // m
+    norm = _norm(F.col(vec_col))
+    unit = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("u"),
+    ).filter(norm > 0)
+    books = []
+    for j in range(m):
+        sub = unit.select(
+            F.col(id_col), F.slice(F.col("u"), j * dsub + 1, dsub).alias("sub")
+        )
+        books.append(kmeans_fit(sub, n_codes, iters, vec_col="sub", id_col=id_col))
+    return books
+
+
+def _pq_encode_udf(books: "list[list[list[float]]]"):
+    """Pandas UDF: all ``m`` sub-codes for a vector batch in one numpy
+    pass (argmin against each subspace codebook); input is normalized
+    with the same op order as pq_fit's prep."""
+    mats = [np.array(b, dtype=np.float64) for b in books]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat, valid = _stack_valid(vecs, m * dsub)
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        codes = np.empty((mat.shape[0], m), dtype="int32")
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = _centroid_distances(sub, mats[j]).argmin(axis=1)
+        return pd.Series(
+            [codes[i] if valid[i] and norms[i, 0] > 0 else None
+             for i in range(len(valid))]
+        )
+
+    return encode
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 16,
+    iters: int = 2,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k by cosine.
+
+    The 100 TB memory path: each corpus vector is stored as ``m`` int8
+    codes (16 bytes here vs 256+ for the float vector); scoring is
+    asymmetric distance computation (ADC) - the exact query sub-vectors
+    dotted against each subspace's codebook entry, i.e. ``score =
+    sum_j <q_j, codebook_j[code_j]>``, which on L2-normalized inputs
+    approximates cosine.
+
+    Plan shape: encode is map-only (Arrow-batched numpy); scoring
+    cross-joins the (tiny, broadcast) query set against corpus codes
+    and evaluates the per-query lookup tables as PLAN-LITERAL nested
+    arrays via ``transform``/``aggregate`` higher-order functions - the
+    hot scoring loop is JVM codegen, no Python in the per-corpus-row
+    path. ADC picks a ``shortlist * k`` candidate set per query
+    (WindowGroupLimit prunes pre-shuffle), then an EXACT cosine rerank
+    over the shortlist - the standard PQ recall fix, and only
+    ``shortlist*k*|Q|`` full vectors are ever touched after the scan.
+    """
+    books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col)
+    enc = _pq_encode_udf(books)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
+    ).filter(F.col("codes").isNotNull())
+
+    # Per-query ADC lookup tables, computed driver-side from the query
+    # vectors (queries are the small side by construction).
+    qrows = queries.select(id_col, vec_col).collect()
+    mats = [np.array(b, dtype=np.float64) for b in books]
+    dsub = mats[0].shape[1]
+    qids, luts = [], []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        n = np.sqrt((v * v).sum())
+        if n == 0:
+            continue
+        v = v / n
+        qids.append(int(r[id_col]))
+        luts.append(
+            [list(map(float, mats[j] @ v[j * dsub : (j + 1) * dsub]))
+             for j in range(len(mats))]
+        )
+    lut_lit = F.array(
+        *[F.array(*[F.array(*[F.lit(x) for x in row]) for row in lut])
+          for lut in luts]
+    )
+    qdf = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(q, i + 1) for i, q in enumerate(qids)], "query_id long, qpos int"
+        )
+    )
+    lut_q = F.element_at(lut_lit, F.col("qpos"))
+    score = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda code, j: F.element_at(
+                F.element_at(lut_q, j.cast("int") + 1), code + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("corpus_id")
+    )
+    cands = (
+        c.crossJoin(qdf)
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", score.alias("adc_score"))
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= shortlist * k)
+        .drop("adc_rank")
+    )
+    # Exact cosine rerank over the shortlist only.
+    cvec = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    qvec = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        cands.join(cvec, "corpus_id")
+        .join(qvec, "query_id")
+        .select("query_id", "corpus_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

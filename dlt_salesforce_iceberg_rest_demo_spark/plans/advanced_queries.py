@@ -320,3 +320,19 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators import temporal as temporal_ops  # noqa: E402
+
+
+@register("similarity_pq_topk")
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (`similarity.pq_topk`): 16
+    subspace codebooks compress each vector to 16 bytes; ADC scoring
+    runs as plan-literal lookup tables inside JVM codegen; exact
+    cosine reranks a 10x shortlist. Rows-only (k-means codebooks are
+    engine-internal); pytest asserts recall@5 >= 0.8 vs the exact
+    top-k on the fixtures."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)

@@ -894,3 +894,43 @@ class TestPackSequences:
         for r in rows:
             fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
         assert len(fills) == 5 and all(v == 10 for v in fills.values())
+
+
+class TestProductQuantization:
+    def test_pq_recall_vs_exact(self, spark, emb):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = similarity.cosine_topk(emb, q, k=5).collect()
+        pq = similarity.pq_topk(emb, q, k=5).collect()
+        ex: dict[int, set] = {}
+        got: dict[int, set] = {}
+        for r in exact:
+            ex.setdefault(r.query_id, set()).add(r.corpus_id)
+        for r in pq:
+            got.setdefault(r.query_id, set()).add(r.corpus_id)
+        recall = sum(
+            len(ex[k] & got.get(k, set())) / len(ex[k]) for k in ex
+        ) / len(ex)
+        assert recall >= 0.8, recall
+        # every query returns exactly k ranked rows, rank 1..5
+        for k_, rows in got.items():
+            assert len(rows) == 5
+
+    def test_pq_codes_shape_and_determinism(self, spark, emb):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+        books = similarity.pq_fit(emb, m=16, n_codes=16, iters=1)
+        assert len(books) == 16
+        assert all(len(b) == 16 and len(b[0]) == 4 for b in books)
+        enc = similarity._pq_encode_udf(books)
+        c1 = emb.select(
+            "vec_id", enc(F.col("embedding")).alias("codes")
+        ).collect()
+        c2 = emb.select(
+            "vec_id", enc(F.col("embedding")).alias("codes")
+        ).collect()
+        m1 = {r.vec_id: list(r.codes) for r in c1}
+        m2 = {r.vec_id: list(r.codes) for r in c2}
+        assert m1 == m2
+        assert all(0 <= x < 16 for codes in m1.values() for x in codes)
