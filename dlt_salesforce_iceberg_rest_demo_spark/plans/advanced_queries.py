@@ -336,3 +336,59 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_TIME_RANGE_SQL = """
+SELECT event_id, user_id, ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS rolling_value,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS rolling_n
+FROM {events}
+"""
+
+
+@register(
+    "window_time_range_rolling",
+    oracle=_TIME_RANGE_SQL.format(events="events"),
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame: per user, the rolling 1-hour
+    event-value sum and count (`RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING`). Completes the frame surface (ROWS frames, numeric
+    RANGE frames, WindowGroupLimit top-k elsewhere): the frame bound
+    is data-valued (timestamp arithmetic), not row-positional. One
+    shuffle on user_id; decimal-stabilized sum; RANGE peers (equal ts)
+    aggregate identically in both engines, so no tiebreak is needed."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("adv_trr_events")
+    return spark.sql(_TIME_RANGE_SQL.format(events="adv_trr_events"))
+
+
+@register(
+    "generator_explode_map",
+    oracle="""
+    SELECT event_id, 'k' AS map_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS map_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def generator_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed generator: parse props into ``map<string,bigint>``
+    and explode into (key, value) rows - the map twin of
+    generator_posexplode_tokens (arrays). Generalizes to arbitrary
+    key sets at scale (one output row per map entry, map-side only);
+    the oracle enumerates the fixture's single key explicitly."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("adv_gem_events")
+    return spark.sql(
+        """
+        SELECT event_id, t.map_key, t.map_value
+        FROM adv_gem_events
+        LATERAL VIEW explode(from_json(props, 'map<string,bigint>'))
+          t AS map_key, map_value
+        """
+    )

@@ -1,4 +1,4 @@
-"""Staging-format readers/writers: Parquet, JSONL, CSV.
+"""Staging-format readers/writers: Parquet, ORC, JSONL, CSV.
 
 The reference stages every extracted batch as Parquet before the
 destination call (``loader_file_format="parquet"``, reference
@@ -7,6 +7,8 @@ jsonl/csv. This module gives the pipeline the same pluggable staging
 surface on Spark, with the schema-fidelity rules each format needs:
 
 - parquet: native, lossless (the default - sources/parquet.py);
+- orc: native columnar alternative, lossless (vectorized reader,
+  predicate pushdown - same scan properties as parquet);
 - jsonl: lossless for struct/array/map, but timestamps serialize as
   ISO strings - read back with the explicit schema, never inference;
 - csv: flat columns only; header + explicit schema on read (inference
@@ -32,6 +34,8 @@ def write_stage(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     w = df.write.mode("overwrite")
     if fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     elif fmt == "jsonl":
         w.option("timestampFormat", _TS_FMT).json(path)
     elif fmt == "csv":
@@ -50,6 +54,8 @@ def read_stage(
     it staged."""
     if fmt == "parquet":
         return spark.read.schema(schema).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
     if fmt == "jsonl":
         return (
             spark.read.schema(schema)

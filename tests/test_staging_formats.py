@@ -1,4 +1,4 @@
-"""Staging-format round-trips: parquet/jsonl/csv must return the
+"""Staging-format round-trips: parquet/orc/jsonl/csv must return the
 identical DataFrame for flat tables (S6 parity - the reference stages
 batches as parquet; dlt's alternate loader formats are jsonl/csv)."""
 
@@ -15,7 +15,7 @@ from dlt_salesforce_iceberg_rest_demo_spark.sources.staging import (
 from .conftest import SF_DIR
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "jsonl", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "jsonl", "csv"])
 def test_roundtrip_customer(spark, tmp_path, fmt):
     df = load_table(spark, SF_DIR, "customer")
     p = str(tmp_path / fmt)
