@@ -9,10 +9,11 @@ JSON line::
 ``value`` is the total wall-clock of the benchmark set, steady-state:
 each query runs once to warm (whole-stage-codegen compilation, JIT,
 file-footer caches - Janino compile alone varied 2-14s run-to-run on
-the widest plans) and the second, timed run is reported. Each run
-executes to completion (count() action over the full result; no
-collect of wide payloads so the measurement is engine time, not
-driver-transfer time).
+the widest plans), then the MEDIAN of three timed runs is reported
+per query (GC pauses on the iterative operators made a single timed
+run vary ~2x). Each run executes to completion (count() action over
+the full result; no collect of wide payloads so the measurement is
+engine time, not driver-transfer time).
 """
 
 from __future__ import annotations
@@ -82,9 +83,12 @@ def main() -> None:
     total = 0.0
     for name in names:
         fns[name](spark, sf_dir).count()  # warm: codegen/JIT/footers
-        t0 = time.perf_counter()
-        fns[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        dt = sorted(runs)[1]  # median of 3
         timings[name] = round(dt, 4)
         total += dt
 
