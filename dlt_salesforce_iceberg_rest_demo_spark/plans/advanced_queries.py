@@ -392,3 +392,80 @@ def generator_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
           t AS map_key, map_value
         """
     )
+
+
+@register(
+    "bloom_prefilter_supplier_revenue",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+    GROUP BY l_suppkey
+    """,
+)
+def bloom_prefilter_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom) semi-join: revenue per high-balance
+    supplier. The dim predicate builds a 64 Kbit Bloom filter
+    (`functions.bloom`, one partial-aggregated pass over the SMALL
+    side), which prunes the fact scan MAP-SIDE as codegen'd bit
+    arithmetic — at 100 TB the fact rows that would fail the join
+    never enter the shuffle. The exact broadcast semi-join afterwards
+    removes Bloom false positives, so the composition equals the plain
+    semi-join and the oracle is exact."""
+    from pyspark.sql import functions as F
+
+    from ..functions import bloom
+
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    keys = sup.select("s_suppkey")
+    words = bloom.bloom_build(keys, "s_suppkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        bloom.bloom_might_contain(F.col("l_suppkey"), words)
+    )
+    return (
+        li.join(
+            F.broadcast(keys),
+            li["l_suppkey"] == keys["s_suppkey"],
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "window_bucket_5min_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_bucket_5min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width time bucketing via ``F.window`` (the batch use
+    of the streaming window operator; date_trunc grains can't express
+    5-minute buckets). Epoch-aligned bucket starts match DuckDB's
+    time_bucket. One partial-aggregated shuffle on (bucket,
+    event_type)."""
+    from pyspark.sql import functions as F
+
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket_ts"), "event_type", "n_events"
+        )
+    )

@@ -222,3 +222,49 @@ class TestZOrderLayout:
         out = zorder_layout(li, ["l_partkey", "l_suppkey"], num_files=8)
         assert out.count() == li.count()
         assert out.columns == li.columns
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fpp_bound(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.functions import bloom
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        sup = load_table(spark, SF_DIR, "supplier").select("s_suppkey")
+        words = bloom.bloom_build(sup, "s_suppkey", n_bits=1 << 14, k=4)
+        # every build key must pass (bloom filters never false-negative)
+        passed = sup.filter(
+            bloom.bloom_might_contain(F.col("s_suppkey"), words, n_bits=1 << 14, k=4)
+        ).count()
+        assert passed == sup.count()
+        # disjoint probe keys: false-positive rate must stay near the
+        # theoretical (1 - e^{-kn/m})^k — allow 3x headroom
+        import math
+
+        n = sup.count()
+        probe = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "key")
+        fp = probe.filter(
+            bloom.bloom_might_contain(F.col("key"), words, n_bits=1 << 14, k=4)
+        ).count()
+        theo = (1 - math.exp(-4 * n / (1 << 14))) ** 4
+        assert fp / 10_000 <= max(3 * theo, 0.01), (fp, theo)
+
+    def test_bloom_prunes_most_nonmatching_rows(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.functions import bloom
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        sup = (
+            load_table(spark, SF_DIR, "supplier")
+            .filter(F.col("s_acctbal") > 5000)
+            .select("s_suppkey")
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        words = bloom.bloom_build(sup, "s_suppkey")
+        kept = li.filter(
+            bloom.bloom_might_contain(F.col("l_suppkey"), words)
+        ).count()
+        exact = li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"],
+                        "left_semi").count()
+        assert kept >= exact  # superset (no false negatives)
+        # with 64Kbit/4-probe on a small key set the prefilter should be
+        # nearly exact — a weak but meaningful pruning bound
+        assert kept <= exact + 0.02 * li.count()
