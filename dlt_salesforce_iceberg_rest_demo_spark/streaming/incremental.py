@@ -240,3 +240,70 @@ def stream_stream_interval_join(
         F.col(f"r.{ts_col}").alias("right_ts"),
         F.col(f"r.event_id").alias("right_event_id"),
     )
+
+
+def stateful_user_totals_tws(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """`stateful_user_totals` on the transformWithStateInPandas API
+    (Spark 4's successor to applyInPandasWithState): an explicit
+    ``StatefulProcessor`` with typed ``ValueState`` instead of a bare
+    tuple, lifecycle hooks (init/close), and per-state TTL support.
+
+    Kept alongside the applyInPandasWithState twin deliberately - TWS
+    is where new stateful features land (state TTL, multiple state
+    variables, timers, state data source for inspection), while the
+    older API stays the compatibility surface. The processor is
+    feature-equivalent here so tests can assert both produce the same
+    totals stream.
+
+    ENVIRONMENT GATE: TWS's state protocol needs ``google.protobuf``
+    in the Python workers; containers without it can build this plan
+    but the stream fails at initialization
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The test suite
+    skips accordingly; `stateful_user_totals` is the dependency-free
+    twin.
+
+    Scale: same key-partitioned state-store layout as the old API;
+    ValueState reads/writes hit only keys present in the micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {user_col: [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        TotalsProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -215,3 +215,48 @@ def test_stream_stream_interval_join_attributes_within_horizon(spark, tmp_path):
     got = {(r.left_event_id, r.right_event_id)
            for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == {(10, 20)}
+
+
+def test_stateful_user_totals_tws_matches_old_api(spark, tmp_path):
+    """transformWithStateInPandas (StatefulProcessor + ValueState) must
+    produce the same totals stream as the applyInPandasWithState twin,
+    including state carried across micro-batches. Skips where
+    google.protobuf (TWS's state-protocol dependency) is unavailable."""
+    pytest.importorskip("google.protobuf")
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
+        stateful_user_totals_tws,
+    )
+
+    landing = tmp_path / "tws_in"
+    landing.mkdir()
+    b1 = [Row(user_id=1, value=10.0), Row(user_id=1, value=5.0), Row(user_id=2, value=1.0)]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(landing / "b1"))
+
+    stream = spark.readStream.schema("user_id long, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(landing / "*"))
+    q = (
+        stateful_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {r.user_id: (r.n_events, r.total_value)
+             for r in spark.sql("SELECT * FROM tws").collect()}
+    assert first == {1: (2, 15.0), 2: (1, 1.0)}
+
+    b2 = [Row(user_id=1, value=2.5), Row(user_id=3, value=7.0)]
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(landing / "b2"))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM tws").collect()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (3, 17.5)
+    assert latest[2] == (1, 1.0)
+    assert latest[3] == (1, 7.0)
