@@ -469,3 +469,102 @@ def window_bucket_5min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("bucket_ts"), "event_type", "n_events"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DataSketches tranche 2: theta set-ops, KLL quantiles, approx_top_k.
+# ---------------------------------------------------------------------------
+
+_THETA_SQL = """
+WITH s AS (
+  SELECT theta_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase') AS ps,
+         theta_sketch_agg(user_id) FILTER (WHERE event_type = 'view') AS vs
+  FROM {events})
+SELECT
+  CAST(theta_sketch_estimate(ps) AS BIGINT) AS purchase_users,
+  CAST(theta_sketch_estimate(vs) AS BIGINT) AS view_users,
+  CAST(theta_sketch_estimate(theta_intersection(ps, vs)) AS BIGINT)
+    AS both_users,
+  CAST(theta_sketch_estimate(theta_union(ps, vs)) AS BIGINT) AS either_users,
+  CAST(theta_sketch_estimate(theta_difference(ps, vs)) AS BIGINT)
+    AS purchase_only_users
+FROM s
+"""
+
+
+@register(
+    "sketch_theta_audience_overlap",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+    SELECT (SELECT COUNT(*) FROM p) AS purchase_users,
+           (SELECT COUNT(*) FROM v) AS view_users,
+           (SELECT COUNT(*) FROM p JOIN v USING (user_id)) AS both_users,
+           (SELECT COUNT(*) FROM
+              (SELECT user_id FROM p UNION SELECT user_id FROM v))
+             AS either_users,
+           (SELECT COUNT(*) FROM p
+            WHERE user_id NOT IN (SELECT user_id FROM v))
+             AS purchase_only_users
+    """,
+)
+def sketch_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches): audience-overlap analytics
+    that HLL cannot do — INTERSECTION and DIFFERENCE estimates between
+    the purchase and view user sets, plus union, all from two
+    mergeable per-segment sketches built in ONE scan. At 100 TB each
+    segment keeps <= 4K hashed entries regardless of cardinality; at
+    the fixture cardinalities the sketches are in exact mode, so the
+    DuckDB oracle (exact distinct-set algebra) matches bit-for-bit."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("adv_th_events")
+    return spark.sql(_THETA_SQL.format(events="adv_th_events"))
+
+
+@register("sketch_kll_price_quantiles")
+def sketch_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches: per-order-status price quantiles
+    (q25/q50/q75) from mergeable bounded-size sketches — the
+    streaming/distributed alternative to exact percentiles (one pass,
+    ~constant memory, union-mergeable across partitions and days).
+    Rows-only: KLL compaction is randomized internally; pytest bounds
+    the estimates against exact percentiles by KLL's published rank
+    error (~1.65% at default k)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("adv_kll_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               kll_sketch_get_quantile_double(sk, 0.25) AS q25,
+               kll_sketch_get_quantile_double(sk, 0.5)  AS q50,
+               kll_sketch_get_quantile_double(sk, 0.75) AS q75,
+               kll_sketch_get_n_double(sk) AS n
+        FROM (
+          SELECT o_orderstatus, kll_sketch_agg_double(o_totalprice) AS sk
+          FROM adv_kll_orders GROUP BY o_orderstatus
+        )
+        """
+    )
+
+
+@register(
+    "sketch_approx_top_k_event_types",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS count
+    FROM events GROUP BY 1 ORDER BY count DESC, item LIMIT 3
+    """,
+)
+def sketch_approx_top_k_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in approx_top_k frequent-items sketch (the engine-native
+    counterpart of the hand-built Misra-Gries in operators/sketches):
+    top-3 event types with estimated counts, exploded to rows via
+    inline(). Below maxItemsTracked the sketch is exact, and the
+    fixture counts are tie-free at every SF, so the exact-SQL oracle
+    matches."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("adv_atk_events")
+    return spark.sql(
+        """
+        SELECT t.item, t.count
+        FROM (SELECT approx_top_k(event_type, 3) AS arr FROM adv_atk_events)
+        LATERAL VIEW inline(arr) t AS item, count
+        """
+    )

@@ -125,3 +125,28 @@ def test_sample_topk_per_key_exact_sizes(spark):
     assert set(sizes) == set(totals)
     for uid, n in totals.items():
         assert sizes[uid] == min(3, n)
+
+
+class TestKllQuantiles:
+    def test_kll_within_rank_error_of_exact(self, spark, duck):
+        """KLL's normalized rank error at default k(=200) is ~1.65%;
+        assert each estimated quantile's TRUE rank is within 3% of the
+        target rank (3x headroom on the published bound)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.plans import REGISTRY
+
+        from .conftest import SF_DIR
+
+        rows = REGISTRY["sketch_kll_price_quantiles"].spark(spark, SF_DIR).collect()
+        assert rows
+        exact = duck.execute(
+            "SELECT o_orderstatus, list(o_totalprice ORDER BY o_totalprice) v "
+            "FROM orders GROUP BY 1"
+        ).fetchall()
+        sorted_vals = {r[0]: r[1] for r in exact}
+        for r in rows:
+            vals = sorted_vals[r.o_orderstatus]
+            n = len(vals)
+            assert r.n == n
+            for q, est in ((0.25, r.q25), (0.5, r.q50), (0.75, r.q75)):
+                true_rank = sum(1 for x in vals if x <= est) / n
+                assert abs(true_rank - q) <= 0.03, (r.o_orderstatus, q, true_rank)
