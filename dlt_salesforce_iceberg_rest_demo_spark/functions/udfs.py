@@ -97,3 +97,22 @@ def asof_join_pandas(
         .cogroup(right.groupBy(on))
         .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
     )
+
+
+def token_count_arrow_udf():
+    """Arrow-optimized row-wise Python UDF (``useArrow=True``) - the
+    tier between codegen'd built-ins and Pandas UDFs: per-row Python
+    logic but Arrow-batched (de)serialization instead of pickle, for
+    logic that is awkward to vectorize yet too small for applyInPandas.
+    Twin of the native whitespace token count
+    (operators.text.token_count's ws_tokens); the test asserts exact
+    agreement, and the NATIVE version is what ships in the registry -
+    this exists to prove the tier, not to use it in hot paths.
+    """
+
+    def count_tokens(text: str) -> int:
+        if text is None:
+            return None
+        return len(text.lower().split(" "))
+
+    return F.udf(count_tokens, T.IntegerType(), useArrow=True)

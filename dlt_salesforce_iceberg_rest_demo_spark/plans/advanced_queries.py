@@ -568,3 +568,48 @@ def sketch_approx_top_k_event_types(spark: SparkSession, sf_dir: str) -> DataFra
         LATERAL VIEW inline(arr) t AS item, count
         """
     )
+
+
+@register(
+    "scd2_user_event_history",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+      FROM events),
+    runs2 AS (
+      SELECT *, CAST(SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      FROM runs),
+    hist AS (
+      SELECT user_id, run, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_observations
+      FROM runs2 GROUP BY 1, 2)
+    SELECT user_id, event_type, valid_from, n_observations,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+             AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+             IS NULL) AS is_current
+    FROM hist
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history (`operators/scd.scd2_from_snapshots`): each
+    user's consecutive equal event_types collapse into validity
+    intervals (valid_from/valid_to/is_current) — the type-2 companion
+    to the reference's keep-latest merge disposition
+    (salesforce_pipeline.py:83-130). Gaps-and-islands in one key
+    partitioning (windows + agg share the shuffle); event_id breaks
+    timestamp ties so runs are deterministic."""
+    from ..operators.scd import scd2_from_snapshots
+
+    return scd2_from_snapshots(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+    )

@@ -934,3 +934,56 @@ class TestProductQuantization:
         m2 = {r.vec_id: list(r.codes) for r in c2}
         assert m1 == m2
         assert all(0 <= x < 16 for codes in m1.values() for x in codes)
+
+
+class TestScd2:
+    def test_intervals_and_current_flag(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.scd import (
+            scd2_from_snapshots,
+        )
+
+        rows = [
+            # key 1: a, a, b, a  -> three runs
+            (1, "a", "2024-01-01 00:00:00", 1),
+            (1, "a", "2024-01-01 01:00:00", 2),
+            (1, "b", "2024-01-01 02:00:00", 3),
+            (1, "a", "2024-01-01 03:00:00", 4),
+            # key 2: single observation
+            (2, "x", "2024-01-01 00:30:00", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, attr string, ts string, id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = scd2_from_snapshots(df, "k", "attr", "ts", "id").collect()
+        by_key = {}
+        for r in sorted(out, key=lambda r: (r.k, r.valid_from)):
+            by_key.setdefault(r.k, []).append(r)
+        h1 = by_key[1]
+        assert [r.attr for r in h1] == ["a", "b", "a"]
+        assert [r.n_observations for r in h1] == [2, 1, 1]
+        # intervals chain: valid_to == next valid_from; last is open
+        assert h1[0].valid_to == h1[1].valid_from
+        assert h1[1].valid_to == h1[2].valid_from
+        assert h1[2].valid_to is None and h1[2].is_current
+        assert not h1[0].is_current and not h1[1].is_current
+        h2 = by_key[2]
+        assert len(h2) == 1 and h2[0].is_current and h2[0].n_observations == 1
+
+    def test_timestamp_ties_break_on_id(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.scd import (
+            scd2_from_snapshots,
+        )
+
+        rows = [
+            (1, "a", "2024-01-01 00:00:00", 2),
+            (1, "b", "2024-01-01 00:00:00", 1),  # same ts, lower id first
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, attr string, ts string, id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = sorted(
+            scd2_from_snapshots(df, "k", "attr", "ts", "id").collect(),
+            key=lambda r: not r.is_current,
+        )
+        # id=1 ("b") sorts first, so "a" is the current run
+        assert [r.attr for r in out] == ["a", "b"]

@@ -129,3 +129,25 @@ class TestSessionizeProperty:
                 assert delta <= 30
             else:
                 assert delta > 30
+
+
+class TestBloomProperties:
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                      max_size=50, unique=True),
+    )
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_bloom_never_false_negative(self, spark, keys):
+        """Property: every inserted key passes the filter (bloom filters
+        may false-positive, never false-negative) for ANY key set."""
+        from dlt_salesforce_iceberg_rest_demo_spark.functions import bloom
+
+        df = spark.createDataFrame([(k,) for k in keys], "key long")
+        words = bloom.bloom_build(df, "key", n_bits=1 << 12, k=3)
+        passed = df.filter(
+            bloom.bloom_might_contain(F.col("key"), words, n_bits=1 << 12, k=3)
+        ).count()
+        assert passed == len(keys)

@@ -125,3 +125,25 @@ def test_nanos_cursor_pushdown_plan_and_result(spark):
     assert sorted(r.event_id for r in inc.collect()) == sorted(
         r.event_id for r in plain.collect()
     )
+
+
+def test_arrow_udf_matches_native_token_count(spark):
+    """useArrow=True row-wise UDF tier: exact agreement with the
+    JVM-native split/size expression."""
+    from dlt_salesforce_iceberg_rest_demo_spark.functions.udfs import (
+        token_count_arrow_udf,
+    )
+    from dlt_salesforce_iceberg_rest_demo_spark.operators.text import tokens
+    from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    udf = token_count_arrow_udf()
+    both = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("native"),
+        udf(F.col("text")).alias("arrow_udf"),
+    )
+    assert both.filter(F.col("native") != F.col("arrow_udf")).count() == 0
+    assert both.count() > 0
