@@ -68,6 +68,13 @@ EXTENSION_HEADLINE = [
     "similarity_quantized_topk",
     "sketch_count_min_users",
     "text_pack_sequences",
+    "text_unigram_surprisal",
+    "graph_pagerank_customers_suppliers",
+    "gapfill_interpolate_hourly",
+    "bloom_prefilter_supplier_revenue",
+    "window_time_range_rolling",
+    "sketch_theta_audience_overlap",
+    "scd2_user_event_history",
 ]
 
 

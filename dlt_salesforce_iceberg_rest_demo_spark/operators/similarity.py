@@ -569,24 +569,59 @@ def pq_fit(
     id_col: str = "vec_id",
 ) -> "list[list[list[float]]]":
     """Train ``m`` per-subspace codebooks (each ``n_codes`` centroids)
-    by running the DataFrame k-means (`kmeans_fit`) on each
-    ``dim/m``-slice of the L2-normalized corpus. Codebook matrix is
+    with JOINT Lloyd iterations: one Arrow-batched assignment pass
+    computes all ``m`` sub-codes per vector (`_pq_encode_udf`), and one
+    aggregation updates every (subspace, code, dim) mean cell - 2 Spark
+    jobs per iteration total, vs ``m`` independent k-means runs (the
+    naive composition was m*iters*2 jobs and dominated wall-clock).
+    The update shuffle carries at most ``m * n_codes * dim/m`` cells
+    regardless of corpus size. Init = the ``n_codes`` lowest-id
+    normalized vectors' slices (deterministic). Codebook matrix is
     ``m * n_codes * (dim/m)`` doubles - always driver-safe. At 100 TB
-    you'd train on a corpus sample (`df.sample`) - the codebook
-    quality saturates long before the corpus is exhausted."""
+    you'd train on a corpus sample (`df.sample`) - codebook quality
+    saturates long before the corpus is exhausted."""
+    import numpy as np
+
     dim = len(corpus.select(vec_col).first()[0])
     dsub = dim // m
+    seed_rows = corpus.orderBy(id_col).limit(n_codes).collect()
+    seeds = np.array(
+        [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
+    )
+    norms = np.sqrt((seeds * seeds).sum(axis=1, keepdims=True))
+    np.divide(seeds, norms, out=seeds, where=norms > 0)
+    books = [
+        [list(map(float, seeds[c, j * dsub : (j + 1) * dsub]))
+         for c in range(n_codes)]
+        for j in range(m)
+    ]
+
     norm = _norm(F.col(vec_col))
     unit = corpus.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("u"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("u")
     ).filter(norm > 0)
-    books = []
-    for j in range(m):
-        sub = unit.select(
-            F.col(id_col), F.slice(F.col("u"), j * dsub + 1, dsub).alias("sub")
+    for _ in range(iters):
+        enc = _pq_encode_udf(books)
+        cells = (
+            unit.select(F.col("u"), enc(F.col("u")).alias("codes"))
+            .filter(F.col("codes").isNotNull())
+            .select(F.posexplode("u").alias("dim", "x"), F.col("codes"))
+            .select(
+                (F.col("dim") / dsub).cast("int").alias("j"),
+                F.element_at(
+                    "codes", (F.col("dim") / dsub).cast("int") + 1
+                ).alias("code"),
+                (F.col("dim") % dsub).cast("int").alias("d"),
+                F.col("x"),
+            )
+            .groupBy("j", "code", "d")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
         )
-        books.append(kmeans_fit(sub, n_codes, iters, vec_col="sub", id_col=id_col))
+        new = [[list(c) for c in book] for book in books]
+        for r in cells:
+            new[r["j"]][r["code"]][r["d"]] = r["mean"]
+        books = new
     return books
 
 
