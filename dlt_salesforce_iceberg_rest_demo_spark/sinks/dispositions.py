@@ -298,6 +298,50 @@ class ParquetLake:
         # semantics), not the copy-on-write rewrite size.
         return WriteReport(table, "merge", batch_rows)
 
+    # -- lake maintenance (Iceberg rewrite_data_files / expire_snapshots
+    #    analogs; the reference has no maintenance story - PyIceberg
+    #    single-writer appends accrete files forever, README.md:269-281) --
+
+    def compact(self, table: str, target_files: int = 1) -> "WriteReport":
+        """Rewrite the CURRENT snapshot into one fresh data dir with
+        ``target_files`` files and commit it as a new snapshot - the
+        small-file compaction every append-heavy lake needs (at 100 TB
+        the cursor-poll pipeline lands a file per poll per table; scan
+        cost follows file count, not byte count, once files are small).
+        Logically a no-op: readers before/after see identical rows;
+        old snapshots still resolve until `vacuum`."""
+        df = self.read(table).coalesce(target_files)
+        name, rows = self._new_data_dir(table, df)
+        self._commit(table, [name])
+        return WriteReport(table, "compact", rows)
+
+    def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
+        """Expire old snapshots: keep the last ``keep_last`` manifests,
+        delete older manifests and any data dir no kept manifest
+        references. Time travel shortens to the kept window; the
+        current snapshot is never touched. Returns the deleted data
+        dirs (relative names) for audit logging."""
+        import shutil
+
+        tdir = self.root / table
+        current = self._current_version(table)
+        keep = range(max(0, current - keep_last + 1), current + 1)
+        referenced: set[str] = set()
+        for v in keep:
+            manifest = tdir / f"_MANIFEST.{v}.json"
+            if manifest.exists():
+                referenced.update(json.loads(manifest.read_text()))
+        deleted = []
+        for p in sorted(tdir.glob("data_*")):
+            if p.name not in referenced:
+                shutil.rmtree(p)
+                deleted.append(p.name)
+        for m in tdir.glob("_MANIFEST.*.json"):
+            v = int(m.name.split(".")[1])
+            if v not in keep:
+                m.unlink()
+        return deleted
+
     def write(
         self,
         df: DataFrame,

@@ -158,3 +158,45 @@ class TestCatalog:
         lake.append(df_of(spark, [Row(id=1)]), "t")
         lake.drop_table("t")
         assert not lake.exists("t")
+
+
+class TestMaintenance:
+    def test_compact_preserves_rows_and_collapses_manifest(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        for i in range(3):
+            lake.append(df_of(spark, [Row(id=i, v=f"v{i}")]), "t")
+        before = rows_by_id(lake, "t")
+        assert len(lake._current_manifest("t")) == 3
+        rep = lake.compact("t")
+        assert rep.disposition == "compact" and rep.rows_written == 3
+        assert len(lake._current_manifest("t")) == 1
+        assert rows_by_id(lake, "t") == before
+
+    def test_vacuum_deletes_unreferenced_dirs_keeps_current(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        for i in range(3):
+            lake.append(df_of(spark, [Row(id=i, v=f"v{i}")]), "t")
+        lake.compact("t")
+        before = rows_by_id(lake, "t")
+        tdir = lake.root / "t"
+        n_dirs_before = len(list(tdir.glob("data_*")))
+        deleted = lake.vacuum("t", keep_last=1)
+        assert deleted  # the three pre-compaction dirs
+        assert len(list(tdir.glob("data_*"))) == n_dirs_before - len(deleted)
+        # current snapshot untouched and readable
+        assert rows_by_id(lake, "t") == before
+        # old manifests pruned, current one kept
+        versions = sorted(
+            int(m.name.split(".")[1]) for m in tdir.glob("_MANIFEST.*.json")
+        )
+        assert versions == [lake._current_version("t")]
+
+    def test_vacuum_keep_last_two_preserves_previous_snapshot(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.append(df_of(spark, [Row(id=2, v="b")]), "t")
+        lake.replace(df_of(spark, [Row(id=9, v="z")]), "t")
+        deleted = lake.vacuum("t", keep_last=2)
+        # v2 (the two appended dirs) is still referenced by manifest 2
+        assert deleted == []
+        assert rows_by_id(lake, "t") == {9: {"id": 9, "v": "z"}}
