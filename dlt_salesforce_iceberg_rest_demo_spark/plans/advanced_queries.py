@@ -613,3 +613,107 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes: ordered funnel, cohort retention.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_signup_view,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel
+    """,
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> view AFTER signup -> purchase AFTER
+    that view): per-stage user counts where each stage's earliest
+    qualifying event must strictly follow the previous stage's. Three
+    conditional-min aggregations chained by joins on per-user stage
+    times — each intermediate is <= one row per user, so the joins
+    shrink monotonically (the 100 TB funnel pattern; no window over
+    the raw event stream is ever materialized)."""
+    from pyspark.sql import functions as F
+
+    ev = t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_signup_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@register(
+    "cohort_retention_daily",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
+             AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firstday f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later active day as an integer day offset — the standard
+    retention-matrix input. One distinct (user, day) projection plus a
+    per-user min; the join keys on user_id and all arithmetic is
+    integer date math (exact in both engines)."""
+    from pyspark.sql import functions as F
+
+    ev = t(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(firstday, "user_id")
+        .groupBy(
+            # DATE comes back as python-object dates via toPandas while
+            # DuckDB gives datetime64 - emit TIMESTAMP on both sides
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
