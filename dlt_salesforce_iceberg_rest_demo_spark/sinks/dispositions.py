@@ -95,13 +95,48 @@ class ParquetLake:
         props = self.root / table / "_PROPERTIES.json"
         return json.loads(props.read_text()) if props.exists() else {}
 
-    def read(self, table: str) -> DataFrame:
-        """Scan the current snapshot (S4)."""
-        dirs = self._current_manifest(table)
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Scan a snapshot (S4): the current one, or ``version`` for
+        time travel (any manifest `vacuum` hasn't expired)."""
+        if version is None:
+            dirs = self._current_manifest(table)
+        else:
+            manifest = self.root / table / f"_MANIFEST.{version}.json"
+            if not manifest.exists():
+                raise ValueError(
+                    f"snapshot {version} of {table} does not exist "
+                    "(never written, or expired by vacuum)"
+                )
+            dirs = json.loads(manifest.read_text())
         if not dirs:
             return self.spark.createDataFrame([], self.schema(table))
         paths = [str(self.root / table / d) for d in dirs]
         return self.spark.read.schema(self.schema(table)).parquet(*paths)
+
+    def current_version(self, table: str) -> int:
+        """Public snapshot id for time travel / diff."""
+        return self._current_version(table)
+
+    def diff(
+        self, table: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed between two snapshots: the multiset difference in
+        both directions, tagged ``insert`` / ``delete`` (an update under
+        the merge disposition appears as a delete+insert pair, exactly
+        the reference's delete-then-insert merge semantics,
+        salesforce_pipeline.py:83-130).
+
+        ``exceptAll`` keeps duplicate multiplicity, so batch-local
+        duplicate PKs (which the reference preserves) diff correctly.
+        At 100 TB both sides hash-shuffle once on the full row; for
+        PK-keyed tables prefer diffing on (pk, row-hash) projections."""
+        old = self.read(table, from_version)
+        new = self.read(table, to_version)
+        return new.exceptAll(old).withColumn(
+            "change_type", F.lit("insert")
+        ).unionByName(
+            old.exceptAll(new).withColumn("change_type", F.lit("delete"))
+        )
 
     def count(self, table: str) -> int:
         """A1 verification count - metadata-only on parquet footers."""

@@ -200,3 +200,37 @@ class TestMaintenance:
         # v2 (the two appended dirs) is still referenced by manifest 2
         assert deleted == []
         assert rows_by_id(lake, "t") == {9: {"id": 9, "v": "z"}}
+
+
+class TestTimeTravelAndDiff:
+    def test_read_old_version_and_diff_inserts(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        v1 = lake.current_version("t")
+        lake.append(df_of(spark, [Row(id=2, v="b")]), "t")
+        assert rows_by_id(lake, "t").keys() == {1, 2}
+        # time travel: v1 still sees only row 1
+        old = {r["id"] for r in lake.read("t", version=v1).collect()}
+        assert old == {1}
+        changes = lake.diff("t", v1).collect()
+        assert [(r.id, r.change_type) for r in changes] == [(2, "insert")]
+
+    def test_merge_update_diffs_as_delete_insert_pair(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.merge(df_of(spark, [Row(id=1, v="old"), Row(id=2, v="keep")]),
+                   "t", ("id",))
+        v1 = lake.current_version("t")
+        lake.merge(df_of(spark, [Row(id=1, v="new")]), "t", ("id",))
+        changes = {(r.id, r.v, r.change_type) for r in lake.diff("t", v1).collect()}
+        assert changes == {(1, "new", "insert"), (1, "old", "delete")}
+
+    def test_vacuumed_version_raises(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        v1 = lake.current_version("t")
+        lake.replace(df_of(spark, [Row(id=9, v="z")]), "t")
+        lake.vacuum("t", keep_last=1)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="expired|does not exist"):
+            lake.read("t", version=v1)
