@@ -717,3 +717,36 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (`operators/incremental_agg`): the event stream split into two
+    'arrival batches' at a timestamp cutoff, each partially
+    aggregated, then MERGED as state - proving
+    merge(partial(b1), partial(b2)) == full recompute exactly (the
+    oracle is the direct one-shot aggregate). Counts and decimal sums
+    merge associatively, so a 100 TB rollup maintains from each day's
+    batch alone."""
+    from pyspark.sql import functions as F
+
+    from ..operators import incremental_agg as ia
+
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    b1 = ev.filter(F.col("ts") < cutoff)
+    b2 = ev.filter(F.col("ts") >= cutoff)
+    state = ia.merge_rollup(
+        ia.partial_rollup(b1, ["event_type"], ["value"]),
+        ia.partial_rollup(b2, ["event_type"], ["value"]),
+        ["event_type"],
+    )
+    return ia.rollup_as_result(state, ["value"])

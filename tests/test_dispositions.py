@@ -234,3 +234,38 @@ class TestTimeTravelAndDiff:
 
         with _pytest.raises(ValueError, match="expired|does not exist"):
             lake.read("t", version=v1)
+
+
+class TestIncrementalRollup:
+    def test_state_maintained_across_appends_equals_recompute(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import (
+            incremental_agg as ia,
+        )
+
+        lake = make_lake(spark, tmp_path)
+        b1 = df_of(spark, [Row(k="a", v=1.5), Row(k="a", v=2.25), Row(k="b", v=3.0)])
+        b2 = df_of(spark, [Row(k="a", v=-0.75), Row(k="c", v=10.0)])
+
+        # maintain rollup state in the lake across two batch arrivals
+        lake.append(b1, "facts")
+        state = ia.partial_rollup(b1, ["k"], ["v"])
+        lake.replace(state, "rollup")
+        lake.append(b2, "facts")
+        state = ia.merge_rollup(
+            lake.read("rollup"), ia.partial_rollup(b2, ["k"], ["v"]), ["k"]
+        )
+        lake.replace(state, "rollup")
+
+        got = {
+            r.k: (r.n_rows, float(r.sum_v))
+            for r in lake.read("rollup").collect()
+        }
+        full = {
+            r.k: (r.n_rows, float(r.sum_v))
+            for r in ia.partial_rollup(lake.read("facts"), ["k"], ["v"]).collect()
+        }
+        assert got == full == {
+            "a": (3, 3.0), "b": (1, 3.0), "c": (1, 10.0)
+        }
