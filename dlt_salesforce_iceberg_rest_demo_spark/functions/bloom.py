@@ -66,8 +66,13 @@ def bloom_might_contain(
     key: Column, words: list[int], n_bits: int = 1 << 16, k: int = 4
 ) -> Column:
     """Membership test against the literal word array — pure codegen'd
-    bit arithmetic, no UDF, evaluated at the fact scan."""
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    bit arithmetic, no UDF, evaluated at the fact scan.
+
+    The word array is ONE Literal (``F.lit(list)``), not
+    ``F.array(*1024 lits)``: a per-element construction costs ~4k
+    analyzer nodes across the probes and dominated wall-clock as
+    PLAN-time (2s/query observed) before a single row was read."""
+    arr = F.lit(words).cast("array<long>")
     one = F.lit(1).cast("long")
     cond = None
     for i in range(k):

@@ -703,10 +703,10 @@ def pq_topk(
             [list(map(float, mats[j] @ v[j * dsub : (j + 1) * dsub]))
              for j in range(len(mats))]
         )
-    lut_lit = F.array(
-        *[F.array(*[F.array(*[F.lit(x) for x in row]) for row in lut])
-          for lut in luts]
-    )
+    # ONE nested Literal, not F.array-of-F.array-of-F.lit: per-element
+    # construction adds n_q*m*n_codes analyzer nodes (2k+ here) and the
+    # plan-time cost dwarfs execution (see functions/bloom.py note).
+    lut_lit = F.lit(luts).cast("array<array<array<double>>>")
     qdf = F.broadcast(
         corpus.sparkSession.createDataFrame(
             [(q, i + 1) for i, q in enumerate(qids)], "query_id long, qpos int"

@@ -750,3 +750,46 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
     )
     return ia.rollup_as_result(state, ["value"])
+
+
+@register(
+    "corpus_split_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by md5 of the
+    document id — the standard leakage-safe corpus split: membership is
+    a pure function of the id, so re-runs, backfills, and different
+    cluster sizes never move a document across splits. Map-side only;
+    the oracle recomputes the identical md5 bucket in DuckDB."""
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

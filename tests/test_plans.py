@@ -103,6 +103,27 @@ class TestShuffleShape:
         # at most 2 exchanges total (window sort + agg reuse)
         assert plan.count("Exchange hashpartitioning") <= 2
 
+    def test_scd2_rides_single_key_partitioning(self, spark):
+        # lag window + running-sum window + run aggregate + lead window
+        # all share the user_id hash partitioning: exactly ONE exchange
+        plan = plan_of(REGISTRY["scd2_user_event_history"].spark(spark, SF_DIR), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_bloom_prefilter_broadcasts_and_aggregates_once(self, spark):
+        # map-side bloom filter -> broadcast semi-join -> one agg shuffle
+        plan = plan_of(
+            REGISTRY["bloom_prefilter_supplier_revenue"].spark(spark, SF_DIR),
+            "simple",
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_time_range_window_single_exchange(self, spark):
+        plan = plan_of(
+            REGISTRY["window_time_range_rolling"].spark(spark, SF_DIR), "simple"
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
     def test_aggregation_is_partial_then_final(self, spark):
         plan = plan_of(REGISTRY["agg_pricing_summary"].spark(spark, SF_DIR), "simple")
         # map-side combine: partial_ aggregate functions before the shuffle
