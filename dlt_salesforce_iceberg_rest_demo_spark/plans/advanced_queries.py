@@ -765,7 +765,8 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'test'
              END AS split
       FROM documents)
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY split
     """,
 )
@@ -792,4 +793,49 @@ def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+_ANOMALY_SQL = """
+WITH ints AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi
+  FROM {events}),
+m AS (
+  SELECT event_id, user_id, ts, value, vi,
+         CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+         CAST(CAST(SUM(vi) OVER w AS {bigsum}) AS DOUBLE) AS s,
+         CAST(CAST(SUM(vi * vi) OVER w AS {bigsum}) AS DOUBLE) AS ss
+  FROM ints
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts, value, roll_n,
+  CASE WHEN roll_n > 1 AND (ss / roll_n - (s / roll_n) * (s / roll_n)) > 0
+       THEN (vi - s / roll_n)
+            / sqrt(ss / roll_n - (s / roll_n) * (s / roll_n))
+  END AS zscore,
+  CASE WHEN roll_n > 1 AND (ss / roll_n - (s / roll_n) * (s / roll_n)) > 0
+       THEN abs((vi - s / roll_n)
+                / sqrt(ss / roll_n - (s / roll_n) * (s / roll_n))) > 2
+       ELSE FALSE
+  END AS is_anomaly
+FROM m
+"""
+
+
+@register(
+    "window_rolling_anomaly_zscore",
+    oracle=_ANOMALY_SQL.format(events="events", bigsum="HUGEINT"),
+)
+def window_rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event's value z-scored against
+    the user's trailing 24-hour window (time-RANGE frame). The rolling
+    moments are EXACT integer sums of cents (the stats_corr_regression
+    trick - engine float window kernels are order-dependent), converted
+    to double once; the variance/z arithmetic is then the identical
+    IEEE op sequence in both engines. Flat/singleton windows emit NULL
+    z (var<=0 guard on both sides). One shuffle on user_id."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("adv_anom_events")
+    return spark.sql(
+        _ANOMALY_SQL.format(events="adv_anom_events", bigsum="DECIMAL(38,0)")
     )
