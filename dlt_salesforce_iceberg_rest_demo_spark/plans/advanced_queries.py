@@ -39,7 +39,7 @@ WITH RECURSIVE reach(root, node, depth) AS (
 )
 SELECT root, depth, COUNT(*) AS n_nodes,
        MIN(node) AS min_node, MAX(node) AS max_node,
-       SUM(node) AS sum_node
+       CAST(SUM(node) AS BIGINT) AS sum_node
 FROM reach GROUP BY root, depth
 """
 
