@@ -839,3 +839,98 @@ def window_rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         _ANOMALY_SQL.format(events="adv_anom_events", bigsum="DECIMAL(38,0)")
     )
+
+
+@register(
+    "scalar_url_functions",
+    oracle="""
+    WITH urls AS (
+      SELECT event_id,
+             'https://' || event_type || '.example.com/u/'
+               || CAST(user_id AS VARCHAR) || '?k='
+               || json_extract_string(props, '$.k') AS url
+      FROM events)
+    SELECT event_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?k=([0-9]+)$', 1) AS k_param,
+           split_part(regexp_extract(url, '^[a-z]+://([^/]+)/', 1), '.', 1)
+             AS subdomain
+    FROM urls
+    """,
+)
+def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing library (parse_url PROTOCOL/HOST/PATH/QUERY-key +
+    subdomain split) over URLs derived from event attributes - the
+    domain-filtering primitives a crawl-corpus pipeline needs (source
+    blocklists, per-domain quotas). Spark's parse_url is a dedicated
+    expression; the oracle reconstructs each component with RE2
+    regexes in DuckDB."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("adv_url_events")
+    return spark.sql(
+        """
+        WITH urls AS (
+          SELECT event_id,
+                 CONCAT('https://', event_type, '.example.com/u/',
+                        CAST(user_id AS STRING), '?k=',
+                        get_json_object(props, '$.k')) AS url
+          FROM adv_url_events)
+        SELECT event_id,
+               parse_url(url, 'PROTOCOL') AS proto,
+               parse_url(url, 'HOST') AS host,
+               parse_url(url, 'PATH') AS path,
+               parse_url(url, 'QUERY', 'k') AS k_param,
+               split_part(parse_url(url, 'HOST'), '.', 1) AS subdomain
+        FROM urls
+        """
+    )
+
+
+@register(
+    "text_ngram_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk)-1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM toks WHERE len(tk) >= 2)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT g) AS n_distinct_bigrams,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS diversity
+    FROM grams GROUP BY doc_id
+    """,
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram diversity (distinct-bigram ratio): the self-repetition
+    quality signal complementary to `text_repetition_score` (top-token
+    mass) - templated/generated text scores low. Integer counts + one
+    final division, so the oracle is exact; the explode shuffles
+    (doc_id, gram) pairs once."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    # raw bigram MULTISET (dedup.shingles_tokens array_distincts for
+    # Jaccard set semantics - here repeats are the signal)
+    raw_bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, (i + 1).cast("int")),
+            F.element_at(tk, (i + 2).cast("int")),
+        ),
+    )
+    grams = (
+        d.select("doc_id", tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select("doc_id", F.explode(raw_bigrams).alias("g"))
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count_distinct("g").alias("n_distinct_bigrams"),
+        (F.count_distinct("g").cast("double") / F.count("*")).alias("diversity"),
+    )

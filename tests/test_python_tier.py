@@ -147,3 +147,46 @@ def test_arrow_udf_matches_native_token_count(spark):
     )
     assert both.filter(F.col("native") != F.col("arrow_udf")).count() == 0
     assert both.count() > 0
+
+
+def test_apply_in_arrow_matches_native_extrema(spark):
+    from dlt_salesforce_iceberg_rest_demo_spark.functions.arrow_tier import (
+        group_extrema_apply_in_arrow,
+    )
+    from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    arrow = {
+        r.user_id: (r.n_events, r.min_value, r.max_value)
+        for r in group_extrema_apply_in_arrow(ev).collect()
+    }
+    native = {
+        r.user_id: (r.n_events, r.min_value, r.max_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert arrow == native and len(arrow) > 0
+
+
+def test_map_in_arrow_matches_native_withcolumn(spark):
+    from dlt_salesforce_iceberg_rest_demo_spark.functions.arrow_tier import (
+        add_double_map_in_arrow,
+    )
+    from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    arrow = {r.event_id: r.doubled for r in add_double_map_in_arrow(ev).collect()}
+    native = {
+        r.event_id: r.doubled
+        for r in ev.withColumn("doubled", F.col("value") * 2).collect()
+    }
+    assert arrow == native and len(arrow) > 0
