@@ -173,16 +173,32 @@ class ParquetLake:
         return [c for c in spec.split(",") if c]
 
     def _new_data_dir(self, table: str, df: DataFrame) -> tuple[str, int]:
-        """Materialize df as an immutable data dir; returns (name, rows)."""
+        """Materialize df as an immutable data dir; returns (name, rows).
+
+        The row count rides the write itself via ``observe()`` (one
+        scan total) - the previous read-back count was a second full
+        scan of just-written data per commit, which at 100 TB doubles
+        every load's I/O. Falls back to the read-back count if the
+        observation can't attach (non-classic backends)."""
+        from pyspark.sql import Observation
+
         tdir = self.root / table
         v = self._current_version(table) + 1
         name = f"data_{v:06d}"
+        try:
+            obs = Observation(f"rows_{table}_{v}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        except Exception:
+            obs = None
         writer = df.write.mode("errorifexists")
         parts = self.partition_columns(table)
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(str(tdir / name))
-        rows = self.spark.read.parquet(str(tdir / name)).count()
+        if obs is not None:
+            rows = int(obs.get["n"])
+        else:
+            rows = self.spark.read.parquet(str(tdir / name)).count()
         return name, rows
 
     # -- W5: auto-create ---------------------------------------------------
