@@ -4,6 +4,7 @@ from .incremental import (
     streaming_sessionize,
     incremental_merge_stream,
     stateful_user_totals,
+    streaming_heavy_hitters,
     stateful_user_totals_tws,
     dedup_within_watermark,
     stream_stream_interval_join,
@@ -15,6 +16,7 @@ __all__ = [
     "streaming_sessionize",
     "incremental_merge_stream",
     "stateful_user_totals",
+    "streaming_heavy_hitters",
     "stateful_user_totals_tws",
     "dedup_within_watermark",
     "stream_stream_interval_join",

@@ -307,3 +307,80 @@ def stateful_user_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    col: str = "event_type",
+    shards: int = 8,
+    capacity: int = 64,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: the unbounded-stream twin
+    of ``operators.sketches.heavy_hitters``. Values hash into
+    ``shards`` state groups; each group folds its micro-batch slice
+    into a bounded (<= capacity-1 entries) MG summary persisted in
+    ``applyInPandasWithState`` and emits its current table each batch.
+
+    MG summaries are mergeable (Agarwal et al., "Mergeable
+    Summaries"), so the reader unions shard outputs and sums per key:
+    estimates obey ``c(x) - n/capacity <= e(x) <= c(x)`` over the
+    whole stream history. State per shard is O(capacity) forever -
+    memory never tracks stream length, the property that makes this
+    viable on an unbounded 100 TB/day firehose.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("est", T.LongType()),
+            T.StructField("shard_rows", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts, n = state.get
+            mg = dict(zip(keys, counts))
+        else:
+            mg, n = {}, 0
+        for pdf in pdfs:
+            for v in pdf[col]:
+                n += 1
+                if v in mg:
+                    mg[v] += 1
+                elif len(mg) < capacity - 1:
+                    mg[v] = 1
+                else:
+                    # decrement-all step: drop zeros
+                    mg = {k: c - 1 for k, c in mg.items() if c > 1}
+                    mg[v] = 1
+        state.update((list(mg.keys()), list(mg.values()), n))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(mg),
+                "key": list(mg.keys()),
+                "est": list(mg.values()),
+                "shard_rows": [n] + [0] * (len(mg) - 1),
+            }
+        )
+
+    sharded = events.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(col)), F.lit(shards))
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

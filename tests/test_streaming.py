@@ -260,3 +260,54 @@ def test_stateful_user_totals_tws_matches_old_api(spark, tmp_path):
     assert latest[1] == (3, 17.5)
     assert latest[2] == (1, 1.0)
     assert latest[3] == (1, 7.0)
+
+
+def test_streaming_heavy_hitters_bounds_across_batches(spark, tmp_path):
+    """Sharded streaming Misra-Gries: after two micro-batches the
+    merged estimates cover both batches' rows within the MG bound
+    (c(x) - n/capacity <= est <= c(x)), with bounded state."""
+    from collections import Counter
+
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
+        streaming_heavy_hitters,
+    )
+
+    landing = tmp_path / "hh_in"
+    landing.mkdir()
+    b1 = ["a"] * 50 + ["b"] * 30 + ["c"] * 5
+    b2 = ["a"] * 20 + ["d"] * 40 + ["c"] * 5
+    spark.createDataFrame([(v,) for v in b1], "event_type string").coalesce(1) \
+        .write.parquet(str(landing / "b1"))
+
+    stream = spark.readStream.schema("event_type string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(landing / "*"))
+    q = (
+        streaming_heavy_hitters(stream, capacity=8)
+        .writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([(v,) for v in b2], "event_type string").coalesce(1) \
+        .write.parquet(str(landing / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    # latest emission per (shard, key): max est wins (update sink appends)
+    rows = spark.sql("SELECT * FROM hh").collect()
+    latest = {}
+    for r in rows:
+        latest[(r.shard, r.key)] = max(latest.get((r.shard, r.key), 0), r.est)
+    merged = Counter()
+    for (_, k), est in latest.items():
+        merged[k] += est
+    true = Counter(b1 + b2)
+    n = len(b1) + len(b2)
+    for k, c in true.items():
+        assert merged[k] <= c, (k, merged[k], c)
+        assert merged[k] >= c - n / 8, (k, merged[k], c)
+    # the two dominant keys must be present
+    assert merged["a"] > 0 and merged["d"] > 0
