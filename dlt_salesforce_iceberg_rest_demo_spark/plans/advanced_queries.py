@@ -934,3 +934,46 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("g").alias("n_distinct_bigrams"),
         (F.count_distinct("g").cast("double") / F.count("*")).alias("diversity"),
     )
+
+
+@register(
+    "scalar_date_functions2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+             AS plus_3_months,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+             AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + to_days(CAST(
+               CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                    ELSE (8 - isodow(o_orderdate)) % 7 END AS INT))
+             AS TIMESTAMP) AS next_monday,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sunday1,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_monday0,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+    FROM orders
+    """,
+)
+def scalar_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-navigation tranche 2: month arithmetic with day
+    clamping (add_months), month-end (last_day), next-weekday
+    (next_day), both day-of-week conventions, and integer day
+    differences. DuckDB reproduces add_months/next_day with interval
+    arithmetic on isodow; DATE results are CAST to TIMESTAMP on both
+    sides (python-date vs datetime64 pandas repr mismatch
+    otherwise)."""
+    from pyspark.sql import functions as F
+
+    d = F.col("o_orderdate")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp").alias("plus_3_months"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.next_day(d, "Mon").cast("timestamp").alias("next_monday"),
+        F.dayofweek(d).alias("dow_sunday1"),
+        F.weekday(d).alias("weekday_monday0"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
