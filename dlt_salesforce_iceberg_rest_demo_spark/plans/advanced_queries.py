@@ -977,3 +977,41 @@ def scalar_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_95"
         ),
     )
+
+
+@register(
+    "dq_check_orders",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_o_custkey,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS dup_o_orderkey,
+             COUNT(*) FILTER (WHERE o_totalprice NOT BETWEEN 0 AND 10000000)
+               AS range_o_totalprice,
+             COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+               AS invalid_o_orderstatus
+      FROM orders),
+    orphans AS (
+      SELECT COUNT(*) AS orphan_o_custkey
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL)
+    SELECT * FROM agg, orphans
+    """,
+)
+def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract report (`operators/expectations`): the
+    dlt-schema-contract idea as one declarative check set - not-null,
+    PK uniqueness (count minus count-distinct, no self-join), numeric
+    range, categorical membership, and FK referential integrity
+    (broadcast anti-join) over orders. All exact counts; a pipeline
+    gates dispositions on this report instead of failing mid-load."""
+    from ..operators import expectations
+
+    return expectations.check_report(
+        t(spark, sf_dir, "orders"),
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0, 10_000_000)},
+        allowed={"o_orderstatus": ["F", "O", "P"]},
+        references={"o_custkey": (t(spark, sf_dir, "customer"), "c_custkey")},
+    )

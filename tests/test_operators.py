@@ -987,3 +987,31 @@ class TestScd2:
         )
         # id=1 ("b") sorts first, so "a" is the current run
         assert [r.attr for r in out] == ["a", "b"]
+
+
+class TestExpectations:
+    def test_violations_counted_per_check(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import expectations
+
+        rows = [
+            (1, 10.0, "ok", 1),
+            (1, -5.0, "ok", 2),     # dup id, below range
+            (None, 3.0, "bad", 3),  # null id, invalid status
+            (4, 999.0, "ok", 99),   # orphan FK
+        ]
+        df = spark.createDataFrame(rows, "id long, v double, status string, fk long")
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        r = expectations.check_report(
+            df,
+            not_null=["id"],
+            unique=["id"],
+            ranges={"v": (0, 100)},
+            allowed={"status": ["ok"]},
+            references={"fk": (dim, "k")},
+        ).collect()[0]
+        assert r.n_rows == 4
+        assert r.null_id == 1
+        assert r.dup_id == 1      # two rows share id=1 (null not counted)
+        assert r.range_v == 2     # -5 and 999
+        assert r.invalid_status == 1
+        assert r.orphan_fk == 1   # fk=99
