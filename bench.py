@@ -75,6 +75,8 @@ EXTENSION_HEADLINE = [
     "window_time_range_rolling",
     "sketch_theta_audience_overlap",
     "scd2_user_event_history",
+    "window_rolling_anomaly_zscore",
+    "dq_check_orders",
 ]
 
 
