@@ -1015,3 +1015,97 @@ def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed={"o_orderstatus": ["F", "O", "P"]},
         references={"o_custkey": (t(spark, sf_dir, "customer"), "c_custkey")},
     )
+
+
+@register(
+    "funnel_four_step_generalized",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT 0 AS step_index, 'signup' AS step, COUNT(*) AS n_users FROM s0
+    UNION ALL
+    SELECT 1, 'click', COUNT(*) FROM s1
+    UNION ALL
+    SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM s3
+    """,
+)
+def funnel_four_step_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized N-step ordered funnel (`operators/funnel`): the
+    step list is data, not code — signup -> click -> view -> purchase
+    here. Each stage is a conditional-min aggregate joined on the
+    previous stage's per-user completion time; intermediates shrink
+    monotonically. Fully lazy (one deferred DataFrame of per-step
+    counts)."""
+    from ..operators.funnel import ordered_funnel_df
+
+    return ordered_funnel_df(
+        t(spark, sf_dir, "events"),
+        steps=["signup", "click", "view", "purchase"],
+    )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS nation_revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, nation_revenue,
+           nation_revenue / CAST(CAST(SUM(CAST(nation_revenue
+             AS DECIMAL(18,6))) OVER () AS DECIMAL(38,6)) AS DOUBLE)
+             AS revenue_share
+    FROM rev
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent-of-total) window: each nation's revenue
+    share of the grand total via an unpartitioned window sum over the
+    PRE-AGGREGATED frame (25 rows — the window never sees fact rows).
+    Both the per-nation sums and the grand total are decimal-exact, so
+    the final division is one identical IEEE op in both engines."""
+    from pyspark.sql import Window, functions as F
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("nation_revenue")
+        )
+    )
+    total = (
+        F.sum(F.col("nation_revenue").cast("decimal(18,6)"))
+        .over(Window.partitionBy())
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return rev.select(
+        "n_name",
+        "nation_revenue",
+        (F.col("nation_revenue") / total).alias("revenue_share"),
+    )

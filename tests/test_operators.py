@@ -1015,3 +1015,36 @@ class TestExpectations:
         assert r.range_v == 2     # -5 and 999
         assert r.invalid_status == 1
         assert r.orphan_fk == 1   # fk=99
+
+
+class TestOrderedFunnel:
+    def test_funnel_counts_ordered_completion(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.funnel import (
+            ordered_funnel,
+            ordered_funnel_df,
+        )
+
+        rows = [
+            # user 1 completes a->b->c in order
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-01 01:00:00"),
+            (1, "c", "2024-01-01 02:00:00"),
+            # user 2 does b BEFORE a: b must not count
+            (2, "b", "2024-01-01 00:00:00"),
+            (2, "a", "2024-01-01 01:00:00"),
+            # user 3 only a
+            (3, "a", "2024-01-01 00:00:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r.step: r.n_users
+            for r in ordered_funnel(ev, ["a", "b", "c"]).collect()
+        }
+        assert got == {"a": 3, "b": 1, "c": 1}
+        lazy = {
+            r.step: r.n_users
+            for r in ordered_funnel_df(ev, ["a", "b", "c"]).collect()
+        }
+        assert lazy == got
