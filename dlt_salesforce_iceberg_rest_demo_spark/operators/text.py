@@ -472,3 +472,34 @@ def unigram_surprisal(
             ),
         )
     )
+
+
+def clean_text(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Standard corpus text cleaning, entirely map-side (codegen'd
+    regexp_replace chain, no UDF, no shuffle): strip control and
+    zero-width characters, collapse whitespace runs, trim. Returns the
+    cleaned text plus before/after char counts so downstream filters
+    can drop documents the cleaning gutted.
+
+    Regex note: patterns are written in Java syntax here and have RE2
+    equivalents in the oracle (`\\u200b` vs `\\x{200b}`)."""
+    c = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", ""),
+                "[\\u200b\\u200c\\u200d\\ufeff]",
+                "",
+            ),
+            " {2,}",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_before"),
+        cleaned.alias("text_clean"),
+        F.length(cleaned).cast("long").alias("n_chars_after"),
+    )

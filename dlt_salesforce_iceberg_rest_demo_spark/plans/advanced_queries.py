@@ -1109,3 +1109,30 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_revenue",
         (F.col("nation_revenue") / total).alias("revenue_share"),
     )
+
+
+@register(
+    "text_clean_documents",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id, LENGTH(text) AS n_chars_before,
+             TRIM(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[\\x00-\\x1f\\x7f]', '', 'g'),
+                 '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
+               ' {2,}', ' ', 'g')) AS text_clean
+      FROM documents)
+    SELECT doc_id, n_chars_before, text_clean,
+           LENGTH(text_clean) AS n_chars_after
+    FROM cleaned
+    """,
+)
+def text_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text cleaning (`text.clean_text`): control/zero-width
+    char strip + whitespace-run collapse + trim, as one map-side
+    codegen'd regexp chain — the first stage of every pretraining
+    pipeline. Oracle replays the chain with RE2-syntax escapes
+    (DuckDB) vs Java escapes (Spark)."""
+    from ..operators import text as text_ops
+
+    return text_ops.clean_text(t(spark, sf_dir, "documents"))
