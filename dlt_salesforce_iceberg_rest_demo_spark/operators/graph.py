@@ -45,8 +45,15 @@ def pagerank_int(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    # Materialize the (usually join-derived) edge list ONCE: without
+    # this every iteration's lazy plan re-runs the upstream joins -
+    # 3 iterations re-scanned orders x lineitem 3x before the fix.
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(unit).cast("long").alias("rank")
     )
