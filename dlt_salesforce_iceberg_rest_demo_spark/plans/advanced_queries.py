@@ -1136,3 +1136,91 @@ def text_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
 
     return text_ops.clean_text(t(spark, sf_dir, "documents"))
+
+
+# End-to-end pretraining-corpus pipeline: the oracle is composed from
+# the already-registered stage oracles (same by-construction
+# consistency trick as corpus_quality_filter).
+def _corpus_pipeline_oracle() -> str:
+    from .registry import REGISTRY
+
+    return f"""
+    WITH lang AS ({REGISTRY["text_lang_id"].oracle}),
+         qual AS ({REGISTRY["text_quality_score"].oracle}),
+         rep AS ({REGISTRY["text_repetition_score"].oracle}),
+    kept AS (
+      SELECT lang.doc_id FROM lang
+      JOIN qual ON lang.doc_id = qual.doc_id
+      JOIN rep ON lang.doc_id = rep.doc_id
+      WHERE lang.lang_pred <> 'und' AND qual.quality >= 0.5
+        AND rep.top_token_frac <= 0.3),
+    dedup AS (
+      SELECT MIN(d.doc_id) AS keep_id, LENGTH(MIN_BY(d.text, d.doc_id))
+               AS n_chars
+      FROM documents d JOIN kept ON d.doc_id = kept.doc_id
+      GROUP BY d.text),
+    assigned AS (
+      SELECT keep_id, n_chars,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM dedup)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split
+    """
+
+
+@register("corpus_pipeline_end_to_end", oracle=_corpus_pipeline_oracle())
+def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-corpus pass as ONE deferred plan:
+    quality/language/repetition filter -> exact dedup (min-id
+    representative per text) -> deterministic md5 train/val/test
+    split -> per-split doc and char counts. Every stage is a
+    previously-registered operator; the oracle nests the SAME stage
+    oracles as CTEs, so end-to-end consistency is by construction.
+    Plan: two shuffles touch full text (repetition + dedup groupBy);
+    everything else moves (doc_id, signal) pairs."""
+    from pyspark.sql import functions as F
+
+    from ..operators import text as text_ops
+
+    docs = t(spark, sf_dir, "documents")
+    lang = text_ops.lang_id(docs).select("doc_id", "lang_pred")
+    qual = text_ops.quality_score(docs).select("doc_id", "quality")
+    rep = text_ops.repetition_score(docs).select("doc_id", "top_token_frac")
+    kept = (
+        lang.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("lang_pred") != "und")
+            & (F.col("quality") >= 0.5)
+            & (F.col("top_token_frac") <= 0.3)
+        )
+        .select("doc_id")
+    )
+    dedup = (
+        docs.join(kept, "doc_id")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id", F.length("text").cast("long").alias("n_chars"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("keep_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        dedup.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
