@@ -184,3 +184,55 @@ def normalize_batch(
     if target is not None:
         out = align_to_schema(out, target)
     return out
+
+
+def explode_nested(
+    df: DataFrame,
+    parent_name: str,
+    id_col: str = "_dlt_id",
+) -> dict[str, DataFrame]:
+    """dlt-normalize child-table extraction: every array-of-struct
+    column becomes its own child table keyed back to the parent.
+
+    dlt's normalize layer relationalizes nested data as
+    ``<parent>__<field>`` tables carrying ``_dlt_parent_id`` (the
+    parent row's ``_dlt_id``) and ``_dlt_list_idx`` (the element's
+    position). The reference never exercises it - Salesforce compound
+    fields are pruned to flat leaves
+    (`salesforce/helpers/records.py:70-84`) - but the layer is part of
+    the framework's contract, so the Spark engine carries it too.
+
+    Returns ``{parent_name: parent_df_without_nested_cols,
+    "<parent>__<field>": child_df, ...}``. Requires ``id_col`` on the
+    parent (add via `add_lineage` first). posexplode is map-side; each
+    child table is written/partitioned independently downstream, which
+    is exactly how nested data stays scan-efficient at 100 TB (child
+    scans never touch parent payloads).
+    """
+    if id_col not in df.columns:
+        raise ValueError(f"{id_col} missing - run add_lineage first")
+    out: dict[str, DataFrame] = {}
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.ArrayType)
+        and isinstance(f.dataType.elementType, T.StructType)
+    ]
+    parent = df
+    for col in nested:
+        child = (
+            df.select(
+                F.col(id_col).alias("_dlt_parent_id"),
+                F.posexplode(F.col(col)).alias("_dlt_list_idx", "__elem"),
+            )
+            .select("_dlt_parent_id", "_dlt_list_idx", "__elem.*")
+        )
+        # snake_case only the payload fields - the _dlt control columns
+        # are already canonical (snake_case would strip their prefix)
+        for f in child.columns:
+            if not f.startswith("_dlt_") and snake_case(f) != f:
+                child = child.withColumnRenamed(f, snake_case(f))
+        out[f"{parent_name}__{snake_case(col)}"] = child
+        parent = parent.drop(col)
+    out[parent_name] = parent
+    return out

@@ -109,3 +109,39 @@ class TestLineage:
         df = spark.createDataFrame([Row(k="a"), Row(k="b")])
         ids = [r["_dlt_id"] for r in add_lineage(df, "L1").collect()]
         assert len(set(ids)) == 2
+
+
+class TestExplodeNested:
+    def test_child_tables_keyed_to_parent(self, spark):
+        from pyspark.sql import functions as F
+
+        from dlt_salesforce_iceberg_rest_demo_spark.normalize import (
+            add_lineage,
+            explode_nested,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [{"Sku": "a", "Qty": 2}, {"Sku": "b", "Qty": 1}]),
+                (2, []),
+                (3, None),
+            ],
+            "id long, LineItems array<struct<Sku string, Qty long>>",
+        )
+        df = add_lineage(df, load_id="L1")
+        tables = explode_nested(df, "order")
+        assert set(tables) == {"order", "order__line_items"}
+        parent = tables["order"]
+        assert "LineItems" not in parent.columns
+        child = tables["order__line_items"].collect()
+        # empty/NULL arrays contribute no child rows
+        assert len(child) == 2
+        parent_ids = {
+            r["id"]: r["_dlt_id"] for r in parent.collect()
+        }
+        for r in child:
+            assert r._dlt_parent_id == parent_ids[1]
+        assert sorted((r.sku, r.qty, r._dlt_list_idx) for r in child) == [
+            ("a", 2, 0),
+            ("b", 1, 1),
+        ]
