@@ -77,6 +77,8 @@ EXTENSION_HEADLINE = [
     "scd2_user_event_history",
     "window_rolling_anomaly_zscore",
     "dq_check_orders",
+    "corpus_pipeline_end_to_end",
+    "funnel_four_step_generalized",
 ]
 
 
