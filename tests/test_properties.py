@@ -151,3 +151,104 @@ class TestBloomProperties:
             bloom.bloom_might_contain(F.col("key"), words, n_bits=1 << 12, k=3)
         ).count()
         assert passed == len(keys)
+
+
+class TestScd2Properties:
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),    # key
+                st.sampled_from(["a", "b", "c"]),          # attr
+                st.integers(min_value=0, max_value=10**6), # ts offset sec
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_runs_partition_observations_and_chain(self, spark, obs):
+        """Laws for ANY observation set: per key, n_observations sums
+        to the key's row count; exactly one current run; valid_to
+        chains to the next run's valid_from."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.scd import (
+            scd2_from_snapshots,
+        )
+
+        rows = [
+            (k, a, f"2024-01-01 00:00:{0:02d}", i, ts)
+            for i, (k, a, ts) in enumerate(obs)
+        ]
+        df = (
+            spark.createDataFrame(
+                rows, "k long, attr string, base string, id long, off long"
+            )
+            .withColumn(
+                "ts",
+                F.col("base").cast("timestamp")
+                + F.make_dt_interval(secs=F.col("off").cast("double")),
+            )
+            .drop("base", "off")
+        )
+        out = scd2_from_snapshots(df, "k", "attr", "ts", "id").collect()
+        from collections import Counter, defaultdict
+
+        per_key_rows = Counter(k for k, _, _ in obs)
+        by_key = defaultdict(list)
+        for r in out:
+            by_key[r.k].append(r)
+        for k, hist in by_key.items():
+            hist.sort(key=lambda r: r.valid_from)
+            assert sum(r.n_observations for r in hist) == per_key_rows[k]
+            assert sum(1 for r in hist if r.is_current) == 1
+            assert hist[-1].is_current and hist[-1].valid_to is None
+            for a, b in zip(hist, hist[1:]):
+                assert a.valid_to == b.valid_from
+                assert a.attr != b.attr  # runs alternate by construction
+
+
+class TestFunnelProperties:
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),
+                st.sampled_from(["s1", "s2", "s3", "x"]),
+                st.integers(min_value=0, max_value=10**5),
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_step_counts_monotonically_nonincreasing(self, spark, events):
+        """Funnel law: each step's user count <= the previous step's,
+        for ANY event set (ordering constraint only removes users)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.funnel import (
+            ordered_funnel_df,
+        )
+
+        rows = [
+            (u, t_, f"2024-01-01 00:00:00", i, off)
+            for i, (u, t_, off) in enumerate(events)
+        ]
+        df = (
+            spark.createDataFrame(
+                rows, "user_id long, event_type string, base string, id long, off long"
+            )
+            .withColumn(
+                "ts",
+                F.col("base").cast("timestamp")
+                + F.make_dt_interval(secs=F.col("off").cast("double")),
+            )
+            .drop("base", "off", "id")
+        )
+        out = {
+            r.step_index: r.n_users
+            for r in ordered_funnel_df(df, ["s1", "s2", "s3"]).collect()
+        }
+        assert out[0] >= out[1] >= out[2] >= 0
