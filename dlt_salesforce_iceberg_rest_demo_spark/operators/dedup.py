@@ -102,6 +102,95 @@ def shingles_tokens(t: Column, n: int = 2) -> Column:
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= threshold via PREFIX FILTERING
+    (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08). LOSSLESS: returns exactly :func:`jaccard_pairs`' result
+    set, but the candidate join touches only each document's rarest
+    prefix shingles instead of every shingle.
+
+    Under any global shingle order, a document whose Jaccard with some
+    partner is >= t shares >= ceil(t*m) shingles with it, so its first
+    ``m - ceil(t*m) + 1`` shingles (its *prefix*) must contain the
+    order-minimal shared shingle — pigeonhole, applied to both sides.
+    Ordering shingles by ascending document frequency puts the RAREST
+    shingles in prefixes: the candidate self-join fans out per shingle
+    as df_prefix^2 instead of df^2, which removes exactly the hot-token
+    quadratic blowup that makes the naive all-shingle join collapse at
+    corpus scale (a stopword bigram shared by 1M docs contributes 10^12
+    join rows naive, ~0 via prefixes because its df rank is last).
+
+    Threshold is held as an exact rational so the prefix length and
+    size filter are integer arithmetic (no float-rounding loss);
+    surviving candidates get the exact intersection verify.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    num, den = fr.numerator, fr.denominator
+
+    d = spread(docs).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("tk0")
+    ).select("doc", shingles_tokens(F.col("tk0"), n).alias("sh"))
+    tok = d.select("doc", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    # Rarity-sorted shingle array per doc; (df, s) is a total order.
+    ranked = (
+        tok.join(dfreq, "s")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("st"))
+        .select(
+            "doc",
+            F.col("st").getField("s").alias("sh"),
+            F.size("st").alias("m"),
+        )
+        .withColumn(
+            "prefix",
+            F.expr(f"slice(sh, 1, m - ((({num} * m) + {den} - 1) DIV {den}) + 1)"),
+        )
+    )
+    p = ranked.select("doc", "m", F.explode("prefix").alias("s"))
+    cand = (
+        p.alias("x")
+        .join(
+            p.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc") < F.col("y.doc")),
+        )
+        # size filter: t * max(|A|,|B|) <= min(|A|,|B|), in integers
+        .filter(
+            num * F.greatest(F.col("x.m"), F.col("y.m"))
+            <= den * F.least(F.col("x.m"), F.col("y.m"))
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    ta = ranked.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"),
+                       F.col("m").alias("ma"))
+    tb = ranked.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"),
+                       F.col("m").alias("mb"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_inter", inter)
+        .filter(den * F.col("n_inter") >= num * (F.col("ma") + F.col("mb") - F.col("n_inter")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("ma") + F.col("mb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup.
 # ---------------------------------------------------------------------------

@@ -754,3 +754,65 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction.
+# ---------------------------------------------------------------------------
+
+
+def projection_signs(dim: int, k: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix (k rows × dim cols) for sign random
+    projection, derived per-cell from md5 — reproducible in any
+    language, so a SQL oracle can inline the identical matrix as a list
+    literal and match bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp#{j}#{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    dim: int,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style ±1 random projection: reduce a
+    ``dim``-wide embedding to ``k`` components (Achlioptas 2003 — a
+    Rademacher matrix preserves pairwise distances in expectation like
+    a Gaussian one, with integer-only arithmetic).
+
+    Map-only: each output component is a per-row fold
+    ``sum_i sign(j,i) * floor(x_i * scale + 0.5)`` — fixed-point, so
+    the sums are exact integers (order-independent, engine-independent)
+    and NO shuffle happens at any corpus size; this is the cheap first
+    stage in front of any clustering/ANN pass at 100 TB. Output
+    components stay in micro-units (``scale``); downstream cosine-style
+    ratios cancel the scale.
+    """
+    signs = projection_signs(dim, k)
+    outs = []
+    for j in range(k):
+        folded = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.lit(signs[j]),
+                lambda x, s: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                    "long"
+                )
+                * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        outs.append(folded.alias(f"r{j}"))
+    return emb.select(F.col(id_col), *outs)

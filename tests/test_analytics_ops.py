@@ -1,0 +1,143 @@
+"""Unit tests for the analytics tranche: triangle counting, prefix-
+filtered set-similarity join, random projection, higher moments,
+interpolated percentiles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup, graph, similarity
+
+from .conftest import SF_DIR
+
+
+class TestTriangleCount:
+    def test_k4_with_pendant(self, spark):
+        # K4 on {1,2,3,4}: 4 triangles, every node in 3.  Node 5 dangles.
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in graph.triangle_count(df).collect()
+        }
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        # Same triangle given twice with mixed directions counts once.
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in graph.triangle_count(df).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_triangle_free_graph_empty(self, spark):
+        # A path graph has wedges but no closures.
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+        assert graph.triangle_count(df).count() == 0
+
+
+class TestPrefixJaccard:
+    def test_equals_bruteforce_on_fixtures(self, spark):
+        """Prefix filtering is LOSSLESS: identical pair set + values to
+        the all-shingle brute-force join, on the real corpus."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        brute = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs, n=2, threshold=0.5).collect()
+        }
+        fast = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.prefix_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+        }
+        assert fast == brute
+        assert brute, "fixture should contain at least one near-dup pair"
+
+    def test_threshold_rational_edge(self, spark):
+        # Two docs sharing exactly half their tokens sit ON the 1/3
+        # Jaccard boundary: J = 1/3 must be kept at threshold 1/3
+        # (integer filter, no float-rounding loss).
+        rows = [(1, "a b"), (2, "a c")]  # tokens {a,b} vs {a,c}: J = 1/3
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = dedup.prefix_jaccard_pairs(
+            docs, n=1, threshold=1 / 3
+        ).collect()
+        assert len(got) == 1 and abs(got[0]["jaccard"] - 1 / 3) < 1e-15
+
+
+class TestRandomProjection:
+    def test_matches_numpy(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        pdf = emb.orderBy("vec_id").limit(20).toPandas()
+        dim = len(pdf["embedding"][0])
+        signs = np.array(similarity.projection_signs(dim, 8))  # k x dim
+        got = (
+            similarity.random_projection(emb, dim=dim, k=8)
+            .filter("vec_id < 20")
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        for _, row in got.iterrows():
+            vec = np.array(
+                pdf.loc[pdf["vec_id"] == row["vec_id"], "embedding"].iloc[0],
+                dtype=np.float64,
+            )
+            q = np.floor(vec * 1_000_000 + 0.5).astype(np.int64)
+            want = signs @ q
+            assert [row[f"r{j}"] for j in range(8)] == list(want)
+
+    def test_signs_are_deterministic_and_balanced(self):
+        s1 = similarity.projection_signs(64, 8)
+        s2 = similarity.projection_signs(64, 8)
+        assert s1 == s2
+        flat = [x for row in s1 for x in row]
+        assert set(flat) == {-1, 1}
+        # md5-derived bits should be roughly balanced
+        assert 0.3 < flat.count(1) / len(flat) < 0.7
+
+    def test_sign_derivation_is_md5(self):
+        s = similarity.projection_signs(4, 2)
+        h = int(hashlib.md5(b"rp#1#3").hexdigest()[:8], 16)
+        assert s[1][3] == (1 if h % 2 == 0 else -1)
+
+
+class TestMoments:
+    def test_skew_kurtosis_match_numpy(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.plans import REGISTRY, query_fns
+
+        query_fns()
+        got = (
+            REGISTRY["stats_skew_kurtosis"].spark(spark, SF_DIR).toPandas()
+        ).set_index("event_type")
+        events = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        c = np.floor(events["value"] + 0.5).astype(np.int64)
+        for et, grp in c.groupby(events["event_type"]):
+            x = grp.to_numpy(dtype=np.float64)
+            m2 = x.var()
+            skew = ((x - x.mean()) ** 3).mean() / m2**1.5
+            kurt = ((x - x.mean()) ** 4).mean() / m2**2 - 3
+            assert abs(got.loc[et, "skewness"] - skew) < 1e-9
+            assert abs(got.loc[et, "kurtosis_excess"] - kurt) < 1e-9
+
+
+class TestPercentileCont:
+    def test_matches_numpy_linear(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.plans import REGISTRY, query_fns
+
+        query_fns()
+        got = (
+            REGISTRY["percentile_cont_order_prices"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .set_index("status")
+        )
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        for st, grp in orders.groupby("o_orderstatus"):
+            v = grp["o_totalprice"].to_numpy()
+            assert abs(got.loc[st, "p50"] - np.percentile(v, 50)) < 1e-9
+            assert abs(got.loc[st, "p90"] - np.percentile(v, 90)) < 1e-9
+            assert got.loc[st, "n_rows"] == len(v)
