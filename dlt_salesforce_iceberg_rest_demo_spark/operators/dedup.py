@@ -742,3 +742,53 @@ def incremental_minhash_pairs(
         .select("doc_new", "doc_match", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str = "name",
+    id_col: str = "id",
+) -> DataFrame:
+    """All pairs within Levenshtein distance 1 via FastSS
+    deletion-neighborhood blocking (Bocek et al., 2007).
+
+    ed(a, b) <= 1 implies a and b share an entry in their depth-1
+    deletion neighborhoods (substitution: both delete the differing
+    position; insert/delete: the shorter string IS a deletion of the
+    longer; equality: the strings themselves match), so an equi-join
+    on the ~L+1 variants per string finds every candidate — O(n*L)
+    blocking rows instead of the O(n^2) cross join with a quadratic
+    DP distance per pair (the oracle's plan). Levenshtein is an exact
+    integer metric, identical in every engine, so the survivors
+    hash-match brute force.
+
+    Depth-1 neighborhoods certify only distance <= 1; deeper distance
+    thresholds need depth-k deletions (same shape, more variants).
+    """
+    base = spread(df).select(F.col(id_col).alias("id"), F.col(col).alias("s"))
+    variants = F.when(
+        F.length("s") == 0, F.array(F.col("s"))
+    ).otherwise(
+        F.array_union(
+            F.expr(
+                "transform(sequence(1, length(s)), i -> "
+                "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))"
+            ),
+            F.array(F.col("s")),
+        )
+    )
+    v = base.select("id", "s", F.explode(variants).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("s_a", "s_b") <= 1).select(
+        "id_a", "id_b", F.levenshtein("s_a", "s_b").cast("long").alias("dist")
+    )

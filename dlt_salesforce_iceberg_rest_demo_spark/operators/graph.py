@@ -139,3 +139,53 @@ def pagerank_int(
             (F.lit(base) + F.expr("(85 * sum(c)) DIV 100")).cast("long").alias("rank")
         )
     return ranks
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+) -> DataFrame:
+    """Bounded-hop single-source(s) shortest paths: ``iterations``
+    Bellman-Ford relaxation rounds, each one join (frontier onto
+    edges) + one min-aggregate — the standard message-passing pair,
+    same shape as :func:`pagerank_int`. Integer weights, so distances
+    are exact and a SQL oracle can unroll the identical rounds.
+
+    State per round is (node, dist) longs; ``localCheckpoint`` breaks
+    the growing lineage (without it round k re-executes rounds 1..k-1,
+    and the superseded blocks are freed eagerly — see
+    ``dedup._free_checkpoint``).
+
+    Returns (node, dist) for every node reachable in <= iterations
+    hops. Directed: pass a symmetrized edge list for undirected
+    semantics.
+    """
+    from .dedup import _free_checkpoint
+
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = (
+        e.sparkSession.createDataFrame(
+            [(int(s), 0) for s in sources], "node long, dist long"
+        )
+    )
+    for _ in range(iterations):
+        relax = dist.join(e, dist["node"] == e["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        _free_checkpoint(dist)
+        dist = new
+    return dist

@@ -503,3 +503,84 @@ def clean_text(
         cleaned.alias("text_clean"),
         F.length(cleaned).cast("long").alias("n_chars_after"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 1000,
+    out_scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed keyword query,
+    returning the global top-``k`` documents.
+
+    Engine-reproducible variant: the idf uses the RATIONAL form
+    ``(D - df + 1) * idf_scale DIV (df + 1)`` instead of the textbook
+    log — natural log differs between libm and the JVM in the last
+    ulp, while integer arithmetic cannot. With k1=6/5 and b=3/4 the
+    per-term score reduces to an exact-integer ratio::
+
+        score_t = idf_t * tf * 44 * T / (20*T*tf + 6*T + 18*dl*D)
+
+    (T = total corpus tokens, D = corpus docs, dl = doc length),
+    evaluated as one double division of exactly-represented integers —
+    IEEE-identical everywhere — then fixed-pointed (* out_scale,
+    floor) so the per-document sum over query terms is an exact
+    integer in any aggregation order.
+
+    Scale shape: one corpus scan for (dl, tf) + two scalar broadcasts
+    (corpus totals, per-term df — |terms| rows); the candidate set is
+    only docs containing >= 1 query term. The global top-k window runs
+    on candidates, not the corpus.
+    """
+    tl = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    ).select("doc_id", F.size("t").cast("long").alias("dl"), F.explode("t").alias("tok"))
+    hits = tl.filter(F.col("tok").isin(*terms))
+    tf = hits.groupBy("doc_id", "tok", "dl").agg(F.count("*").alias("tf"))
+    dfreq = (
+        hits.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    # Corpus totals: T = total tokens, D = total docs — one tiny aggregate.
+    totals = (
+        docs.select(F.size(tokens(text_col)).cast("long").alias("dl0"))
+        .groupBy()
+        .agg(F.sum("dl0").alias("T"), F.count("*").alias("D"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf",
+            F.expr(f"((D - df + 1) * {idf_scale}) DIV (df + 1)"),
+        )
+        .withColumn(
+            "micro",
+            F.expr(
+                "CAST(FLOOR(CAST(idf * tf * 44 AS DOUBLE) * CAST(T AS DOUBLE)"
+                " / CAST(20 * T * tf + 6 * T + 18 * dl * D AS DOUBLE)"
+                f" * {out_scale}.0) AS BIGINT)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("micro").alias("micro_total"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("micro_total").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            (F.col("micro_total").cast("double") / out_scale).alias("bm25"),
+            "n_terms_hit",
+            "rank",
+        )
+    )

@@ -336,3 +336,291 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "merge", "spark")
+
+_BM25_ORACLE = f"""
+WITH tl AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+hits AS (SELECT * FROM tl WHERE tok IN {str(tuple(_BM25_TERMS))}),
+tf AS (SELECT doc_id, tok, dl, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM hits GROUP BY doc_id, tok, dl),
+dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM hits GROUP BY tok),
+totals AS (SELECT CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS T,
+                  CAST(COUNT(*) AS BIGINT) AS D
+           FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(CAST((((D - df + 1) * 1000) // (df + 1)) * tf * 44 AS DOUBLE)
+                    * CAST(T AS DOUBLE)
+                    / CAST(20 * T * tf + 6 * T + 18 * dl * D AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS micro
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN totals),
+per_doc AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS micro_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+            FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(micro_total AS DOUBLE) / 1000000 AS bm25, n_terms_hit, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY micro_total DESC, doc_id)
+                     AS BIGINT) AS rank
+      FROM per_doc) x
+WHERE rank <= 10
+"""
+
+
+@register("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed keyword query (rare + common terms).
+    Rational idf (integer DIV — textbook ln differs between libm and
+    the JVM in the last ulp) and k1=6/5, b=3/4 reduce each per-term
+    score to ONE double division of exactly-represented integers,
+    fixed-pointed so the per-doc sum is order-independent. Candidate
+    set = docs hitting >= 1 term; df and corpus totals ride tiny
+    broadcasts; the top-k window runs on candidates only."""
+    return text.bm25_topk(
+        t(spark, sf_dir, "documents"), terms=list(_BM25_TERMS), k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop shortest paths (Bellman-Ford rounds).
+# ---------------------------------------------------------------------------
+
+_BF_EDGE_SQL = """
+pairs AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+e0 AS (
+  SELECT a, b,
+         CAST(1 + CAST(('0x' || substring(md5(CAST(a AS VARCHAR) || '#'
+                        || CAST(b AS VARCHAR)), 1, 8)) AS UBIGINT) % 9
+              AS BIGINT) AS w
+  FROM pairs
+  WHERE CAST(('0x' || substring(md5(CAST(a AS VARCHAR) || '#'
+              || CAST(b AS VARCHAR)), 1, 8)) AS UBIGINT) % 10 = 0),
+e AS (SELECT a AS u, b AS v, w FROM e0
+      UNION ALL SELECT b, a, w FROM e0)
+"""
+
+_BF_ROUND = """
+d{next} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{cur}
+    UNION ALL
+    SELECT e.v AS node, d{cur}.dist + e.w AS dist
+    FROM d{cur} JOIN e ON e.u = d{cur}.node) m
+  GROUP BY node)
+"""
+
+_BF_ORACLE = (
+    "WITH "
+    + _BF_EDGE_SQL
+    + ", d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"
+    + "".join("," + _BF_ROUND.format(cur=i, next=i + 1) for i in range(3))
+    + " SELECT node, dist FROM d3"
+)
+
+
+@register("graph_shortest_paths_bounded", oracle=_BF_ORACLE)
+def graph_shortest_paths_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop-bounded shortest paths from supplier 1 over the weighted
+    co-supplier graph (md5-sparsified edges, md5-derived integer
+    weights 1..9). Bellman-Ford relaxation rounds — one frontier join
+    + one min-aggregate each, checkpointed between rounds; the oracle
+    unrolls the identical three rounds as CTEs. Exact integer
+    distances in any execution order."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("a").cast("string"), F.col("b").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    e0 = pairs.filter(bucket % 10 == 0).select(
+        "a", "b", (F.lit(1) + bucket % 9).cast("long").alias("w")
+    )
+    sym = e0.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    return graph.bellman_ford(sym, sources=[1], iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct-count window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_distinct_types",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_rolling
+    FROM events
+    """,
+)
+def window_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count over a 100-row trailing window per user.
+    Spark has no DISTINCT window aggregates; ``size(collect_set())``
+    over the frame is the idiomatic equivalent (set state bounded by
+    the frame length x distinct values, not rows). DuckDB's native
+    COUNT(DISTINCT) OVER is the oracle."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("distinct_types_rolling"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test.
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN value < 100 THEN 'low' ELSE 'high' END AS band,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM {events} GROUP BY event_type,
+         CASE WHEN value < 100 THEN 'low' ELSE 'high' END),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rtot
+       FROM cells GROUP BY event_type),
+ct AS (SELECT band, CAST(SUM(obs) AS BIGINT) AS ctot FROM cells GROUP BY band),
+contrib AS (
+  SELECT CAST(FLOOR(CAST((obs * n - rtot * ctot) * (obs * n - rtot * ctot)
+                         AS DOUBLE)
+                    / CAST(rtot * ctot * n AS DOUBLE)
+                    * 1000000000.0) AS BIGINT) AS micro
+  FROM cells
+  JOIN rt USING (event_type)
+  JOIN ct USING (band)
+  CROSS JOIN tot),
+dof AS (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT band) - 1) AS BIGINT) AS dof
+        FROM cells)
+SELECT CAST(SUM(micro) AS DOUBLE) / 1000000000.0 AS chi2,
+       MIN(dof.dof) AS dof
+FROM contrib CROSS JOIN dof
+"""
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle=_CHI2_SQL.format(events="events"),
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test: event type x value band.
+    Each cell's statistic is (obs*N - row*col)^2 / (row*col*N) — all
+    operands exact BIGINTs (long->double conversion is IEEE
+    round-to-nearest in both engines, unlike DECIMAL/HUGEINT), one
+    double division per cell, fixed-pointed before the cross-cell sum.
+    Contingency table is tiny after the first aggregate; everything
+    downstream is broadcast-sized."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("ana_chi2_events")
+    return spark.sql(_CHI2_SQL.format(events="ana_chi2_events"))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (FastSS deletion-neighborhood blocking).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_edit_distance_names",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_edit_distance_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key join: all customer-name pairs within Levenshtein
+    distance 1, found via FastSS depth-1 deletion-neighborhood blocking
+    — O(n*L) variant rows + an equi-join instead of the oracle's O(n^2)
+    cross join with a DP distance per pair. Levenshtein is an exact
+    integer metric (identical in Spark and DuckDB), so the blocked
+    result hash-matches brute force. The entity-resolution primitive
+    for typo-level key reconciliation at corpus scale."""
+    return dedup.edit_distance_pairs(
+        t(spark, sf_dir, "customer"), col="c_name", id_col="c_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier fences per group.
+# ---------------------------------------------------------------------------
+
+_IQR_SQL = """
+WITH r AS (
+  SELECT event_type AS grp, value AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM {events}),
+q AS (
+  SELECT grp,
+         MIN(CASE WHEN rn = CAST(FLOOR(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END)
+         + (0.25 * (MIN(n) - 1) - FLOOR(0.25 * (MIN(n) - 1)))
+           * (MIN(CASE WHEN rn = CAST(CEIL(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END)
+              - MIN(CASE WHEN rn = CAST(FLOOR(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END))
+           AS p25,
+         MIN(CASE WHEN rn = CAST(FLOOR(0.75 * (n - 1)) AS BIGINT) + 1 THEN v END)
+         + (0.75 * (MIN(n) - 1) - FLOOR(0.75 * (MIN(n) - 1)))
+           * (MIN(CASE WHEN rn = CAST(CEIL(0.75 * (n - 1)) AS BIGINT) + 1 THEN v END)
+              - MIN(CASE WHEN rn = CAST(FLOOR(0.75 * (n - 1)) AS BIGINT) + 1 THEN v END))
+           AS p75
+  FROM r GROUP BY grp)
+SELECT q.grp AS event_type, p25, p75,
+       CAST(COUNT(CASE WHEN v < p25 - 1.5 * (p75 - p25)
+                       OR v > p75 + 1.5 * (p75 - p25) THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM r JOIN q ON r.grp = q.grp
+GROUP BY q.grp, p25, p75
+"""
+
+
+@register("stats_iqr_outliers_events", oracle=_IQR_SQL.format(events="events"))
+def stats_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per event type: exact interpolated
+    quartiles (same rank-selection shape as percentile_cont — no
+    engine percentile kernels), then a second pass counting values
+    outside [p25 - 1.5*IQR, p75 + 1.5*IQR]. Fence arithmetic is one
+    identical IEEE expression; comparisons against exact doubles are
+    engine-independent. Complements the rolling z-score anomaly query
+    with the robust (median-based) detector."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("ana_iqr_events")
+    return spark.sql(_IQR_SQL.format(events="ana_iqr_events"))

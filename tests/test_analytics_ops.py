@@ -141,3 +141,84 @@ class TestPercentileCont:
             assert abs(got.loc[st, "p50"] - np.percentile(v, 50)) < 1e-9
             assert abs(got.loc[st, "p90"] - np.percentile(v, 90)) < 1e-9
             assert got.loc[st, "n_rows"] == len(v)
+
+
+class TestBellmanFord:
+    def test_two_hop_cheaper_than_direct(self, spark):
+        # 1->3 direct costs 10; 1->2->3 costs 2+3=5. Bounded at 2 hops.
+        edges = [(1, 2, 2), (2, 3, 3), (1, 3, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {
+            r["node"]: r["dist"]
+            for r in graph.bellman_ford(df, sources=[1], iterations=2).collect()
+        }
+        assert got == {1: 0, 2: 2, 3: 5}
+
+    def test_hop_bound_limits_reach(self, spark):
+        # Path 1->2->3->4: one round reaches only node 2.
+        edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {
+            r["node"]: r["dist"]
+            for r in graph.bellman_ford(df, sources=[1], iterations=1).collect()
+        }
+        assert got == {1: 0, 2: 1}
+
+    def test_source_distance_never_increases(self, spark):
+        # A cycle back into the source must not raise dist(source) > 0.
+        edges = [(1, 2, 1), (2, 1, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {
+            r["node"]: r["dist"]
+            for r in graph.bellman_ford(df, sources=[1], iterations=3).collect()
+        }
+        assert got == {1: 0, 2: 1}
+
+
+class TestBm25:
+    def test_rare_term_outranks_common(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        rows = [
+            (1, "rare word here"),
+            (2, "common common common word"),
+            (3, "common word"),
+            (4, "nothing matches at all"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = t_ops.bm25_topk(docs, terms=["rare", "common"], k=4).collect()
+        by_id = {r["doc_id"]: r for r in got}
+        assert 4 not in by_id  # no query term -> not a candidate
+        # doc 1 holds the rarest term -> highest score
+        assert got[0]["doc_id"] == 1
+        assert by_id[2]["n_terms_hit"] == 1
+        assert by_id[1]["bm25"] > by_id[2]["bm25"] > 0
+        # higher tf of the same term scores higher at equal dl-ish sizes
+        assert by_id[2]["bm25"] > by_id[3]["bm25"]
+
+
+class TestEditDistancePairs:
+    def test_finds_all_edit1_kinds(self, spark):
+        rows = [
+            (1, "kitten"),
+            (2, "mitten"),   # substitution
+            (3, "kitte"),    # deletion
+            (4, "kittens"),  # insertion
+            (5, "kitten"),   # exact duplicate
+            (6, "zebra"),    # unrelated
+        ]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in dedup.edit_distance_pairs(df, col="name", id_col="id").collect()
+        }
+        assert got == {
+            (1, 2): 1, (1, 3): 1, (1, 4): 1, (1, 5): 0,
+            (2, 5): 1, (3, 5): 1, (4, 5): 1,
+        }
+
+    def test_distance_two_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcd"), (2, "abxy")], "id long, name string"
+        )
+        assert dedup.edit_distance_pairs(df, col="name", id_col="id").count() == 0
