@@ -584,3 +584,89 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def _bpe_merge_expr(arr_col: str, left: str, right: str) -> str:
+    """SQL fold applying ONE BPE merge (left,right) -> left||right to a
+    symbol array, left-to-right, non-overlapping — the exact greedy
+    semantics of the reference BPE algorithm. Pure Catalyst expression:
+    runs on the (tiny) word-frequency table, no Python workers."""
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    l, r, lr = q(left), q(right), q(left + right)
+    return (
+        f"aggregate(sequence(1, size({arr_col})),"
+        " struct(cast(array() as array<string>) as out, false as skip),"
+        " (acc, i) -> case"
+        "   when acc.skip then struct(acc.out as out, false as skip)"
+        f"  when i < size({arr_col}) and element_at({arr_col}, i) = '{l}'"
+        f"       and element_at({arr_col}, i + 1) = '{r}'"
+        f"    then struct(concat(acc.out, array('{lr}')) as out, true as skip)"
+        f"  else struct(concat(acc.out, array(element_at({arr_col}, i))) as out,"
+        "               false as skip)"
+        " end,"
+        " acc -> acc.out)"
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al., 2016) as
+    DataFrame rounds — the tokenizer-training primitive of an LLM data
+    pipeline.
+
+    Scale design: the FIRST step collapses the corpus to its word
+    FREQUENCY table (one groupBy) — every later round operates on
+    vocabulary-sized data no matter how large the corpus, which is
+    exactly how production BPE trainers stay tractable at 100 TB. Per
+    round: adjacent-pair counts (explode of zipped neighbors, weighted
+    by word frequency, overlapping occurrences counted — reference
+    semantics), argmax with deterministic (count, pair) tie-break, and
+    the merge applied to symbol arrays via a Catalyst fold
+    (:func:`_bpe_merge_expr`) — no Python in any loop. Only the single
+    winning pair is collected per round (two strings).
+
+    Returns (merge_rank, left, right, pair_count) — the learned merge
+    table, exactly reproducible; pytest pins it against a pure-Python
+    reference implementation.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("arr"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(arr, 1, size(arr) - 1)"),
+                    F.expr("slice(arr, 2, size(arr) - 1)"),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .agg(F.max(F.struct(F.col("cnt"), F.col("p"))).alias("m"))
+            .select("m.cnt", "m.p.l", "m.p.r")
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        cnt, left, right = top[0]["cnt"], top[0]["l"], top[0]["r"]
+        merges.append((rank, left, right, int(cnt)))
+        words = words.select(
+            F.expr(_bpe_merge_expr("arr", left, right)).alias("arr"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_count long"
+    )

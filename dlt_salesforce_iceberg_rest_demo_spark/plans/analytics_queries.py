@@ -637,3 +637,21 @@ def stats_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the robust (median-based) detector."""
     t(spark, sf_dir, "events").createOrReplaceTempView("ana_iqr_events")
     return spark.sql(_IQR_SQL.format(events="ana_iqr_events"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training.
+# ---------------------------------------------------------------------------
+
+
+@register("text_bpe_merges")
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (4 rounds) on the fixture corpus — the
+    tokenizer-training step of an LLM data pipeline. Corpus collapses
+    to its word-frequency table in the first groupBy (all later rounds
+    are vocabulary-sized regardless of corpus size); pair counting,
+    argmax and the merge fold are pure Catalyst expressions — no
+    Python in any round. Rows-only: the iterative argmax/merge isn't
+    single-statement SQL; pytest pins the full merge sequence against
+    a pure-Python reference BPE (`TestBpeTrainer`)."""
+    return text.bpe_train_merges(t(spark, sf_dir, "documents"), n_merges=4)

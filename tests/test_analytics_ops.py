@@ -222,3 +222,70 @@ class TestEditDistancePairs:
             [(1, "abcd"), (2, "abxy")], "id long, name string"
         )
         assert dedup.edit_distance_pairs(df, col="name", id_col="id").count() == 0
+
+
+def _ref_bpe(texts, n_merges):
+    """Pure-Python reference BPE (Sennrich-style): overlapping pair
+    counts, (count, pair) tie-break, left-to-right non-overlapping
+    merge application."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, freq in words.items():
+            arr = vocab[w]
+            for a, b in zip(arr, arr[1:]):
+                pc[(a, b)] += freq
+        if not pc:
+            break
+        (l, r), cnt = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        for w, arr in vocab.items():
+            out, i = [], 0
+            while i < len(arr):
+                if i < len(arr) - 1 and arr[i] == l and arr[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(arr[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+class TestBpeTrainer:
+    def test_matches_reference_on_fixture_corpus(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        texts = [r["text"] for r in docs.select("text").collect()]
+        want = _ref_bpe(texts, 4)
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+            for r in t_ops.bpe_train_merges(docs, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want
+
+    def test_overlapping_counts_and_greedy_merge(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        # "aaaa": counting sees (a,a) x3 (overlapping); merging is
+        # greedy left-to-right non-overlapping -> [aa, aa]; round 2
+        # then merges (aa, aa).
+        docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+            for r in t_ops.bpe_train_merges(docs, n_merges=2)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
