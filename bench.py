@@ -79,6 +79,14 @@ EXTENSION_HEADLINE = [
     "dq_check_orders",
     "corpus_pipeline_end_to_end",
     "funnel_four_step_generalized",
+    "graph_triangle_count_suppliers",
+    "text_bm25_topk",
+    "dedup_edit_distance_names",
+    "stats_skew_kurtosis",
+    "embedding_random_projection",
+    "window_rolling_distinct_types",
+    "stats_chi_square_independence",
+    "percentile_cont_order_prices",
 ]
 
 
@@ -90,6 +98,20 @@ def main() -> None:
     fns = query_fns()
     names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in fns]
 
+    def _drop_leaked_blocks() -> None:
+        """Unpersist every cached RDD between queries: operators that
+        localCheckpoint (graph loops, prefix joins) leave blocks behind
+        until driver GC, and the accumulated block-manager pressure
+        measurably degrades LATER queries (observed 6x on ANN after the
+        graph headliners joined the set). Queries run isolated in the
+        driver contract, so cross-query state carries no benefit."""
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in jmap.values():
+                rdd.unpersist()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
@@ -99,6 +121,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        _drop_leaked_blocks()
         dt = sorted(runs)[1]  # median of 3
         timings[name] = round(dt, 4)
         total += dt

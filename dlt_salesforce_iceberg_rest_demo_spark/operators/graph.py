@@ -73,6 +73,12 @@ def triangle_count(
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("y"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("ky"),
     ).localCheckpoint(eager=True)
+    # Once `oriented` is materialized the raw edge blocks are dead
+    # weight — free them now, not at GC time (leaked checkpoint blocks
+    # degraded LATER queries in long sessions via block-manager bloat).
+    from .dedup import _free_checkpoint
+
+    _free_checkpoint(e)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
@@ -194,4 +200,7 @@ def bellman_ford(
         )
         _free_checkpoint(dist)
         dist = new
+    # The final frontier is checkpointed, so the edge blocks are no
+    # longer reachable from the returned plan — free them eagerly.
+    _free_checkpoint(e)
     return dist

@@ -56,3 +56,34 @@ def rollup_as_result(rolled: DataFrame, sum_cols: list[str]) -> DataFrame:
     for c in sum_cols:
         out = out.withColumn(f"sum_{c}", F.col(f"sum_{c}").cast("double"))
     return out
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental view maintenance for an INNER JOIN under appends:
+    the delta rows to add to a materialized join when both inputs grow,
+
+        dJ = dA >< B_old  UNION ALL  A_old >< dB  UNION ALL  dA >< dB
+
+    (the bilinearity of join over union). Maintaining the join costs
+    O(|dA| + |dB|) join work against the base tables instead of
+    re-joining the full inputs — at 100 TB the daily maintenance of a
+    materialized fact join touches only the day's appends. Exact by
+    algebra, not approximation: the maintained result equals the
+    full-recompute join as a multiset (the registry query's oracle IS
+    the direct join).
+
+    Append-only deltas: updates/deletes need the delete feed from
+    ``ParquetLake.diff`` applied as anti-join retractions first.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        a_delta.join(b_old, keys)
+        .unionByName(a_old.join(b_delta, keys))
+        .unionByName(a_delta.join(b_delta, keys))
+    )

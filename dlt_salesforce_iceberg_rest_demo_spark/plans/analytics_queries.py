@@ -655,3 +655,54 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-statement SQL; pytest pins the full merge sequence against
     a pure-Python reference BPE (`TestBpeTrainer`)."""
     return text.bpe_train_merges(t(spark, sf_dir, "documents"), n_merges=4)
+
+
+# ---------------------------------------------------------------------------
+# Incremental join maintenance (view maintenance under appends).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, l.l_suppkey,
+           CAST(l.l_quantity AS BIGINT) AS quantity
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a fact join: both inputs are
+    split into base + appended-delta (md5 bucket, 20% delta), the
+    maintained join = base-join UNION the delta formula
+    dA><B + A><dB + dA><dB (join's bilinearity over union). The oracle
+    is the DIRECT full join — equality IS the maintenance-correctness
+    theorem. Maintenance work scales with the delta, not the history:
+    the O(day) nightly refresh of a materialized 100 TB fact join."""
+    from ..operators.incremental_agg import incremental_join_delta
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("quantity"),
+    )
+
+    def bucket(col: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 5
+            == 0
+        )
+
+    o_delta, o_old = orders.filter(bucket("o_orderkey")), orders.filter(
+        ~bucket("o_orderkey")
+    )
+    l_delta, l_old = li.filter(bucket("o_orderkey")), li.filter(
+        ~bucket("o_orderkey")
+    )
+    maintained = o_old.join(l_old, "o_orderkey").unionByName(
+        incremental_join_delta(o_old, o_delta, l_old, l_delta, "o_orderkey")
+    )
+    return maintained.select("o_orderkey", "o_custkey", "l_suppkey", "quantity")

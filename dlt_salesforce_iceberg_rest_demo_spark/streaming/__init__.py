@@ -8,6 +8,7 @@ from .incremental import (
     stateful_user_totals_tws,
     dedup_within_watermark,
     stream_stream_interval_join,
+    stream_static_enrich,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "stateful_user_totals_tws",
     "dedup_within_watermark",
     "stream_stream_interval_join",
+    "stream_static_enrich",
 ]

@@ -384,3 +384,16 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_enrich(
+    stream_df: DataFrame, static_df: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the static dimension (re-read per batch, so slowly-changing dims
+    pick up updates between batches — Structured Streaming semantics).
+    The static side is explicitly broadcast: the unbounded stream side
+    never shuffles, which is the only stream-static plan that holds at
+    production rates. The streaming counterpart of the batch
+    broadcast-dim joins (`join_broadcast_revenue_by_brand`)."""
+    return stream_df.join(F.broadcast(static_df), on, how)

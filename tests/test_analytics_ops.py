@@ -289,3 +289,27 @@ class TestBpeTrainer:
             .collect()
         ]
         assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+class TestIncrementalJoinDelta:
+    def test_delta_formula_equals_recompute(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
+            incremental_join_delta,
+        )
+
+        a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string")
+        a_new = spark.createDataFrame([(2, "a2x"), (3, "a3")], "k long, av string")
+        b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string")
+        b_new = spark.createDataFrame([(2, "b2"), (3, "b3x")], "k long, bv string")
+        full = (
+            a_old.unionByName(a_new)
+            .join(b_old.unionByName(b_new), "k")
+            .collect()
+        )
+        maintained = (
+            a_old.join(b_old, "k")
+            .unionByName(incremental_join_delta(a_old, a_new, b_old, b_new, "k"))
+            .collect()
+        )
+        key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
+        assert sorted(map(key, maintained)) == sorted(map(key, full))

@@ -311,3 +311,38 @@ def test_streaming_heavy_hitters_bounds_across_batches(spark, tmp_path):
         assert merged[k] >= c - n / 8, (k, merged[k], c)
     # the two dominant keys must be present
     assert merged["a"] > 0 and merged["d"] > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, landing):
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import stream_static_enrich
+
+    df = load_table(spark, SF_DIR, "events")
+    df.coalesce(1).write.parquet(str(landing / "clean2"))
+    df = spark.read.parquet(str(landing / "clean2"))
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    stream = stream_source(spark, str(landing / "clean2"))
+    enriched = stream_static_enrich(stream, dim, "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT * FROM enrich").collect()
+    }
+    want = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in df.join(dim, "user_id", "left")
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == want and len(got) == df.count()
