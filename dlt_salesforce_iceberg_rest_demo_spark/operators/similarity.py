@@ -567,6 +567,7 @@ def pq_fit(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_fraction: float = 1.0,
 ) -> "list[list[list[float]]]":
     """Train ``m`` per-subspace codebooks (each ``n_codes`` centroids)
     with JOINT Lloyd iterations: one Arrow-batched assignment pass
@@ -577,14 +578,32 @@ def pq_fit(
     The update shuffle carries at most ``m * n_codes * dim/m`` cells
     regardless of corpus size. Init = the ``n_codes`` lowest-id
     normalized vectors' slices (deterministic). Codebook matrix is
-    ``m * n_codes * (dim/m)`` doubles - always driver-safe. At 100 TB
-    you'd train on a corpus sample (`df.sample`) - codebook quality
-    saturates long before the corpus is exhausted."""
+    ``m * n_codes * (dim/m)`` doubles - always driver-safe.
+
+    ``train_fraction < 1`` trains on a DETERMINISTIC md5 sample of the
+    corpus (reproducible across runs/cluster sizes, unlike df.sample's
+    partition-seeded RNG) — the 100 TB path: codebook quality saturates
+    long before the corpus is exhausted, so Lloyd iterations touch
+    O(fraction * corpus) while ENCODING still covers every vector
+    (recall bound re-asserted under sampling in
+    ``TestProductQuantization``)."""
     import numpy as np
+
+    if train_fraction < 1.0:
+        keep = int(train_fraction * 10_000)
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10_000
+        )
+        train = corpus.filter(bucket < keep)
+    else:
+        train = corpus
 
     dim = len(corpus.select(vec_col).first()[0])
     dsub = dim // m
-    seed_rows = corpus.orderBy(id_col).limit(n_codes).collect()
+    seed_rows = train.orderBy(id_col).limit(n_codes).collect()
     seeds = np.array(
         [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
     )
@@ -597,7 +616,7 @@ def pq_fit(
     ]
 
     norm = _norm(F.col(vec_col))
-    unit = corpus.select(
+    unit = train.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("u")
     ).filter(norm > 0)
     for _ in range(iters):
@@ -660,6 +679,7 @@ def pq_topk(
     shortlist: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Product-quantization approximate top-k by cosine.
 
@@ -680,7 +700,7 @@ def pq_topk(
     over the shortlist - the standard PQ recall fix, and only
     ``shortlist*k*|Q|`` full vectors are ever touched after the scan.
     """
-    books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col)
+    books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
     enc = _pq_encode_udf(books)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")

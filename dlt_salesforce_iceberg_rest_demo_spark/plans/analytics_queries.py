@@ -706,3 +706,93 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_join_delta(o_old, o_delta, l_old, l_delta, "o_orderkey")
     )
     return maintained.select("o_orderkey", "o_custkey", "l_suppkey", "quantity")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched model-inference scoring.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inference_batch_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT)
+             / 4294967296.0 AS score
+    FROM documents
+    """,
+)
+def inference_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model inference over Arrow batches
+    (`functions/inference.batch_score`): mapInPandas with explicit
+    batch geometry, per-worker model init, (id, score) back to the JVM
+    — the scoring seam where a toxicity/quality/reward classifier runs
+    at 100 TB. The default scorer is md5-derived, so even the PYTHON
+    path is oracle hash-matched (DuckDB recomputes the identical
+    score), not just smoke-tested. Map-only; text never returns to
+    the JVM."""
+    from ..functions.inference import batch_score
+
+    return batch_score(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z statistic.
+# ---------------------------------------------------------------------------
+
+_AB_SQL = """
+WITH assign AS (
+  SELECT DISTINCT user_id, {variant_expr} AS variant
+  FROM {events}),
+conv AS (
+  SELECT DISTINCT user_id FROM {events} WHERE event_type = 'purchase'),
+cells AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted
+  FROM assign LEFT JOIN conv USING (user_id)
+  GROUP BY variant),
+wide AS (
+  SELECT
+    MIN(CASE WHEN variant = 0 THEN n_users END) AS n0,
+    MIN(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+    MIN(CASE WHEN variant = 1 THEN n_users END) AS n1,
+    MIN(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM cells)
+SELECT n0, c0, n1, c1,
+       CAST(c0 AS DOUBLE) / n0 AS rate0,
+       CAST(c1 AS DOUBLE) / n1 AS rate1,
+       (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+       / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+              * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+              * (1.0 / n0 + 1.0 / n1)) AS z_stat
+FROM wide
+"""
+
+
+_AB_VARIANT_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) % 2"
+)
+# Same md5 bucket, Spark dialect (no hex-literal cast; conv() instead).
+_AB_VARIANT_SPARK = (
+    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 2"
+)
+
+
+@register(
+    "stats_ab_test_conversion",
+    oracle=_AB_SQL.format(events="events", variant_expr=_AB_VARIANT_DUCK),
+)
+def stats_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: md5-parity variant
+    assignment (the deterministic hash-bucketing every experimentation
+    platform uses), conversion = any purchase event, pooled-variance z
+    statistic. Counts are exact integers; the z arithmetic is one
+    identical IEEE expression on both engines. Two shuffles (distinct
+    users, converters) then broadcast-sized cells."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("ana_ab_events")
+    return spark.sql(
+        _AB_SQL.format(events="ana_ab_events", variant_expr=_AB_VARIANT_SPARK)
+    )

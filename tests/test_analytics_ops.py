@@ -313,3 +313,80 @@ class TestIncrementalJoinDelta:
         )
         key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
         assert sorted(map(key, maintained)) == sorted(map(key, full))
+
+
+class TestBatchInference:
+    def test_matches_local_scoring_and_batching(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.functions.inference import (
+            batch_score,
+            md5_score,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        got = {
+            r["doc_id"]: r["score"]
+            for r in batch_score(docs, batch_rows=64).collect()
+        }
+        pdf = docs.select("doc_id", "text").toPandas()
+        want = dict(zip(pdf["doc_id"], md5_score(pdf["text"])))
+        assert got == want
+        assert all(0.0 <= v < 1.0 for v in got.values())
+
+    def test_custom_scorer_plugs_in(self, spark):
+        import pandas as pd
+
+        from dlt_salesforce_iceberg_rest_demo_spark.functions.inference import (
+            batch_score,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "ab"), (2, "abcd")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["score"]
+            for r in batch_score(
+                docs, score_fn=lambda s: s.str.len().astype("float64")
+            ).collect()
+        }
+        assert got == {1: 2.0, 2: 4.0}
+
+
+class TestPqSampleTraining:
+    def test_recall_holds_on_half_sample(self, spark):
+        """Codebooks trained on a deterministic 50% md5 sample must
+        still reach the recall bound — the 100 TB training path."""
+        from pyspark.sql import functions as F
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = similarity.cosine_topk(emb, q, k=5).collect()
+        pq = similarity.pq_topk(emb, q, k=5, train_fraction=0.5).collect()
+        ex: dict[int, set] = {}
+        got: dict[int, set] = {}
+        for r in exact:
+            ex.setdefault(r.query_id, set()).add(r.corpus_id)
+        for r in pq:
+            got.setdefault(r.query_id, set()).add(r.corpus_id)
+        recall = sum(
+            len(ex[k] & got.get(k, set())) / len(ex[k]) for k in ex
+        ) / len(ex)
+        assert recall >= 0.8, recall
+        # the sample genuinely changed training (and ENCODING still
+        # covers every vector)
+        books = similarity.pq_fit(emb, m=16, n_codes=16, iters=2,
+                                  train_fraction=0.5)
+        full_books = similarity.pq_fit(emb, m=16, n_codes=16, iters=2)
+        assert books != full_books
+        enc = similarity._pq_encode_udf(books)
+        codes = emb.select("vec_id", enc(F.col("embedding")).alias("codes"))
+        assert codes.filter(F.col("codes").isNotNull()).count() == emb.count()
+
+    def test_sample_is_deterministic(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        b1 = similarity.pq_fit(emb, m=8, n_codes=8, iters=1, train_fraction=0.3)
+        b2 = similarity.pq_fit(emb, m=8, n_codes=8, iters=1, train_fraction=0.3)
+        assert b1 == b2
