@@ -248,3 +248,57 @@ class TestTpchPlans:
         # the IN-list prunes the part scan before the broadcast build
         assert "In(p_size" in plan
         assert "Not(EqualTo(p_brand,Brand#19))" in plan
+
+
+class TestAnalyticsPlans:
+    """Plan audits for the analytics tranche."""
+
+    def test_random_projection_is_map_only(self, spark):
+        # Zero Exchange: the whole reduction happens in the scan's
+        # project — the operator's core scale claim.
+        plan = plan_of(REGISTRY["embedding_random_projection"].spark(spark, SF_DIR))
+        assert "Exchange" not in plan
+
+    def test_inference_scoring_is_map_only(self, spark):
+        plan = plan_of(REGISTRY["inference_batch_score"].spark(spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+
+    def test_bm25_small_sides_broadcast(self, spark):
+        # df table (<= |terms| rows) and corpus totals (1 row) must ride
+        # broadcasts — the fact side never shuffles for them.
+        plan = plan_of(REGISTRY["text_bm25_topk"].spark(spark, SF_DIR))
+        assert plan.count("BroadcastExchange") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_mode_is_two_aggregates_no_window(self, spark):
+        # argmax via max-of-struct: two hash aggregates, no Window sort
+        # over raw events.
+        plan = plan_of(REGISTRY["mode_event_type_per_user"].spark(spark, SF_DIR))
+        assert "Window" not in plan
+        assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+
+    def test_edit_distance_join_no_cartesian(self, spark):
+        # FastSS blocking must plan an equi-join on the variant key,
+        # never the oracle's cross join.
+        plan = plan_of(REGISTRY["dedup_edit_distance_names"].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_skew_kurtosis_single_scan_partial_agg(self, spark):
+        # One events scan, partial+final aggregate — no join, no window.
+        import re
+
+        plan = plan_of(REGISTRY["stats_skew_kurtosis"].spark(spark, SF_DIR))
+        # formatted mode prints each scan twice (tree + detail block);
+        # count the numbered detail headers instead.
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Window" not in plan
+
+    def test_prefix_jaccard_no_cartesian(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        docs = load_table(spark, SF_DIR, "documents")
+        plan = plan_of(dedup.prefix_jaccard_pairs(docs, n=2, threshold=0.5))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
