@@ -796,3 +796,72 @@ def stats_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _AB_SQL.format(events="ana_ab_events", variant_expr=_AB_VARIANT_SPARK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_topk_maintenance",
+    oracle="""
+    WITH sums AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, total_cents, n_events, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY total_cents DESC, user_id)
+                     AS BIGINT) AS rank
+      FROM sums) x
+    WHERE rank <= 10
+    """,
+)
+def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 spenders maintained INCREMENTALLY: events split into
+    base + appended batch (md5 bucket), per-user exact-cent sums kept
+    as mergeable rollup state (`incremental_agg.merge_rollup`), batch
+    state folded in, THEN top-k over the maintained state. The subtle
+    part this query pins: sum-based top-k is NOT mergeable from top-k
+    partials (a key outside both partial top-10s can win overall), so
+    the maintained object is the full per-key state — still O(batch)
+    maintenance work + O(keys) state, never O(history) re-aggregation.
+    Oracle = direct top-10 over the whole table (the papers-corpus
+    'incremental top-k' shape: maintenance == recompute exactly)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 5
+        == 0
+    )
+    base, batch = ev.filter(~bucket), ev.filter(bucket)
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.sum("cents").alias("total_cents"), F.count("*").alias("n_events")
+        )
+
+    merged = (
+        state(base)
+        .unionByName(state(batch))
+        .groupBy("user_id")
+        .agg(
+            F.sum("total_cents").alias("total_cents"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_cents").desc(), F.col("user_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "total_cents", "n_events", "rank")
+    )
