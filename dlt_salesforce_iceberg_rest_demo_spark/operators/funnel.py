@@ -4,7 +4,9 @@
 3-stage shape; this operator takes ANY ordered step list. Semantics:
 a user completes step i when their earliest qualifying step-i event
 STRICTLY follows their step-(i-1) completion time (the standard
-product-analytics ordered funnel, no lookback window).
+product-analytics ordered funnel). ``max_gap_seconds`` optionally
+bounds each hop (conversion windows: "purchase within 24h of view");
+None keeps the unbounded semantics.
 
 Shape: one conditional-min aggregation per step, chained by per-user
 joins. Every intermediate is <= one row per user and shrinks
@@ -19,12 +21,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hop_filter(type_col, ts_col, step, max_gap_seconds):
+    cond = (F.col(type_col) == step) & (F.col(ts_col) > F.col("__t"))
+    if max_gap_seconds is not None:
+        cond = cond & (
+            F.col(ts_col)
+            <= F.col("__t") + F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS")
+        )
+    return cond
+
+
 def ordered_funnel(
     events: DataFrame,
     steps: list[str],
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Per-step completion counts for the ordered ``steps`` list.
 
@@ -42,7 +55,7 @@ def ordered_funnel(
     for step in steps[1:]:
         stage = (
             events.join(stage, user_col)
-            .filter((F.col(type_col) == step) & (F.col(ts_col) > F.col("__t")))
+            .filter(_hop_filter(type_col, ts_col, step, max_gap_seconds))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))
         )
@@ -60,6 +73,7 @@ def ordered_funnel_df(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Fully-lazy variant: one row per step via unioned count
     aggregates (no driver-side count() actions), for registry use
@@ -81,7 +95,7 @@ def ordered_funnel_df(
     for i, step in enumerate(steps[1:], start=1):
         stage = (
             events.join(stage, user_col)
-            .filter((F.col(type_col) == step) & (F.col(ts_col) > F.col("__t")))
+            .filter(_hop_filter(type_col, ts_col, step, max_gap_seconds))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))
         )

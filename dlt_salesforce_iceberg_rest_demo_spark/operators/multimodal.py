@@ -155,3 +155,50 @@ def sample_frames(
         F.size(frames).alias("n_frames_sampled"),
         frames.alias("frames"),
     )
+
+
+def audio_windows(
+    mm: DataFrame,
+    window_bytes: int = 64,
+    hop_bytes: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size window chunking over a binary payload — the audio
+    counterpart of text chunking (`text.chunk_documents`): a waveform
+    column splits into frame windows for feature extraction /
+    embedding. Byte-addressed (window = ``window_bytes``, stride =
+    ``hop_bytes``; real audio would scale both by sample width x rate
+    from the metadata struct).
+
+    Map-side explode of substr slices — payload bytes stay JVM-side,
+    one output row per window with its offset and a content address
+    (md5) so downstream dedup/caching can key on window identity.
+    Tail windows shorter than ``window_bytes`` are kept (standard
+    last-frame semantics), zero-length payloads produce no rows.
+    """
+    n = F.octet_length("payload")
+    n_windows = F.when(n <= 0, F.lit(0)).otherwise(
+        (n + hop_bytes - 1) / hop_bytes
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_windows - 1)
+    return (
+        mm.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda w: F.col("payload").substr(
+                        (w * hop_bytes + 1).cast("int"), F.lit(window_bytes)
+                    ),
+                )
+            ).alias("window_idx", "chunk"),
+        )
+        .filter(F.octet_length("chunk") > 0)
+        .select(
+            id_col,
+            F.col("window_idx").cast("long").alias("window_idx"),
+            (F.col("window_idx").cast("long") * hop_bytes).alias("byte_offset"),
+            F.octet_length("chunk").cast("long").alias("n_bytes"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )

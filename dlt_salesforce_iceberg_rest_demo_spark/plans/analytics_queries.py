@@ -865,3 +865,90 @@ def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("user_id", "total_cents", "n_events", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded conversion funnel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_bounded",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'view' AND e.ts > s0.t
+        AND e.ts <= s0.t + INTERVAL 24 HOURS
+      GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 24 HOURS
+      GROUP BY e.user_id)
+    SELECT 0 AS step_index, 'signup' AS step, COUNT(*) AS n_users FROM s0
+    UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
+    UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2
+    """,
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: each hop must land within 24 hours of
+    the previous step's completion (``ordered_funnel_df(max_gap_
+    seconds=86400)``) — the attribution-style variant of the ordered
+    funnel (no window -> lifetime funnel; bounded -> campaign
+    conversion). Same monotone-shrink execution; the bound is a pure
+    filter, no extra shuffle."""
+    from ..operators.funnel import ordered_funnel_df
+
+    return ordered_funnel_df(
+        t(spark, sf_dir, "events"),
+        steps=["signup", "view", "purchase"],
+        max_gap_seconds=86400,
+    ).withColumn("step_index", F.col("step_index").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: audio-style window chunking over binary payloads.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    -- DuckDB cannot slice BLOBs; the fixture corpus is pure ASCII
+    -- (octet_length(encode(text)) == length(text) for every row), so
+    -- char windows on the VARCHAR are byte-identical to Spark's
+    -- binary windows and md5(VARCHAR) hashes the same bytes.
+    WITH w AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(CEIL(length(text) / 64.0) AS BIGINT) - 1)) AS window_idx,
+             text
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id,
+           CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(window_idx * 64 AS BIGINT) AS byte_offset,
+           CAST(length(substring(text, CAST(window_idx * 64 + 1 AS INT), 64))
+                AS BIGINT) AS n_bytes,
+           md5(substring(text, CAST(window_idx * 64 + 1 AS INT), 64))
+             AS chunk_md5
+    FROM w
+    WHERE length(substring(text, CAST(window_idx * 64 + 1 AS INT), 64)) > 0
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> fixed 64-byte frame windows with offsets and
+    content-address md5 (`multimodal.audio_windows`) — the waveform-
+    chunking plumbing before any codec/feature UDF, with the payload
+    derived from text bytes as everywhere in the multimodal tranche
+    (no audio libs in-container; the byte mechanics are the real
+    surface). Map-side explode; bytes never enter Python. The oracle
+    slices the identical BLOB windows in DuckDB."""
+    from ..operators import multimodal
+
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.audio_windows(mm, window_bytes=64, hop_bytes=64)

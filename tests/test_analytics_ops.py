@@ -390,3 +390,54 @@ class TestPqSampleTraining:
         b1 = similarity.pq_fit(emb, m=8, n_codes=8, iters=1, train_fraction=0.3)
         b2 = similarity.pq_fit(emb, m=8, n_codes=8, iters=1, train_fraction=0.3)
         assert b1 == b2
+
+
+class TestFunnelTimeBound:
+    def test_bound_excludes_late_conversion(self, spark):
+        from datetime import datetime
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.funnel import (
+            ordered_funnel_df,
+        )
+
+        rows = [
+            # user 1 converts within the hour
+            (1, "signup", datetime(2026, 1, 1, 0, 0, 0)),
+            (1, "purchase", datetime(2026, 1, 1, 0, 30, 0)),
+            # user 2 converts, but 2 hours late
+            (2, "signup", datetime(2026, 1, 1, 0, 0, 0)),
+            (2, "purchase", datetime(2026, 1, 1, 2, 0, 1)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        unbounded = {
+            r["step"]: r["n_users"]
+            for r in ordered_funnel_df(ev, ["signup", "purchase"]).collect()
+        }
+        bounded = {
+            r["step"]: r["n_users"]
+            for r in ordered_funnel_df(
+                ev, ["signup", "purchase"], max_gap_seconds=3600
+            ).collect()
+        }
+        assert unbounded == {"signup": 2, "purchase": 2}
+        assert bounded == {"signup": 2, "purchase": 1}
+
+    def test_boundary_is_inclusive(self, spark):
+        from datetime import datetime
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.funnel import (
+            ordered_funnel_df,
+        )
+
+        rows = [
+            (1, "signup", datetime(2026, 1, 1, 0, 0, 0)),
+            (1, "purchase", datetime(2026, 1, 1, 1, 0, 0)),  # exactly 1h
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        bounded = {
+            r["step"]: r["n_users"]
+            for r in ordered_funnel_df(
+                ev, ["signup", "purchase"], max_gap_seconds=3600
+            ).collect()
+        }
+        assert bounded == {"signup": 1, "purchase": 1}
