@@ -670,3 +670,51 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def mix_to_target(
+    docs: DataFrame,
+    shares_permil: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus MIXING: downsample each group so the surviving corpus
+    follows the target mixture ``shares_permil`` (per-mil weights) —
+    the data-mixing step every LLM pretraining pipeline runs (e.g.
+    re-weighting languages or sources to a recipe).
+
+    Feasible total T = min_g floor(n_g * 1000 / share_g): the largest
+    corpus obeying every share with downsampling only. Per-group keep
+    rate T*share_g/(1000*n_g) is applied as a deterministic
+    md5-uniform filter (reproducible across runs and cluster sizes;
+    realized counts are binomial around the target, which is the
+    standard rate-based mixing contract). ALL-INTEGER comparison —
+    ``bucket * 1000 * n_g < 1e6 * T * share_g`` — so the oracle
+    reproduces the exact kept set. Groups missing from the recipe are
+    dropped (share 0).
+
+    One stats aggregate (group counts), one broadcast join back, one
+    map-side filter: O(corpus) with no payload shuffle.
+    """
+    shares = docs.sparkSession.createDataFrame(
+        [(g, int(p)) for g, p in shares_permil.items()],
+        f"{group_col} string, share_permil long",
+    )
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    cap = (
+        counts.join(shares, group_col)
+        .agg(F.min(F.expr("(n_g * 1000) DIV share_permil")).alias("t_cap"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(counts), group_col)
+        .join(F.broadcast(shares), group_col)
+        .crossJoin(F.broadcast(cap))
+        .filter(bucket * 1000 * F.col("n_g") < F.lit(1_000_000) * F.col("t_cap") * F.col("share_permil"))
+        .drop("n_g", "share_permil", "t_cap")
+    )

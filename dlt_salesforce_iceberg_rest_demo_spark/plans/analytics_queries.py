@@ -952,3 +952,82 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
     return multimodal.audio_windows(mm, window_bytes=64, hop_bytes=64)
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing to a target distribution.
+# ---------------------------------------------------------------------------
+
+_MIX_SHARES = {"en": 600, "de": 100, "fr": 100, "es": 100, "zh": 100}
+
+_MIX_SQL = """
+WITH shares AS (
+  {shares_union}),
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM {docs} GROUP BY lang),
+cap AS (
+  SELECT MIN({div_expr}) AS t_cap
+  FROM counts JOIN shares ON counts.lang = shares.lang),
+kept AS (
+  SELECT d.doc_id, d.lang
+  FROM {docs} d
+  JOIN counts ON d.lang = counts.lang
+  JOIN shares ON d.lang = shares.lang
+  CROSS JOIN cap
+  WHERE {bucket_expr} * 1000 * n_g < 1000000 * t_cap * share_permil)
+SELECT k.lang,
+       MIN(c.n_g) AS n_before,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(s.share_permil) AS target_permil
+FROM kept k
+JOIN counts c ON k.lang = c.lang
+JOIN shares s ON k.lang = s.lang
+GROUP BY k.lang
+"""
+
+_MIX_SHARES_UNION = " UNION ALL ".join(
+    f"SELECT '{g}' AS lang, {p} AS share_permil" for g, p in _MIX_SHARES.items()
+)
+_MIX_BUCKET_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) % 1000000"
+)
+
+
+@register(
+    "corpus_mix_to_target",
+    oracle=_MIX_SQL.format(
+        docs="documents",
+        shares_union=_MIX_SHARES_UNION,
+        div_expr="(n_g * 1000) // share_permil",
+        bucket_expr=_MIX_BUCKET_DUCK,
+    ),
+)
+def corpus_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (`text.mix_to_target`): downsample each language to
+    a 60/10/10/10/10 target recipe — the pretraining-mixture step. The
+    feasible total and per-group keep rates are exact integer
+    arithmetic; membership is an md5-uniform filter, so the kept SET
+    (not just its size) is engine-reproducible. Reported per language:
+    corpus count, kept count, target per-mil. One stats aggregate +
+    broadcast joins + map-side filter."""
+    from ..operators.text import mix_to_target
+
+    docs = t(spark, sf_dir, "documents")
+    kept = mix_to_target(docs, _MIX_SHARES, group_col="lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_g"))
+    shares = spark.createDataFrame(
+        [(g, p) for g, p in _MIX_SHARES.items()], "lang string, share_permil long"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .join(counts, "lang")
+        .join(shares, "lang")
+        .select(
+            "lang",
+            F.col("n_g").alias("n_before"),
+            "n_kept",
+            F.col("share_permil").alias("target_permil"),
+        )
+    )
