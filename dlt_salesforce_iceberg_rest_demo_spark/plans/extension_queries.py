@@ -401,14 +401,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize")
+@register(
+    "multimodal_resize",
+    oracle="""
+    -- ASCII corpus: char positions == byte positions, and DuckDB's
+    -- md5(VARCHAR) hashes the same bytes Spark's md5(BINARY) does.
+    WITH m AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             GREATEST(CAST(FLOOR(length(text) / 64.0) AS BIGINT), 1) AS s,
+             text
+      FROM documents)
+    SELECT doc_id, n AS orig_bytes,
+           CASE WHEN n <= 64 THEN n
+                ELSE LEAST(64, (n - 1) // s + 1) END AS resized_bytes,
+           CASE WHEN n <= 64 THEN md5(text)
+                ELSE md5(array_to_string(list_transform(
+                       generate_series(1, LEAST(64, (n - 1) // s + 1)),
+                       i -> substring(text, CAST(1 + (i - 1) * s AS INT), 1)),
+                     ''))
+           END AS resized_md5
+    FROM m
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-sampling binary 'resize' to 64 bytes (JVM-side byte
     slicing; a real image resize plugs into the same output schema).
-    Rows-only (binary output); pytest checks size/content invariants."""
+    Upgraded from rows-only to ORACLE-checked: sizes plus a content
+    address (md5 of the resized payload) — the oracle re-samples the
+    identical stride positions in DuckDB, so the byte mechanics are
+    hash-verified end to end; pytest keeps the invariant checks."""
     mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
     return multimodal.resize_payload(mm, target_bytes=64).select(
-        "doc_id", "orig_bytes", "resized_bytes"
+        "doc_id",
+        "orig_bytes",
+        "resized_bytes",
+        F.md5("payload_resized").alias("resized_md5"),
     )
 
 
