@@ -87,6 +87,10 @@ EXTENSION_HEADLINE = [
     "window_rolling_distinct_types",
     "stats_chi_square_independence",
     "percentile_cont_order_prices",
+    "timeseries_ohlc_hourly",
+    "interval_max_concurrency",
+    "window_rolling_median",
+    "cdc_apply_changelog",
 ]
 
 

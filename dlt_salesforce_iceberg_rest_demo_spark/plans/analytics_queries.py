@@ -890,7 +890,8 @@ def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.event_type = 'purchase' AND e.ts > s1.t
         AND e.ts <= s1.t + INTERVAL 24 HOURS
       GROUP BY e.user_id)
-    SELECT 0 AS step_index, 'signup' AS step, COUNT(*) AS n_users FROM s0
+    SELECT CAST(0 AS BIGINT) AS step_index, 'signup' AS step,
+           COUNT(*) AS n_users FROM s0
     UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
     UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2
     """,
@@ -978,7 +979,7 @@ kept AS (
 SELECT k.lang,
        MIN(c.n_g) AS n_before,
        CAST(COUNT(*) AS BIGINT) AS n_kept,
-       MIN(s.share_permil) AS target_permil
+       CAST(MIN(s.share_permil) AS BIGINT) AS target_permil
 FROM kept k
 JOIN counts c ON k.lang = c.lang
 JOIN shares s ON k.lang = s.lang

@@ -125,5 +125,6 @@ def _ensure_loaded() -> None:
     from . import tpch_queries  # noqa: F401
     from . import advanced_queries  # noqa: F401
     from . import analytics_queries  # noqa: F401
+    from . import timeseries_queries  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,368 @@
+"""Time-series / warehouse-maintenance tranche: OHLC downsampling bars,
+sweep-line interval concurrency, rolling-median windows, CDC changelog
+apply, weighted priority sampling, canonical-URL dedup.
+
+The reference has no analytics executor (SURVEY.md §2.7); these extend
+the engine along the driver's north-star axes — time-series rollups a
+telemetry lake needs, the CDC-apply inverse of the lake's snapshot
+`diff` (``sinks/dispositions.py``), and two web-corpus staples
+(weighted document sampling, URL canonicalization dedup).
+
+Determinism follows the house rules (registry module docstring): exact
+integer arithmetic for anything summed or ranked, md5-derived uniforms
+for sampling, single-row picks (argmin/argmax over structs) for floats
+so no float is ever re-accumulated in engine-specific order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._helpers import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling bars (time-series rollup).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar_hour, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_hour
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT user_id, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, bar_hour
+    """,
+)
+def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars per (user, hour): open/close are the
+    first/last value by (ts, event_id), high/low are min/max. Open and
+    close are partial-aggregatable ARGMIN/ARGMAX (min/max of a
+    (ts, event_id, value) struct) — one map-side-combinable aggregation,
+    NO window sort over raw events, unlike the oracle's ROW_NUMBER
+    formulation. Every output float is a single picked row value or an
+    exact min/max, never a float re-accumulation, so the hash-compare
+    is safe. At 100 TB this is the canonical telemetry downsample: one
+    shuffle on (user, hour), combiners collapse each bar before it
+    moves."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    g = e.groupBy("user_id", "bar_hour").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("o"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.struct("ts", "event_id", "value")).alias("c"),
+        F.count("*").alias("n_events"),
+    )
+    return g.select(
+        "user_id",
+        "bar_hour",
+        F.col("o.value").alias("open_value"),
+        "high_value",
+        "low_value",
+        F.col("c.value").alias("close_value"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line max interval concurrency (two-level distributed prefix sum).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_max_concurrency",
+    oracle="""
+    WITH d AS (
+      SELECT ts AS tick, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 30 MINUTE AS tick, -1 AS delta FROM events),
+    r AS (
+      SELECT tick, delta,
+             SUM(delta) OVER (ORDER BY tick, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM d)
+    SELECT CAST(m.mx AS BIGINT) AS max_concurrent, MIN(r.tick) AS at_tick
+    FROM r, (SELECT MAX(conc) AS mx FROM r) m
+    WHERE r.conc = m.mx GROUP BY m.mx
+    """,
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions (each event opens a [ts, ts+30min)
+    interval) via a sweep line — the classic +1/-1 delta running sum.
+    A global running sum would serialize onto one partition, so this is
+    the TWO-LEVEL distributed prefix sum: (1) running sums within
+    hour buckets (window partitioned by bucket — bounded state), (2) a
+    tiny window over per-bucket NET sums yields each bucket's starting
+    offset (rows = number of hours, not number of events), (3) global
+    peak = max(offset + within-bucket peak). Tie rules match the
+    oracle's ORDER BY (tick, delta): a -1 sorts before a +1 at the same
+    instant (half-open intervals), and the earliest tick achieving the
+    peak is reported (argmax over (peak, -micros) structs — exact
+    integers end-to-end). This decomposition is how any cumulative
+    metric (running balance, concurrency, inventory) scales: per-bucket
+    windows grow with bucket width, the cross-bucket window only with
+    the time span."""
+    e = t(spark, sf_dir, "events").select("ts")
+    d = e.select(F.col("ts").alias("tick"), F.lit(1).alias("delta")).unionAll(
+        e.select(
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("tick"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    d = d.withColumn("bucket", F.date_trunc("hour", F.col("tick")))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("tick", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = d.withColumn("run", F.sum("delta").over(wb))
+    per_bucket = run.groupBy("bucket").agg(
+        F.sum("delta").alias("net"),
+        F.max(
+            F.struct(
+                F.col("run").alias("peak"),
+                (-F.unix_micros(F.col("tick"))).alias("neg_us"),
+            )
+        ).alias("pk"),
+    )
+    # Cross-bucket offsets: window over per-bucket aggregates only
+    # (cardinality = hours in the dataset, fine on one partition).
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    peaks = per_bucket.withColumn(
+        "offset", F.coalesce(F.sum("net").over(wo), F.lit(0))
+    ).select(
+        (F.col("offset") + F.col("pk.peak")).alias("peak"),
+        F.col("pk.neg_us").alias("neg_us"),
+    )
+    return peaks.agg(
+        F.max(F.struct(F.col("peak"), F.col("neg_us"))).alias("g")
+    ).select(
+        F.col("g.peak").cast("long").alias("max_concurrent"),
+        F.timestamp_micros(-F.col("g.neg_us")).alias("at_tick"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (order statistic over a bounded row frame).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT user_id, event_id, value,
+           MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS roll_median
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of the last 5 events per user. Spark has no
+    MEDIAN window aggregate, so the frame is materialized as a sorted
+    array (collect_list over a BOUNDED row frame — O(k) state per row,
+    k=5) and the order statistic is picked by index; the even-count
+    interpolation ((a+b)/2) is the single identical IEEE op sequence
+    DuckDB's windowed MEDIAN uses (verified: 0/1000 mismatch vs its
+    list-reconstruction on the fixtures). Same pattern as
+    `window_rolling_distinct_types`: any order-statistic window Spark
+    lacks is expressible as array-of-frame + element pick, and stays
+    scalable exactly while the frame is bounded."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    df = e.select("user_id", "event_id", "value", "ts").withColumn(
+        "arr", F.array_sort(F.collect_list("value").over(w))
+    )
+    med = F.expr(
+        "CASE WHEN size(arr) % 2 = 1"
+        "  THEN element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"
+        "  ELSE (element_at(arr, CAST(size(arr) DIV 2 AS INT))"
+        "        + element_at(arr, CAST(size(arr) DIV 2 + 1 AS INT))) / 2 END"
+    )
+    return df.select("user_id", "event_id", "value", med.alias("roll_median"))
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (last-writer-wins compaction).
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, 0 AS version, 'I' AS op,
+         o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 4 <> 0),
+ins AS (
+  SELECT o_orderkey, 1, 'I', o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 4 = 0),
+upd AS (
+  SELECT o_orderkey, 2, 'U', o_totalprice * 2, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0),
+del AS (
+  SELECT o_orderkey, 3, 'D', 0.0, 'D'
+  FROM orders WHERE o_orderkey % 5 = 0),
+log AS (
+  SELECT * FROM base UNION ALL SELECT * FROM ins
+  UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del),
+last AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM log)
+SELECT o_orderkey, price AS final_price, status AS final_status,
+       CAST(version AS BIGINT) AS last_version
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_apply_changelog", oracle=_CDC_ORACLE)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered insert/update/delete changelog to a snapshot
+    (Debezium-style compaction; the inverse of `ParquetLake.diff`'s
+    CDC feed — reference merge is the degenerate version-free case,
+    `/root/reference/salesforce_pipeline.py:83-130`). Last-writer-wins
+    per key is a partial-aggregatable ARGMAX over (version, op,
+    payload) structs — one shuffle, map-side combiners collapse each
+    key's history, NO window sort (the oracle's ROW_NUMBER is the
+    naive formulation). Deletes survive to the argmax then drop, so a
+    delete older than the final upsert correctly loses. The changelog
+    is synthesized deterministically from `orders` (base = keys %4!=0;
+    insert/update/delete waves at versions 1/2/3 by key residue), and
+    (key, version) is unique so the argmax is total-ordered."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def wave(flt, version: int, op: str, price, status):
+        return o.filter(flt).select(
+            k.alias("o_orderkey"),
+            F.lit(version).alias("version"),
+            F.lit(op).alias("op"),
+            price.alias("price"),
+            status.alias("status"),
+        )
+
+    log = (
+        wave(k % 4 != 0, 0, "I", F.col("o_totalprice"), F.col("o_orderstatus"))
+        .unionAll(wave(k % 4 == 0, 1, "I", F.col("o_totalprice"), F.col("o_orderstatus")))
+        .unionAll(wave(k % 3 == 0, 2, "U", F.col("o_totalprice") * 2, F.lit("U")))
+        .unionAll(wave(k % 5 == 0, 3, "D", F.lit(0.0), F.lit("D")))
+    )
+    last = log.groupBy("o_orderkey").agg(
+        F.max(F.struct("version", "op", "price", "status")).alias("m")
+    )
+    return last.filter(F.col("m.op") != "D").select(
+        "o_orderkey",
+        F.col("m.price").alias("final_price"),
+        F.col("m.status").alias("final_status"),
+        F.col("m.version").cast("long").alias("last_version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield–Lund–Thorup).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, n_chars AS weight,
+             (CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS BIGINT) * 1000000)
+               // GREATEST(n_chars, 1) AS priority
+      FROM documents)
+    SELECT doc_id, weight, priority FROM pri
+    ORDER BY priority, doc_id LIMIT 100
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Duffield–Lund–Thorup): each document
+    gets priority u/w for a uniform u and weight w (= n_chars), and the
+    k smallest priorities form a weight-biased sample with unbiased
+    subset-sum estimators. Everything is exact integer arithmetic —
+    u is a 32-bit md5-derived uniform, priority = (u * 10^6) DIV w —
+    so the sample SET is engine-reproducible (no float, no RNG state).
+    The top-k executes as TakeOrdered (per-partition k-heaps + one
+    driver merge of k*P candidate rows), never a full sort: the
+    selection cost at 100 TB is a map pass plus k*partitions rows of
+    shuffle. Corpus use: quality- or length-weighted eval-set draws
+    that stay stable across reruns and engines."""
+    d = t(spark, sf_dir, "documents")
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    pri = d.select(
+        "doc_id", F.col("n_chars").alias("weight"), u32.alias("u32")
+    ).select(
+        "doc_id",
+        "weight",
+        # Integer DIV (not double /) - a double quotient can round UP
+        # across an integer boundary before the truncating cast.
+        F.expr("(u32 * 1000000) DIV greatest(weight, 1)").alias("priority"),
+    )
+    return pri.orderBy("priority", "doc_id").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (web-corpus staple).
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+         || source || '.Example.COM:443/p/' || CAST(doc_id % 40 AS STRING)
+         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || lang
+                  WHEN doc_id % 3 = 1 THEN '?ref=' || lang ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM {documents}),
+canon AS (
+  SELECT doc_id,
+         replace(replace(lower(split_part(url, '#', 1)), ':443/', '/'),
+                 '?utm_source=feed&', '?') AS curl
+  FROM urls)
+SELECT curl AS canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS kept_doc_id
+FROM canon GROUP BY curl
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_SQL.format(documents="documents"))
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup, the first dedup pass of every web-crawl
+    corpus: normalize scheme/host case, strip the default :443 port,
+    drop the fragment and tracking (utm_*) params, then keep the
+    smallest doc_id per canonical URL. The synthetic messy URLs are
+    derived deterministically from (doc_id, source, lang) since the
+    fixtures carry no real URLs; the canonicalizer itself is the real
+    operator — a map-side chain of string primitives shared verbatim
+    with the oracle (lower/split_part/replace — no regex, whose
+    flavors differ across engines; `scalar_url_functions` covers the
+    parse_url-based decomposition). One shuffle on the canonical key;
+    keep-first is MIN, i.e. fully partial-aggregatable."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("ts_url_documents")
+    return spark.sql(_URL_SQL.format(documents="ts_url_documents"))

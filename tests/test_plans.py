@@ -302,3 +302,46 @@ class TestAnalyticsPlans:
         plan = plan_of(dedup.prefix_jaccard_pairs(docs, n=2, threshold=0.5))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTimeseriesPlans:
+    """Plan audits for the time-series / CDC tranche: the scale claims
+    each docstring makes must be visible in the physical plan."""
+
+    def test_ohlc_is_single_aggregate_no_window(self, spark):
+        # OHLC bars are one partial+final aggregate on (user, hour);
+        # the oracle's double ROW_NUMBER window never appears.
+        plan = plan_of(REGISTRY["timeseries_ohlc_hourly"].spark(spark, SF_DIR))
+        assert "Window" not in plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan
+
+    def test_cdc_apply_no_window(self, spark):
+        # Last-writer-wins is an argmax aggregate, not a row_number sort.
+        plan = plan_of(REGISTRY["cdc_apply_changelog"].spark(spark, SF_DIR))
+        assert "Window" not in plan
+
+    def test_concurrency_bulk_window_is_bucket_partitioned(self, spark):
+        # The event-volume window must be partitioned by the hour bucket;
+        # only the per-bucket-aggregate window (rows = #hours) may be
+        # global. formatted-mode: every Window node lists its spec.
+        import re
+
+        plan = plan_of(
+            REGISTRY["interval_max_concurrency"].spark(spark, SF_DIR)
+        )
+        windows = re.findall(r"Arguments: \[[^\]]*windowspecdefinition\([^\)]*\)", plan)
+        assert windows, plan
+        partitioned = [w for w in windows if "bucket#" in w]
+        assert partitioned, f"no bucket-partitioned window in {windows}"
+
+    def test_weighted_priority_is_takeordered(self, spark):
+        # k smallest priorities must run as TakeOrderedAndProject
+        # (per-partition heaps), never a global Sort.
+        plan = plan_of(REGISTRY["sample_weighted_priority"].spark(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_rolling_median_frame_is_bounded(self, spark):
+        # collect_list must carry the ROWS 4 PRECEDING frame - an
+        # unbounded frame would mean O(partition) state per row.
+        plan = plan_of(REGISTRY["window_rolling_median"].spark(spark, SF_DIR))
+        assert "specifiedwindowframe(RowFrame, -4, currentrow" in plan
