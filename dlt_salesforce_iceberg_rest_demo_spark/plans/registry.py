@@ -126,5 +126,6 @@ def _ensure_loaded() -> None:
     from . import advanced_queries  # noqa: F401
     from . import analytics_queries  # noqa: F401
     from . import timeseries_queries  # noqa: F401
+    from . import stats_queries  # noqa: F401
 
     _LOADED = True

@@ -111,7 +111,7 @@ class TestMoments:
 
         query_fns()
         got = (
-            REGISTRY["stats_skew_kurtosis"].spark(spark, SF_DIR).toPandas()
+            query_fns()["stats_skew_kurtosis"](spark, SF_DIR).toPandas()
         ).set_index("event_type")
         events = pd.read_parquet(f"{SF_DIR}/events.parquet")
         c = np.floor(events["value"] + 0.5).astype(np.int64)
@@ -441,3 +441,83 @@ class TestFunnelTimeBound:
             ).collect()
         }
         assert bounded == {"signup": 1, "purchase": 1}
+
+
+class TestNonparametricStats:
+    """The cross-engine oracle proves Spark==DuckDB; these pin the
+    FORMULAS against independent numpy midrank/ECDF references."""
+
+    def _clicks_purchases(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        pdf = (
+            load_table(spark, SF_DIR, "events")
+            .filter("event_type IN ('click','purchase')")
+            .select("value", "event_type")
+            .toPandas()
+        )
+        x = np.floor(pdf["value"].values * 100 + 0.5).astype(np.int64)
+        return x, (pdf["event_type"] == "click").values
+
+    def test_mann_whitney_matches_midrank_reference(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.plans import query_fns
+
+        x, is_a = self._clicks_purchases(spark)
+        order = np.argsort(x, kind="mergesort")
+        xs = x[order]
+        ranks = np.empty(len(xs), float)
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[j] == xs[i]:
+                j += 1
+            ranks[i:j] = (i + 1 + j) / 2
+            i = j
+        r = np.empty(len(x), float)
+        r[order] = ranks
+        n_a, n_b, n = is_a.sum(), (~is_a).sum(), len(x)
+        u_a = r[is_a].sum() - n_a * (n_a + 1) / 2
+        _, counts = np.unique(x, return_counts=True)
+        ties = np.sum(counts.astype(np.int64) ** 3 - counts)
+        var = n_a * n_b * ((n + 1) - ties / (n * (n - 1))) / 12
+        z = (u_a - n_a * n_b / 2) / np.sqrt(var)
+
+        row = query_fns()["stats_mann_whitney_u"](spark, SF_DIR).collect()[0]
+        assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+        assert row["u_a"] == u_a
+        assert abs(row["z"] - z) < 1e-12
+
+    def test_ks_matches_ecdf_reference(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.plans import query_fns
+
+        x, is_a = self._clicks_purchases(spark)
+        a, b = np.sort(x[is_a]), np.sort(x[~is_a])
+        allv = np.unique(x)
+        ca = np.searchsorted(a, allv, side="right").astype(np.int64)
+        cb = np.searchsorted(b, allv, side="right").astype(np.int64)
+        d_numer = np.max(np.abs(ca * len(b) - cb * len(a)))
+
+        row = query_fns()["stats_ks_two_sample"](spark, SF_DIR).collect()[0]
+        assert row["d_numer"] == d_numer
+        assert row["ks_stat"] == d_numer / (len(a) * len(b))
+
+    def test_gini_matches_pairwise_reference(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.plans import query_fns
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        v = (
+            load_table(spark, SF_DIR, "orders")
+            .selectExpr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v")
+            .toPandas()["v"]
+            .values.astype(np.int64)
+        )
+        # O(n log n) reference via sorted prefix sums (exact integers).
+        vs = np.sort(v)
+        idx = np.arange(1, len(vs) + 1, dtype=np.int64)
+        sumdiff = int(np.sum((2 * idx - len(vs) - 1) * vs))  # sum_ij |xi-xj| / 1
+        gini = sumdiff / (len(vs) * int(vs.sum()))
+
+        row = query_fns()["stats_gini_order_prices"](spark, SF_DIR).collect()[0]
+        assert row["n_orders"] == len(vs)
+        assert abs(row["gini"] - gini) < 1e-12
+        assert 0.0 <= row["gini"] <= 1.0
