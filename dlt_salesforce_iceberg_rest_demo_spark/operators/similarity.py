@@ -836,3 +836,53 @@ def random_projection(
         )
         outs.append(folded.alias(f"r{j}"))
     return emb.select(F.col(id_col), *outs)
+
+
+def maxsim_scores(
+    emb: DataFrame,
+    query_label: int = 0,
+    n_query: int = 5,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction scoring: treat each label's
+    vectors as a multi-vector BAG (document token embeddings), take the
+    ``n_query`` lowest-id vectors of ``query_label`` as the query bag,
+    and score every other bag with sum_q max_d <q, d>.
+
+    Scale shape: the query bag is tiny by construction and rides a
+    broadcast; the corpus is scanned once and fans out x|Q| through a
+    BroadcastNestedLoopJoin (the correct plan when one side has no join
+    key and fits in memory). Dot products run in codegen'd JVM folds
+    (zip_with + aggregate) over integer-quantized components
+    (floor(x*scale+0.5) — the near-integer rounding both engines agree
+    on), so every dot, max and sum is EXACT BIGINT arithmetic: the
+    score is engine-reproducible with no float accumulation anywhere.
+    max-per-(bag,query) then sum-per-bag are two combinable
+    aggregations — at 100 TB the shuffle carries |bags| x |Q| rows.
+    """
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    q = (
+        emb.filter(F.col(label_col) == query_label)
+        .orderBy(id_col)
+        .limit(n_query)
+        .select(F.col(id_col).alias("qid"), quant.alias("qarr"))
+    )
+    docs = emb.filter(F.col(label_col) != query_label).select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("did"),
+        quant.alias("darr"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qarr"), F.col("darr"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dots = docs.crossJoin(F.broadcast(q)).select("label", "qid", dot.alias("dot"))
+    per_query = dots.groupBy("label", "qid").agg(F.max("dot").alias("m"))
+    return per_query.groupBy("label").agg(F.sum("m").alias("maxsim_score"))

@@ -718,3 +718,42 @@ def mix_to_target(
         .filter(bucket * 1000 * F.col("n_g") < F.lit(1_000_000) * F.col("t_cap") * F.col("share_permil"))
         .drop("n_g", "share_permil", "t_cap")
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus (the ENCODE side of
+    :func:`bpe_train_merges`): each word splits to characters, then the
+    merges apply in rank order, greedy left-to-right non-overlapping —
+    the exact semantics the trainer learned under.
+
+    Scale design mirrors the trainer: only the DISTINCT-WORD vocabulary
+    is encoded (one groupBy collapses the corpus; every merge fold runs
+    over vocabulary-sized data), then tokenizations join back to word
+    occurrences via a broadcast. The merge folds themselves are pure
+    Catalyst expressions (:func:`_bpe_merge_expr`) — no Python worker
+    touches the hot path, and a 50k-merge production vocabulary would
+    swap the unrolled folds for one mapInPandas encoder over the same
+    distinct-word table.
+
+    Returns (id_col, n_words, n_tokens) per document.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.select("w").distinct().select("w", F.split("w", "").alias("arr"))
+    for left, right in merges:
+        vocab = vocab.select("w", F.expr(_bpe_merge_expr("arr", left, right)).alias("arr"))
+    vocab = vocab.select("w", F.size("arr").alias("n_word_tokens"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_word_tokens").alias("n_tokens"),
+        )
+    )

@@ -1032,3 +1032,109 @@ def corpus_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("share_permil").alias("target_permil"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late-interaction retrieval (multi-vector bags).
+# ---------------------------------------------------------------------------
+
+_MAXSIM_ORACLE = """
+WITH qe AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE label = 0
+  ORDER BY vec_id LIMIT 5),
+q AS (
+  SELECT qid, i,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv
+  FROM (SELECT qid, unnest(generate_series(1, len(embedding))) AS i,
+               unnest(embedding) AS v FROM qe) z),
+d AS (
+  SELECT vec_id AS did, label, i,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS dv
+  FROM (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
+               unnest(embedding) AS v FROM embeddings WHERE label <> 0) z),
+dots AS (
+  SELECT d.label, q.qid, d.did, CAST(SUM(q.qv * d.dv) AS BIGINT) AS dot
+  FROM q JOIN d ON q.i = d.i
+  GROUP BY d.label, q.qid, d.did),
+mx AS (SELECT label, qid, MAX(dot) AS m FROM dots GROUP BY label, qid)
+SELECT label, CAST(SUM(m) AS BIGINT) AS maxsim_score FROM mx GROUP BY label
+"""
+
+
+@register("similarity_maxsim_labels", oracle=_MAXSIM_ORACLE)
+def similarity_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction
+    (`similarity.maxsim_scores`): each label's vectors form a
+    multi-vector bag; the query bag (label 0, 5 lowest ids) scores
+    every other bag with sum_q max_d <q,d>. Integer-quantized
+    components make every dot/max/sum exact BIGINT arithmetic — the
+    whole late-interaction pipeline is engine-reproducible. Spark runs
+    vector-at-a-time codegen folds over a broadcast query bag (one
+    corpus scan); the oracle reconstructs the same dots by
+    position-join (64x row blowup — the naive formulation)."""
+    from ..operators.similarity import maxsim_scores
+
+    return maxsim_scores(t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift (co-purchase association).
+# ---------------------------------------------------------------------------
+
+_BASKET_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM {lineitem}),
+n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+cx AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY p),
+cab AS (
+  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+  GROUP BY x.p, y.p)
+SELECT a, b, c_ab, ca.c AS c_a, cb.c AS c_b,
+       CAST(n_orders * c_ab AS DOUBLE) / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+FROM cab
+JOIN cx ca ON cab.a = ca.p
+JOIN cx cb ON cab.b = cb.p
+CROSS JOIN n
+ORDER BY c_ab DESC, a, b LIMIT 50
+"""
+
+
+@register("market_basket_lift", oracle=_BASKET_SQL.format(lineitem="lineitem"))
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase association mining: support counts and lift
+    n*c_ab/(c_a*c_b) for part pairs sharing an order, top 50 by
+    support with (a,b) tie-break. The pair generation is an
+    order-keyed self-join — pair volume is sum over orders of k^2 with
+    k bounded by basket size (~single digits), NOT corpus^2; at 100 TB
+    the same join keys on the basket id and stays linear in baskets.
+    Lift is one IEEE division of exact BIGINT counts; the 1-row order
+    total rides a broadcast cross join. Top-50 executes as TakeOrdered
+    (no global sort)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("ana_basket_lineitem")
+    return spark.sql(_BASKET_SQL.format(lineitem="ana_basket_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (apply the trained merge table).
+# ---------------------------------------------------------------------------
+
+
+@register("text_bpe_encode")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE pass (`text.bpe_encode`): train 6 merges on the
+    corpus (`text.bpe_train_merges`, reference-pinned in pytest), then
+    apply them in rank order to every document — greedy left-to-right
+    non-overlapping, the trainer's own semantics. Distinct-word
+    vocabulary encodes once (Catalyst merge folds, no Python);
+    occurrences join back via broadcast. Rows-only at the driver (the
+    greedy fold is not expressible in one portable SQL statement);
+    pytest pins encode output against a pure-Python reference
+    tokenizer. Output: (doc_id, n_words, n_tokens)."""
+    from ..operators.text import bpe_encode, bpe_train_merges
+
+    docs = t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, merges)

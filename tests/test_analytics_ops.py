@@ -521,3 +521,45 @@ class TestNonparametricStats:
         assert row["n_orders"] == len(vs)
         assert abs(row["gini"] - gini) < 1e-12
         assert 0.0 <= row["gini"] <= 1.0
+
+
+class TestBpeEncode:
+    @staticmethod
+    def _ref_encode(word: str, merges):
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_matches_reference_tokenizer(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        docs = spark.createDataFrame(
+            [(1, "the cat batted the cattle"), (2, "a cab at bat"), (3, "")],
+            "doc_id long, text string",
+        )
+        merges = [("a", "t"), ("c", "at"), ("t", "h"), ("th", "e")]
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in t_ops.bpe_encode(docs, merges).collect()
+        }
+        for doc_id, sent in [(1, "the cat batted the cattle"), (2, "a cab at bat")]:
+            words = [w for w in sent.split(" ") if w]
+            n_tokens = sum(len(self._ref_encode(w, merges)) for w in words)
+            assert got[doc_id] == (len(words), n_tokens), doc_id
+        assert 3 not in got  # empty doc has no words
+
+    def test_zero_merges_is_char_count(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+        row = t_ops.bpe_encode(docs, []).collect()[0]
+        assert (row["n_words"], row["n_tokens"]) == (2, 5)

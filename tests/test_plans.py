@@ -345,3 +345,17 @@ class TestTimeseriesPlans:
         # unbounded frame would mean O(partition) state per row.
         plan = plan_of(REGISTRY["window_rolling_median"].spark(spark, SF_DIR))
         assert "specifiedwindowframe(RowFrame, -4, currentrow" in plan
+
+
+class TestRetrievalPlans:
+    def test_maxsim_query_side_broadcast(self, spark):
+        # The query bag must ride a broadcast nested-loop join; the
+        # corpus side is scanned once, never shuffled for the join.
+        plan = plan_of(REGISTRY["similarity_maxsim_labels"].spark(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_basket_topk_is_takeordered(self, spark):
+        plan = plan_of(REGISTRY["market_basket_lift"].spark(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
