@@ -1138,3 +1138,37 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train_merges(docs, n_merges=6).orderBy("merge_rank").collect()
     ]
     return bpe_encode(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the supplier co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+_DEGREE_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM {lineitem} x JOIN {lineitem} y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs) u
+  GROUP BY node)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_DEGREE_SQL.format(lineitem="lineitem"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the supplier co-occurrence graph — the
+    first diagnostic before any graph algorithm (skew detection: a
+    heavy-tailed degree histogram is what forces the (degree, id)
+    orientation in `graph_triangle_count_suppliers` and salting in
+    joins). Edge build is the basket-bounded self-join; degrees and
+    the histogram are two combinable aggregations. Companion to
+    `profile_table_orders` on the graph side."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("ana_deg_lineitem")
+    return spark.sql(_DEGREE_SQL.format(lineitem="ana_deg_lineitem"))

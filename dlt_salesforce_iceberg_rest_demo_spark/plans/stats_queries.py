@@ -169,3 +169,49 @@ def stats_gini_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     division."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("st_gini_orders")
     return spark.sql(_GINI_SQL.format(orders="st_gini_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile feature binning (equal-frequency discretization).
+# ---------------------------------------------------------------------------
+
+_QBIN_SQL = """
+WITH x AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM {orders}),
+g AS (SELECT v, COUNT(*) AS c FROM x GROUP BY v),
+cum AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cc
+  FROM g),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+b AS (
+  SELECT MIN(CASE WHEN cc >= (n + 3) {div} 4 THEN v END) AS q1,
+         MIN(CASE WHEN cc >= (n + 1) {div} 2 THEN v END) AS q2,
+         MIN(CASE WHEN cc >= (3 * n + 3) {div} 4 THEN v END) AS q3
+  FROM cum CROSS JOIN tot)
+SELECT CAST(1 + (CASE WHEN v > q1 THEN 1 ELSE 0 END)
+              + (CASE WHEN v > q2 THEN 1 ELSE 0 END)
+              + (CASE WHEN v > q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(v) AS min_cents, MAX(v) AS max_cents
+FROM x CROSS JOIN b
+GROUP BY 1
+"""
+
+
+@register(
+    "feature_quantile_binning",
+    oracle=_QBIN_SQL.format(orders="orders", div="//"),
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) feature binning — the discretization
+    step of feature engineering / drift monitors. Boundaries are EXACT
+    order statistics picked by integer rank on the distinct-value
+    cumulative counts (rank ceil(q*n) as (q*n + k) DIV d — no float
+    percentile kernels, no per-row ROW_NUMBER), broadcast to a
+    map-side bucket assignment 1 + sum of boundary exceedances (ties
+    land deterministically in the lower bucket). Raw rows contribute
+    one combinable groupBy; everything else is distinct-value-sized.
+    The only engine-dialect split is integer division (DIV vs //)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("st_qbin_orders")
+    return spark.sql(_QBIN_SQL.format(orders="st_qbin_orders", div="DIV"))

@@ -366,3 +366,44 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first is MIN, i.e. fully partial-aggregatable."""
     t(spark, sf_dir, "documents").createOrReplaceTempView("ts_url_documents")
     return spark.sql(_URL_SQL.format(documents="ts_url_documents"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics (per-user event cadence).
+# ---------------------------------------------------------------------------
+
+_IAT_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         {us}(ts) - LAG({us}(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS gap_us
+  FROM {events}),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_us) AS BIGINT) AS s,
+         MIN(gap_us) AS min_gap_us,
+         MAX(gap_us) AS max_gap_us
+  FROM gaps GROUP BY user_id)
+SELECT user_id, n_gaps,
+       CAST(s AS DOUBLE) / (1000000.0 * n_gaps) AS mean_gap_seconds,
+       min_gap_us, max_gap_us
+FROM m WHERE n_gaps > 0
+"""
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle=_IAT_SQL.format(events="events", us="epoch_us"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence (gap count, exact mean, min/max)
+    — the heartbeat/health profile of any event stream, and the input
+    feature for churn- and bot-detection. Gaps are exact integer
+    microseconds from one LAG per user partition (ties broken by
+    event_id); the mean is one IEEE division of an exact BIGINT sum.
+    The only dialect split is the epoch accessor (unix_micros vs
+    epoch_us). Single shuffle on user_id, combinable aggregate after
+    the lag."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("ts_iat_events")
+    return spark.sql(_IAT_SQL.format(events="ts_iat_events", us="unix_micros"))

@@ -95,9 +95,16 @@ class ParquetLake:
         props = self.root / table / "_PROPERTIES.json"
         return json.loads(props.read_text()) if props.exists() else {}
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
-        """Scan a snapshot (S4): the current one, or ``version`` for
-        time travel (any manifest `vacuum` hasn't expired)."""
+    def read(self, table: str, version: int | str | None = None) -> DataFrame:
+        """Scan a snapshot (S4): the current one, ``version`` for time
+        travel (any manifest `vacuum` hasn't expired), or a named ref
+        (tag) created with :meth:`set_ref` — the Iceberg
+        ``VERSION AS OF 'tag'`` analog."""
+        if isinstance(version, str):
+            refs = self.refs(table)
+            if version not in refs:
+                raise ValueError(f"ref {version!r} does not exist on {table}")
+            version = refs[version]
         if version is None:
             dirs = self._current_manifest(table)
         else:
@@ -141,6 +148,37 @@ class ParquetLake:
     def count(self, table: str) -> int:
         """A1 verification count - metadata-only on parquet footers."""
         return self.read(table).count()
+
+    # -- named snapshot refs (Iceberg tag analog) -------------------------
+
+    def refs(self, table: str) -> dict[str, int]:
+        """Named snapshot refs: tag name -> pinned version."""
+        p = self.root / table / "_REFS.json"
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def set_ref(self, table: str, name: str, version: int | None = None) -> int:
+        """Pin a name to a snapshot (current one by default) — the
+        Iceberg tag: reproducible reads (`read(table, 'ref')`) that
+        survive later commits, and a retention root for `vacuum`
+        (tagged snapshots never expire — same contract as Iceberg's
+        expire_snapshots). Audit/eval pipelines tag the snapshot they
+        ran on; retraining reads the tag, not 'whatever is current'."""
+        v = self._current_version(table) if version is None else version
+        if not (self.root / table / f"_MANIFEST.{v}.json").exists():
+            raise ValueError(f"snapshot {v} of {table} does not exist")
+        refs = self.refs(table)
+        refs[name] = v
+        tmp = self.root / table / f"_REFS.tmp.{name}"
+        tmp.write_text(json.dumps(refs))
+        os.replace(tmp, self.root / table / "_REFS.json")
+        return v
+
+    def drop_ref(self, table: str, name: str) -> None:
+        refs = self.refs(table)
+        refs.pop(name, None)
+        tmp = self.root / table / f"_REFS.tmp.{name}"
+        tmp.write_text(json.dumps(refs))
+        os.replace(tmp, self.root / table / "_REFS.json")
 
     def schema(self, table: str) -> T.StructType:
         schema_file = self.root / table / "_SCHEMA.json"
@@ -235,25 +273,59 @@ class ParquetLake:
     def drop_table(self, table: str) -> None:
         shutil.rmtree(self.root / table, ignore_errors=True)
 
-    def _prepare(self, table: str, df: DataFrame) -> DataFrame:
+    def _prepare(
+        self, table: str, df: DataFrame, evolve: bool = False
+    ) -> DataFrame:
         """Auto-create if missing, then T3-align the batch to the table
         schema (add typed NULLs, drop extras, target order -
-        salesforce_pipeline.py:153-176)."""
+        salesforce_pipeline.py:153-176). With ``evolve=True`` new batch
+        columns widen the table schema first instead of being dropped."""
         if not self.exists(table):
             self.create_table(table, df.schema)
+        elif evolve:
+            self.evolve_schema(table, df.schema)
         return align_to_schema(df, self.schema(table))
+
+    def evolve_schema(self, table: str, batch_schema: T.StructType) -> list[str]:
+        """Additive schema evolution (the opt-in extension SURVEY §7
+        schedules next to reference-parity alignment, which silently
+        DROPS unknown batch columns — salesforce_pipeline.py:166):
+        append any batch column the table lacks, widened + nullable,
+        Iceberg add-column style. METADATA-ONLY — existing data dirs
+        are untouched; the explicit-schema parquet scan returns typed
+        NULLs for files that predate a column (exactly how Iceberg
+        reads pre-evolution files). Existing columns never change type
+        or position, so field identity is positional-stable. Returns
+        the added column names."""
+        current = self.schema(table)
+        have = {f.name for f in current.fields}
+        added = [f for f in widen_types(batch_schema).fields if f.name not in have]
+        if not added:
+            return []
+        new_schema = T.StructType(
+            current.fields + [T.StructField(f.name, f.dataType, True) for f in added]
+        )
+        tdir = self.root / table
+        tmp = tdir / "_SCHEMA.tmp.json"
+        tmp.write_text(json.dumps(new_schema.jsonValue()))
+        os.replace(tmp, tdir / "_SCHEMA.json")
+        return [f.name for f in added]
 
     # -- W1/W2/W3 dispositions ----------------------------------------------
 
-    def append(self, df: DataFrame, table: str) -> WriteReport:
+    def append(self, df: DataFrame, table: str, evolve: bool = False) -> WriteReport:
         """W1: new snapshot = old manifest + one new data dir.
 
         An empty batch is a no-op: no data dir, no commit. dlt never
         invokes the destination for a zero-item batch, so an idle
         incremental poll (cursor advanced past all rows) must not grow
         the snapshot chain - at scale that is one spurious manifest per
-        table per tick."""
-        df = self._prepare(table, df)
+        table per tick.
+
+        ``evolve=True`` adds unknown batch columns to the table schema
+        first (see :meth:`evolve_schema`); the default keeps reference
+        drop-extras parity."""
+        df = self._prepare(table, df, evolve=evolve)
         name, rows = self._new_data_dir(table, df)
         if rows == 0:
             shutil.rmtree(self.root / table / name, ignore_errors=True)
@@ -376,7 +448,10 @@ class ParquetLake:
 
         tdir = self.root / table
         current = self._current_version(table)
-        keep = range(max(0, current - keep_last + 1), current + 1)
+        keep = set(range(max(0, current - keep_last + 1), current + 1))
+        # Tagged snapshots are retention roots (Iceberg expire_snapshots
+        # contract): a ref'd manifest and its data dirs never expire.
+        keep.update(self.refs(table).values())
         referenced: set[str] = set()
         for v in keep:
             manifest = tdir / f"_MANIFEST.{v}.json"

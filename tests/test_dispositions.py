@@ -269,3 +269,86 @@ class TestIncrementalRollup:
         assert got == full == {
             "a": (3, 3.0), "b": (1, 3.0), "c": (1, 10.0)
         }
+
+
+class TestRefsAndEvolution:
+    def test_tag_pins_snapshot_and_survives_commits(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        v1 = lake.set_ref("t", "eval-2024")
+        lake.replace(df_of(spark, [Row(id=9, v="z")]), "t")
+        # tag read reproduces the pinned snapshot after later commits
+        assert {r["id"] for r in lake.read("t", "eval-2024").collect()} == {1}
+        assert {r["id"] for r in lake.read("t").collect()} == {9}
+        assert lake.refs("t") == {"eval-2024": v1}
+
+    def test_unknown_ref_raises(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1)]), "t")
+        try:
+            lake.read("t", "nope")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    def test_vacuum_keeps_tagged_snapshots(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1)]), "t")
+        lake.set_ref("t", "keepme")
+        lake.replace(df_of(spark, [Row(id=2)]), "t")
+        lake.replace(df_of(spark, [Row(id=3)]), "t")
+        lake.vacuum("t", keep_last=1)
+        # the tagged snapshot's data survives; the untagged middle one dies
+        assert {r["id"] for r in lake.read("t", "keepme").collect()} == {1}
+        assert {r["id"] for r in lake.read("t").collect()} == {3}
+        try:
+            lake.read("t", 2)
+            raise AssertionError("middle snapshot should be expired")
+        except ValueError:
+            pass
+
+    def test_drop_ref_releases_retention(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1)]), "t")
+        lake.set_ref("t", "tmp")
+        lake.drop_ref("t", "tmp")
+        assert lake.refs("t") == {}
+
+    def test_default_append_drops_new_columns_reference_parity(
+        self, spark, tmp_path
+    ):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.append(df_of(spark, [Row(id=2, v="b", extra=7)]), "t")
+        assert "extra" not in [f.name for f in lake.schema("t").fields]
+
+    def test_evolve_append_adds_column_and_backfills_null(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.append(df_of(spark, [Row(id=2, v="b", extra=7)]), "t", evolve=True)
+        got = rows_by_id(lake, "t")
+        # pre-evolution file reads the new column as typed NULL
+        assert got[1]["extra"] is None
+        assert got[2]["extra"] == 7
+        f = {x.name: x for x in lake.schema("t").fields}["extra"]
+        assert f.dataType.simpleString() == "bigint" and f.nullable
+
+    def test_evolve_never_retypes_existing_columns(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        before = lake.schema("t")
+        added = lake.evolve_schema(
+            "t",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), True),  # conflicting type
+                    T.StructField("w", T.IntegerType(), True),
+                ]
+            ),
+        )
+        assert added == ["w"]
+        after = {f.name: f.dataType.simpleString() for f in lake.schema("t").fields}
+        assert after["id"] == dict(
+            (f.name, f.dataType.simpleString()) for f in before.fields
+        )["id"]
+        assert after["w"] == "bigint"
