@@ -215,3 +215,52 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     The only engine-dialect split is integer division (DIV vs //)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("st_qbin_orders")
     return spark.sql(_QBIN_SQL.format(orders="st_qbin_orders", div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (the pre-flight check for every big join).
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+WITH k AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {lineitem} GROUP BY l_suppkey),
+g AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM k GROUP BY c),
+w AS (
+  SELECT c, f,
+         COALESCE(CAST(SUM(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS BIGINT), 0) AS nb,
+         COALESCE(CAST(SUM(c * f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                                        PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS sb
+  FROM g),
+m AS (
+  SELECT CAST(SUM(f * (c * nb - sb)) AS BIGINT) AS sumdiff,
+         CAST(SUM(f) AS BIGINT) AS nk,
+         CAST(SUM(c * f) AS BIGINT) AS nr,
+         MAX(c) AS maxc
+  FROM w)
+SELECT nk AS n_keys, nr AS n_rows, maxc AS max_count,
+       CAST(nr AS DOUBLE) / nk AS mean_count,
+       CAST(maxc AS DOUBLE) * nk / nr AS skew_ratio,
+       CAST(sumdiff AS DOUBLE) / (CAST(nk AS DOUBLE) * CAST(nr AS DOUBLE))
+         AS gini_counts
+FROM m
+"""
+
+
+@register(
+    "profile_key_skew_lineitem", oracle=_SKEW_SQL.format(lineitem="lineitem")
+)
+def profile_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem.l_suppkey — the pre-flight
+    diagnostic that decides between a plain shuffle join, `functions.
+    skew.salted_join`, and AQE skew splitting: key/row counts, max and
+    mean per-key cardinality, their ratio (hot-key factor), and the
+    Gini of the per-key count distribution (reusing
+    `stats_gini_order_prices`' O(#distinct) pairwise identity on the
+    counts-of-counts table — three nested combinable aggregations,
+    each output smaller than the last). All moments exact BIGINTs;
+    three final IEEE divisions."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("st_skew_lineitem")
+    return spark.sql(_SKEW_SQL.format(lineitem="st_skew_lineitem"))

@@ -9,6 +9,7 @@ from .incremental import (
     dedup_within_watermark,
     stream_stream_interval_join,
     stream_static_enrich,
+    streaming_ohlc,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "dedup_within_watermark",
     "stream_stream_interval_join",
     "stream_static_enrich",
+    "streaming_ohlc",
 ]

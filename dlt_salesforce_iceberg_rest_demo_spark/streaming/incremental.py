@@ -397,3 +397,39 @@ def stream_static_enrich(
     production rates. The streaming counterpart of the batch
     broadcast-dim joins (`join_broadcast_revenue_by_brand`)."""
     return stream_df.join(F.broadcast(static_df), on, how)
+
+
+def streaming_ohlc(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch `timeseries_ohlc_hourly` rollup:
+    watermarked tumbling-window OHLC bars per user. The open/close
+    ARGMIN/ARGMAX (min/max over (ts, event_id, value) structs) are
+    ordinary ordering-based aggregates, so streaming state per
+    (user, window) group is one struct + two doubles + a count —
+    bounded, mergeable across micro-batches, and identical in value to
+    the batch plan; the watermark bounds how long a bar stays open for
+    late events before the final row emits (append mode)."""
+    g = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "user_id")
+        .agg(
+            F.min(F.struct(ts_col, "event_id", "value")).alias("o"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(F.struct(ts_col, "event_id", "value")).alias("c"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return g.select(
+        F.col("window.start").alias("bar_hour"),
+        "user_id",
+        F.col("o.value").alias("open_value"),
+        "high_value",
+        "low_value",
+        F.col("c.value").alias("close_value"),
+        "n_events",
+    )

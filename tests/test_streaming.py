@@ -346,3 +346,42 @@ def test_stream_static_enrich_matches_batch(spark, landing):
         .collect()
     }
     assert got == want and len(got) == df.count()
+
+
+def test_streaming_ohlc_matches_batch(spark, landing):
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import streaming_ohlc
+    from dlt_salesforce_iceberg_rest_demo_spark.plans import query_fns
+
+    df = load_table(spark, SF_DIR, "events")
+    df.coalesce(1).write.parquet(str(landing / "ohlc_src"))
+
+    stream = stream_source(spark, str(landing / "ohlc_src"))
+    q = (
+        streaming_ohlc(stream)
+        .writeStream.format("memory")
+        .queryName("sohlc")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["bar_hour"]): (
+            r["open_value"], r["high_value"], r["low_value"],
+            r["close_value"], r["n_events"],
+        )
+        for r in spark.sql("SELECT * FROM sohlc").collect()
+    }
+    want = {
+        (r["user_id"], r["bar_hour"]): (
+            r["open_value"], r["high_value"], r["low_value"],
+            r["close_value"], r["n_events"],
+        )
+        for r in query_fns()["timeseries_ohlc_hourly"](spark, SF_DIR).collect()
+    }
+    # Append-mode emits only watermark-closed bars; every emitted bar
+    # must equal its batch twin exactly, and most bars must have closed.
+    assert got, "no bars emitted"
+    for k, v in got.items():
+        assert want[k] == v, k
+    assert len(got) >= len(want) * 0.5
