@@ -826,3 +826,51 @@ def edit_distance_pairs(
     return cand.filter(F.levenshtein("s_a", "s_b") <= 1).select(
         "id_a", "id_b", F.levenshtein("s_a", "s_b").cast("long").alias("dist")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold_permil: int = 800,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs: C(A->B) = |A∩B| / |A| >=
+    threshold — the asymmetric cousin of :func:`jaccard_pairs` that
+    Jaccard misses by construction: a paragraph quoted inside a much
+    larger document has high containment but tiny Jaccard (union is
+    dominated by the big doc). This is the quote / excerpt / partial-
+    copy detector of a corpus pipeline.
+
+    Same exact inverted-index shape as ``jaccard_pairs`` (distinct
+    shingles, shingle-keyed self-join, intersection counts) but the
+    pair is ordered — (contained, container), both directions emitted
+    when both exceed the bar. The threshold applies as an ALL-INTEGER
+    comparison (1000 * n_inter >= threshold_permil * |A|) so the kept
+    pair set is engine-exact; the reported score is one final IEEE
+    division. The scale path reuses the prefix-filter machinery
+    (`prefix_jaccard_pairs`) with prefix length |A| - ceil(t*|A|) + 1.
+    """
+    sh = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
+        .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("s"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .filter(1000 * F.col("n_inter") >= threshold_permil * F.col("sa.n_sh"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("sa.n_sh")).alias("containment"),
+        )
+    )

@@ -1172,3 +1172,101 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     `profile_table_orders` on the graph side."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("ana_deg_lineitem")
     return spark.sql(_DEGREE_SQL.format(lineitem="ana_deg_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Directional containment pairs (quote / excerpt detection).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk)-1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS s
+  FROM toks WHERE len(tk) >= 2),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / sa.m AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE 1000 * n_inter >= 800 * sa.m
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional bigram containment >= 0.8 (`dedup.containment_pairs`)
+    — the quote/excerpt detector Jaccard structurally misses (a
+    paragraph inside a 100x larger doc has high containment, tiny
+    Jaccard). Ordered (contained, container) pairs; all-integer
+    threshold keeps the pair SET engine-exact; score is one final IEEE
+    division. Inverted-index self-join like `dedup_ngram_jaccard`; the
+    scale path reuses the prefix filter with containment's shorter
+    prefix length."""
+    return dedup.containment_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Array scalar functions, tranche 2: set algebra over array columns.
+# ---------------------------------------------------------------------------
+
+_ARR2_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS a
+  FROM documents WHERE doc_id < 200),
+halves AS (
+  SELECT doc_id,
+         list_slice(a, 1, len(a) // 2) AS h1,
+         list_slice(a, len(a) // 2 + 1, len(a)) AS h2
+  FROM tk WHERE len(a) >= 2)
+SELECT doc_id,
+       CAST(len(list_distinct(list_intersect(h1, h2))) AS BIGINT) AS n_inter,
+       COALESCE(array_to_string(list_sort(list_distinct(list_intersect(h1, h2))),
+                ','), '') AS inter_csv,
+       COALESCE(array_to_string(list_sort(list_distinct(h1 || h2)), ','), '')
+         AS union_csv,
+       COALESCE(array_to_string(
+         list_sort(list_distinct(list_filter(h1, x -> NOT list_contains(h2, x)))),
+         ','), '') AS except_csv
+FROM halves
+"""
+
+
+@register("scalar_array_functions2", oracle=_ARR2_ORACLE)
+def scalar_array_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / union / except) between each
+    document's token halves — tranche 2 of the array scalar library
+    (`scalar_array_functions` covers construction/access). Outputs are
+    CANONICALIZED (sort + comma-join) because engines order set-op
+    results differently and the house rule bans raw ARRAY outputs in
+    oracle queries; the canonical string is also the mergeable form a
+    shard-level signature would use. Map-only — no shuffle at any
+    corpus size."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.expr("slice(a, 1, size(a) DIV 2)").alias("h1"),
+            F.expr("slice(a, size(a) DIV 2 + 1, size(a) - size(a) DIV 2)").alias("h2"),
+        )
+    )
+    inter = F.array_sort(F.array_distinct(F.array_intersect("h1", "h2")))
+    return d.select(
+        "doc_id",
+        F.size(inter).cast("long").alias("n_inter"),
+        F.array_join(inter, ",").alias("inter_csv"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_union("h1", "h2"))), ","
+        ).alias("union_csv"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_except("h1", "h2"))), ","
+        ).alias("except_csv"),
+    )

@@ -438,6 +438,35 @@ class ParquetLake:
         self._commit(table, [name])
         return WriteReport(table, "compact", rows)
 
+    def compact_small(
+        self, table: str, max_bytes: int = 128 * 1024 * 1024
+    ) -> "WriteReport":
+        """Size-aware compaction (Iceberg rewrite_data_files binpack
+        semantics): rewrite ONLY the data dirs smaller than
+        ``max_bytes`` into one merged dir; dirs already at target size
+        join the new manifest untouched. `compact` rewrites the whole
+        table — O(table) I/O per maintenance tick; this is O(small
+        tail), which is what a cursor-poll pipeline (one small file
+        per poll) needs nightly. No-op (no commit) when fewer than two
+        small dirs exist."""
+        tdir = self.root / table
+        dirs = self._current_manifest(table)
+
+        def dir_bytes(d: str) -> int:
+            return sum(
+                f.stat().st_size for f in (tdir / d).rglob("*") if f.is_file()
+            )
+
+        small = [d for d in dirs if dir_bytes(d) < max_bytes]
+        if len(small) <= 1:
+            return WriteReport(table, "compact_small", 0)
+        keep = [d for d in dirs if d not in small]
+        paths = [str(tdir / d) for d in small]
+        df = self.spark.read.schema(self.schema(table)).parquet(*paths).coalesce(1)
+        name, rows = self._new_data_dir(table, df)
+        self._commit(table, keep + [name])
+        return WriteReport(table, "compact_small", rows)
+
     def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
         """Expire old snapshots: keep the last ``keep_last`` manifests,
         delete older manifests and any data dir no kept manifest

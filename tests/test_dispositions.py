@@ -352,3 +352,35 @@ class TestRefsAndEvolution:
             (f.name, f.dataType.simpleString()) for f in before.fields
         )["id"]
         assert after["w"] == "bigint"
+
+
+class TestCompactSmall:
+    def test_merges_only_small_dirs(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        # one "big" dir (many rows) + three small ones
+        lake.append(df_of(spark, [Row(id=i, v="x" * 200) for i in range(500)]), "t")
+        for i in range(3):
+            lake.append(df_of(spark, [Row(id=1000 + i, v="y")]), "t")
+        before = lake.count("t")
+        big_dir = lake._current_manifest("t")[0]
+        big_bytes = sum(
+            f.stat().st_size
+            for f in (lake.root / "t" / big_dir).rglob("*")
+            if f.is_file()
+        )
+        rep = lake.compact_small("t", max_bytes=big_bytes)
+        assert rep.rows_written == 3
+        manifest = lake._current_manifest("t")
+        # big dir untouched, three smalls merged into one new dir
+        assert big_dir in manifest and len(manifest) == 2
+        assert lake.count("t") == before
+        # pre-compaction snapshot still readable (time travel intact)
+        assert lake.read("t", lake.current_version("t") - 1).count() == before
+
+    def test_noop_when_nothing_small(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1, v="a")]), "t")
+        v = lake.current_version("t")
+        rep = lake.compact_small("t", max_bytes=1)  # nothing under 1 byte
+        assert rep.rows_written == 0
+        assert lake.current_version("t") == v  # no spurious commit
