@@ -202,3 +202,59 @@ def audio_windows(
             F.md5("chunk").alias("chunk_md5"),
         )
     )
+
+
+def image_tiles(
+    mm: DataFrame,
+    row_bytes: int = 16,
+    tile: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """2-D tile chunking over a binary payload — the image counterpart
+    of :func:`audio_windows`: treat the payload as an H x ``row_bytes``
+    byte raster and emit ``tile`` x ``tile`` blocks (a ViT-style patch
+    grid / map-tile pyramid level 0). A real decoder would first run a
+    codec UDF; here the raster IS the byte stream, which keeps the
+    surface honest: per-tile addressing, ragged right/bottom edges,
+    content-address md5 per tile.
+
+    One map-side explode of ``concat`` of ``tile`` row slices per
+    block — bytes never leave the JVM, no shuffle at any corpus size.
+    Edge tiles shorter than tile*tile bytes are kept (partial-patch
+    semantics); fully-empty tiles (beyond the last byte row) drop.
+    """
+    assert row_bytes % tile == 0, "row_bytes must be a multiple of tile"
+    n_cols = row_bytes // tile
+    n = F.octet_length("payload")
+    n_rows = F.ceil(n / F.lit(row_bytes))
+    n_tiles = (F.ceil(n_rows / F.lit(tile)) * n_cols).cast("int")
+    idx = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_tiles - 1)
+    )
+
+    def tile_bytes(w):
+        tr = (w / n_cols).cast("int")
+        tc = (w % n_cols).cast("int")
+        return F.concat(
+            *[
+                F.col("payload").substr(
+                    ((tr * tile + k) * row_bytes + tc * tile + 1).cast("int"),
+                    F.lit(tile),
+                )
+                for k in range(tile)
+            ]
+        )
+
+    return (
+        mm.select(
+            id_col, F.posexplode(F.transform(idx, tile_bytes)).alias("w", "chunk")
+        )
+        .filter(F.octet_length("chunk") > 0)
+        .select(
+            id_col,
+            (F.col("w") / n_cols).cast("long").alias("tile_r"),
+            (F.col("w") % n_cols).cast("long").alias("tile_c"),
+            F.octet_length("chunk").cast("long").alias("n_bytes"),
+            F.md5("chunk").alias("tile_md5"),
+        )
+    )

@@ -1270,3 +1270,47 @@ def scalar_array_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.array_except("h1", "h2"))), ","
         ).alias("except_csv"),
     )
+
+_IMG_ORACLE = """
+-- Same ASCII byte==char equivalence as multimodal_audio_windows.
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) > 0),
+idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(CEIL(CEIL(n / 16.0) / 8.0) AS BIGINT) * 2 - 1)) AS w
+  FROM p),
+tiles AS (
+  SELECT doc_id, CAST(w // 2 AS BIGINT) AS tile_r,
+         CAST(w % 2 AS BIGINT) AS tile_c,
+         substring(text, CAST(((w // 2) * 8 + 0) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+         || substring(text, CAST(((w // 2) * 8 + 1) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+         || substring(text, CAST(((w // 2) * 8 + 2) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+         || substring(text, CAST(((w // 2) * 8 + 3) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+         || substring(text, CAST(((w // 2) * 8 + 4) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+         || substring(text, CAST(((w // 2) * 8 + 5) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+         || substring(text, CAST(((w // 2) * 8 + 6) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+         || substring(text, CAST(((w // 2) * 8 + 7) * 16 + (w % 2) * 8 + 1 AS INT), 8)
+           AS chunk
+  FROM idx)
+SELECT doc_id, tile_r, tile_c,
+       CAST(length(chunk) AS BIGINT) AS n_bytes,
+       md5(chunk) AS tile_md5
+FROM tiles WHERE length(chunk) > 0
+"""
+
+
+@register("multimodal_image_tiles", oracle=_IMG_ORACLE)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D patch grid over binary payloads (`multimodal.image_tiles`):
+    the payload reads as an H x 16-byte raster and splits into 8x8
+    tiles with ragged edges kept and a content-address md5 per tile —
+    the ViT-patch / map-tile plumbing with the codec step stubbed as
+    everywhere in the multimodal tranche. Map-side concat of row
+    slices, bytes never enter Python; the oracle rebuilds identical
+    tiles char-wise on the ASCII corpus."""
+    from ..operators import multimodal
+
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.image_tiles(mm, row_bytes=16, tile=8)

@@ -102,12 +102,15 @@ c AS (
   SELECT CAST(SUM(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
          CAST(SUM(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
   FROM g),
-tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM g)
+c2 AS (
+  SELECT ca, cb,
+         MAX(ca) OVER () AS na, MAX(cb) OVER () AS nb
+  FROM c)
 SELECT na AS n_a, nb AS n_b,
        CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS d_numer,
        CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
          / (CAST(na AS DOUBLE) * nb) AS ks_stat
-FROM c, tot GROUP BY na, nb
+FROM c2 GROUP BY na, nb
 """
 
 
@@ -120,8 +123,10 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-value ECDF (division by n_A*n_B deferred to one final
     IEEE op), so the max is exact and order-independent. ECDFs are
     cumulative counts over distinct cents values; raw rows contribute
-    one combinable groupBy. The 1-row `tot` side joins via a broadcast
-    nested loop (1 x #distinct rows — free)."""
+    one combinable groupBy, scanned ONCE — the sample totals are the
+    final running-sum values (MAX over the cumulative columns), not a
+    second aggregation of the source (a separate total CTE would make
+    Spark rescan the raw table: no CTE reuse without caching)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("st_ks_events")
     return spark.sql(_KS_SQL.format(events="st_ks_events"))
 

@@ -114,7 +114,7 @@ class ParquetLake:
                     f"snapshot {version} of {table} does not exist "
                     "(never written, or expired by vacuum)"
                 )
-            dirs = json.loads(manifest.read_text())
+            dirs = self._manifest_info(table, version)[0]
         if not dirs:
             return self.spark.createDataFrame([], self.schema(table))
         paths = [str(self.root / table / d) for d in dirs]
@@ -192,19 +192,59 @@ class ParquetLake:
     def _current_version(self, table: str) -> int:
         return int(self._pointer(table).read_text())
 
+    def _manifest_info(self, table: str, v: int) -> tuple[list[str], int | None]:
+        """Manifest payload: (data dirs, commit epoch-micros). Reads
+        both formats — the original bare dir list (committed_at None)
+        and the current {"dirs", "committed_at"} dict."""
+        data = json.loads(
+            (self.root / table / f"_MANIFEST.{v}.json").read_text()
+        )
+        if isinstance(data, list):
+            return data, None
+        return data["dirs"], data.get("committed_at")
+
     def _current_manifest(self, table: str) -> list[str]:
-        v = self._current_version(table)
-        manifest = self.root / table / f"_MANIFEST.{v}.json"
-        return json.loads(manifest.read_text())
+        return self._manifest_info(table, self._current_version(table))[0]
 
     def _commit(self, table: str, data_dirs: list[str]) -> None:
-        """Write manifest N+1 then atomically swing the pointer."""
+        """Write manifest N+1 then atomically swing the pointer. The
+        manifest records its commit wall-clock (epoch micros) for
+        AS-OF-timestamp time travel."""
+        import time
+
         tdir = self.root / table
         v = self._current_version(table) + 1
-        (tdir / f"_MANIFEST.{v}.json").write_text(json.dumps(data_dirs))
+        (tdir / f"_MANIFEST.{v}.json").write_text(
+            json.dumps(
+                {"dirs": data_dirs, "committed_at": time.time_ns() // 1000}
+            )
+        )
         tmp = tdir / f"_POINTER.tmp.{v}"
         tmp.write_text(str(v))
         os.replace(tmp, self._pointer(table))
+
+    def version_as_of(self, table: str, as_of) -> int:
+        """Resolve the snapshot current AS OF a wall-clock instant
+        (Iceberg `TIMESTAMP AS OF` / `snapshot_id_as_of`): the highest
+        version whose commit time <= ``as_of`` (datetime or epoch
+        micros). Pre-timestamp legacy manifests (and the empty
+        manifest 0, written by create_table without a timestamp) only
+        resolve by explicit version number."""
+        import datetime as _dt
+
+        if isinstance(as_of, _dt.datetime):
+            as_of = int(as_of.timestamp() * 1_000_000)
+        best = None
+        for m in (self.root / table).glob("_MANIFEST.*.json"):
+            v = int(m.name.split(".")[1])
+            _, ts = self._manifest_info(table, v)
+            if ts is not None and ts <= as_of and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {table} committed at or before {as_of}"
+            )
+        return best
 
     def partition_columns(self, table: str) -> list[str]:
         spec = self.table_properties(table).get("partition-by", "")
@@ -485,7 +525,7 @@ class ParquetLake:
         for v in keep:
             manifest = tdir / f"_MANIFEST.{v}.json"
             if manifest.exists():
-                referenced.update(json.loads(manifest.read_text()))
+                referenced.update(self._manifest_info(table, v)[0])
         deleted = []
         for p in sorted(tdir.glob("data_*")):
             if p.name not in referenced:

@@ -384,3 +384,33 @@ class TestCompactSmall:
         rep = lake.compact_small("t", max_bytes=1)  # nothing under 1 byte
         assert rep.rows_written == 0
         assert lake.current_version("t") == v  # no spurious commit
+
+
+class TestTimestampTimeTravel:
+    def test_as_of_resolves_between_commits(self, spark, tmp_path):
+        import datetime as dt
+        import time
+
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1)]), "t")
+        time.sleep(0.05)
+        mid = dt.datetime.now()
+        time.sleep(0.05)
+        lake.replace(df_of(spark, [Row(id=2)]), "t")
+
+        v = lake.version_as_of("t", mid)
+        assert {r["id"] for r in lake.read("t", v).collect()} == {1}
+        # after the last commit -> current snapshot
+        v2 = lake.version_as_of("t", dt.datetime.now())
+        assert {r["id"] for r in lake.read("t", v2).collect()} == {2}
+
+    def test_as_of_before_first_commit_raises(self, spark, tmp_path):
+        import datetime as dt
+
+        lake = make_lake(spark, tmp_path)
+        lake.append(df_of(spark, [Row(id=1)]), "t")
+        try:
+            lake.version_as_of("t", dt.datetime(2000, 1, 1))
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass

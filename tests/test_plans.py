@@ -359,3 +359,28 @@ class TestRetrievalPlans:
         plan = plan_of(REGISTRY["market_basket_lift"].spark(spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestStatsPlans:
+    """The distinct-value-table claim: rank statistics must scan the
+    raw table once and run their windows over post-aggregate data."""
+
+    def _scan_count(self, plan):
+        import re
+
+        return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+    def test_mann_whitney_single_scan(self, spark):
+        plan = plan_of(REGISTRY["stats_mann_whitney_u"].spark(spark, SF_DIR))
+        assert self._scan_count(plan) == 1
+        assert "Window" in plan  # over distinct values only
+
+    def test_gini_single_scan(self, spark):
+        plan = plan_of(REGISTRY["stats_gini_order_prices"].spark(spark, SF_DIR))
+        assert self._scan_count(plan) == 1
+
+    def test_ks_single_scan(self, spark):
+        plan = plan_of(REGISTRY["stats_ks_two_sample"].spark(spark, SF_DIR))
+        assert self._scan_count(plan) == 1
+        # 1-row total joins via broadcast NLJ, never a shuffle join
+        assert "SortMergeJoin" not in plan
