@@ -91,6 +91,14 @@ EXTENSION_HEADLINE = [
     "interval_max_concurrency",
     "window_rolling_median",
     "cdc_apply_changelog",
+    "similarity_maxsim_labels",
+    "market_basket_lift",
+    "stats_mann_whitney_u",
+    "profile_key_skew_lineitem",
+    "dedup_containment_pairs",
+    "multimodal_image_tiles",
+    "window_max_drawdown_per_user",
+    "events_transition_matrix",
 ]
 
 

@@ -407,3 +407,81 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lag."""
     t(spark, sf_dir, "events").createOrReplaceTempView("ts_iat_events")
     return spark.sql(_IAT_SQL.format(events="ts_iat_events", us="unix_micros"))
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per user (running-peak window).
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM {events}),
+p AS (
+  SELECT user_id, cents,
+         MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM v)
+SELECT user_id,
+       CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(CASE WHEN peak > 0
+                     THEN ((peak - cents) * 1000000) {div} peak ELSE 0 END)
+            AS BIGINT) AS max_drawdown_ppm
+FROM p GROUP BY user_id
+"""
+
+
+@register(
+    "window_max_drawdown_per_user",
+    oracle=_DRAWDOWN_SQL.format(events="events", div="//"),
+)
+def window_max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user (largest drop from a running peak) —
+    the canonical risk metric over any cumulative series, and the
+    stress-test for running-extreme windows. The peak is a running MAX
+    window (bounded state, partitioned by user); drawdowns stay exact
+    integers — absolute in cents, relative in parts-per-million via
+    integer division — so the per-user MAX is engine-exact with no
+    float comparisons anywhere."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("ts_dd_events")
+    return spark.sql(_DRAWDOWN_SQL.format(events="ts_dd_events", div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (first-order Markov counts).
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM {events}),
+c AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST(c.n AS DOUBLE) / t.row_n AS p
+FROM c JOIN tot t ON c.prev_type = t.prev_type
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_TRANSITION_SQL.format(events="events"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (prev_type -> next_type counts + row-normalized
+    probabilities) — the sequence-mining summary behind funnels,
+    anomaly detection and session generators. One LAG per user
+    partition, one combinable pair count; row normalization joins the
+    25-row totals back (broadcast at any scale). p is one IEEE
+    division of exact counts."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("ts_tm_events")
+    return spark.sql(_TRANSITION_SQL.format(events="ts_tm_events"))
