@@ -31,6 +31,7 @@ Spark and the DuckDB oracle; only the table name is substituted.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ._helpers import t
 from .registry import register
@@ -269,3 +270,51 @@ def profile_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     three final IEEE divisions."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("st_skew_lineitem")
     return spark.sql(_SKEW_SQL.format(lineitem="st_skew_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table content checksum (replication verification).
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_DUCK = """
+WITH h AS (
+  SELECT CAST(('0x' || substring(md5(
+           CAST(o_orderkey AS STRING) || '|' ||
+           CAST(o_custkey AS STRING) || '|' ||
+           o_orderstatus || '|' ||
+           CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)
+           || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+           o_orderpriority), 1, 8)) AS UBIGINT) AS h32
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h32) AS BIGINT) AS content_checksum
+FROM h
+"""
+
+
+@register("checksum_orders_table", oracle=_CHECKSUM_DUCK)
+def checksum_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum: md5 each row's
+    canonical serialization (pipe-joined columns, cents-quantized
+    floats, explicit date format — the two engine-dialect seams), take
+    32 bits, SUM. Commutative, so partition/scan order never matters,
+    and mergeable across shards — the cheap replication/migration
+    verifier that complements `ParquetLake.diff` (which row-diffs; this
+    fingerprints in one pass, O(1) output). This very query is the
+    engine-vs-engine check the whole oracle harness runs, distilled
+    into an operator."""
+    o = t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h32 = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
+    return o.select(h32.alias("h32")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("h32").cast("bigint").alias("content_checksum"),
+    )

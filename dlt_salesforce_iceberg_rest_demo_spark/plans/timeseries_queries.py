@@ -485,3 +485,74 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact counts."""
     t(spark, sf_dir, "events").createOrReplaceTempView("ts_tm_events")
     return spark.sql(_TRANSITION_SQL.format(events="ts_tm_events"))
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period revenue report (BI staple).
+# ---------------------------------------------------------------------------
+
+_MOM_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM {orders} GROUP BY date_trunc('month', o_orderdate))
+SELECT month, n_orders, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta,
+       (revenue - LAG(revenue) OVER (ORDER BY month))
+         / LAG(revenue) OVER (ORDER BY month) AS mom_pct
+FROM m
+"""
+
+
+@register(
+    "report_monthly_revenue_mom", oracle=_MOM_SQL.format(orders="orders")
+)
+def report_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue report — the period-comparison shape of
+    every BI dashboard. Monthly revenue is the decimal-stabilized sum
+    (order-independent; the dsum house rule) so the LAG deltas and
+    percent changes are IEEE ops on identical doubles; the LAG window
+    runs over #months rows (tiny, after full aggregation). Template
+    shared verbatim — DECIMAL(18,6) casts parse identically in both
+    engines. First month emits NULL delta/pct on both sides."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("ts_mom_orders")
+    return spark.sql(_MOM_SQL.format(orders="ts_mom_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window counts — batch twin of streaming hops.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_hopping_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS win_start,
+             event_type
+      FROM events)
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY win_start, event_type
+    """,
+)
+def window_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts (10-minute windows sliding every 5) per
+    event type — the overlapping-window aggregation Structured
+    Streaming runs with `F.window(ts, winDur, slideDur)`; here the
+    batch twin. Each event lands in exactly window/slide = 2 windows;
+    Spark's window generator and the oracle's two shifted time_buckets
+    produce the same epoch-aligned grid. Explode factor == overlap
+    count (2x), then one combinable aggregation."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
