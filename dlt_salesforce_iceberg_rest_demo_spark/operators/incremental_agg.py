@@ -87,3 +87,28 @@ def incremental_join_delta(
         .unionByName(a_old.join(b_delta, keys))
         .unionByName(a_delta.join(b_delta, keys))
     )
+
+
+def apply_changelog(
+    log: DataFrame,
+    key_col: str,
+    version_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Last-writer-wins changelog compaction (the CDC APPLY step; see
+    `cdc_apply_changelog` in the registry): per key, the highest
+    version wins via a partial-aggregatable ARGMAX over
+    (version, op, payload...) structs — no window sort — and keys whose
+    final op is a delete drop out. Requires (key, version) unique
+    (a totally ordered changelog); ties would otherwise resolve by
+    struct order over the remaining fields."""
+    m = log.groupBy(key_col).agg(
+        F.max(F.struct(version_col, op_col, *payload_cols)).alias("m")
+    )
+    kept = m.filter(F.col(f"m.{op_col}") != "D")
+    return kept.select(
+        key_col,
+        *[F.col(f"m.{c}").alias(c) for c in payload_cols],
+        F.col(f"m.{version_col}").cast("long").alias("last_version"),
+    )

@@ -394,3 +394,56 @@ def ewma(
         .groupBy(key_col)
         .applyInPandas(fold, schema)
     )
+
+
+def max_interval_concurrency(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration_minutes: int = 30,
+    bucket_grain: str = "hour",
+) -> DataFrame:
+    """Max concurrent intervals ([ts, ts + duration)) via the
+    distributed sweep line — see `interval_max_concurrency` in the
+    registry for the full scale narrative (two-level prefix sum:
+    within-bucket running sums + tiny cross-bucket offset window).
+    Returns one row (max_concurrent, at_tick) with at_tick the
+    earliest instant the peak is reached; -1 sorts an interval end
+    before a start at the same instant (half-open semantics)."""
+    e = df.select(ts_col)
+    d = e.select(F.col(ts_col).alias("tick"), F.lit(1).alias("delta")).unionAll(
+        e.select(
+            (
+                F.col(ts_col) + F.expr(f"INTERVAL {duration_minutes} MINUTES")
+            ).alias("tick"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    d = d.withColumn("bucket", F.date_trunc(bucket_grain, F.col("tick")))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("tick", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = d.withColumn("run", F.sum("delta").over(wb))
+    per_bucket = run.groupBy("bucket").agg(
+        F.sum("delta").alias("net"),
+        F.max(
+            F.struct(
+                F.col("run").alias("peak"),
+                (-F.unix_micros(F.col("tick"))).alias("neg_us"),
+            )
+        ).alias("pk"),
+    )
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    peaks = per_bucket.withColumn(
+        "offset", F.coalesce(F.sum("net").over(wo), F.lit(0))
+    ).select(
+        (F.col("offset") + F.col("pk.peak")).alias("peak"),
+        F.col("pk.neg_us").alias("neg_us"),
+    )
+    return peaks.agg(
+        F.max(F.struct(F.col("peak"), F.col("neg_us"))).alias("g")
+    ).select(
+        F.col("g.peak").cast("long").alias("max_concurrent"),
+        F.timestamp_micros(-F.col("g.neg_us")).alias("at_tick"),
+    )

@@ -123,43 +123,10 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric (running balance, concurrency, inventory) scales: per-bucket
     windows grow with bucket width, the cross-bucket window only with
     the time span."""
-    e = t(spark, sf_dir, "events").select("ts")
-    d = e.select(F.col("ts").alias("tick"), F.lit(1).alias("delta")).unionAll(
-        e.select(
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("tick"),
-            F.lit(-1).alias("delta"),
-        )
-    )
-    d = d.withColumn("bucket", F.date_trunc("hour", F.col("tick")))
-    wb = (
-        Window.partitionBy("bucket")
-        .orderBy("tick", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run = d.withColumn("run", F.sum("delta").over(wb))
-    per_bucket = run.groupBy("bucket").agg(
-        F.sum("delta").alias("net"),
-        F.max(
-            F.struct(
-                F.col("run").alias("peak"),
-                (-F.unix_micros(F.col("tick"))).alias("neg_us"),
-            )
-        ).alias("pk"),
-    )
-    # Cross-bucket offsets: window over per-bucket aggregates only
-    # (cardinality = hours in the dataset, fine on one partition).
-    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    peaks = per_bucket.withColumn(
-        "offset", F.coalesce(F.sum("net").over(wo), F.lit(0))
-    ).select(
-        (F.col("offset") + F.col("pk.peak")).alias("peak"),
-        F.col("pk.neg_us").alias("neg_us"),
-    )
-    return peaks.agg(
-        F.max(F.struct(F.col("peak"), F.col("neg_us"))).alias("g")
-    ).select(
-        F.col("g.peak").cast("long").alias("max_concurrent"),
-        F.timestamp_micros(-F.col("g.neg_us")).alias("at_tick"),
+    from ..operators.temporal import max_interval_concurrency
+
+    return max_interval_concurrency(
+        t(spark, sf_dir, "events"), ts_col="ts", duration_minutes=30
     )
 
 
@@ -270,14 +237,15 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(wave(k % 3 == 0, 2, "U", F.col("o_totalprice") * 2, F.lit("U")))
         .unionAll(wave(k % 5 == 0, 3, "D", F.lit(0.0), F.lit("D")))
     )
-    last = log.groupBy("o_orderkey").agg(
-        F.max(F.struct("version", "op", "price", "status")).alias("m")
-    )
-    return last.filter(F.col("m.op") != "D").select(
+    from ..operators.incremental_agg import apply_changelog
+
+    return apply_changelog(
+        log, "o_orderkey", "version", "op", ["price", "status"]
+    ).select(
         "o_orderkey",
-        F.col("m.price").alias("final_price"),
-        F.col("m.status").alias("final_status"),
-        F.col("m.version").cast("long").alias("last_version"),
+        F.col("price").alias("final_price"),
+        F.col("status").alias("final_status"),
+        "last_version",
     )
 
 

@@ -252,3 +252,86 @@ class TestFunnelProperties:
             for r in ordered_funnel_df(df, ["s1", "s2", "s3"]).collect()
         }
         assert out[0] >= out[1] >= out[2] >= 0
+
+
+class TestSweepLineProperty:
+    @SETTINGS
+    @given(
+        offsets=st.lists(
+            st.integers(min_value=0, max_value=7200), min_size=1, max_size=40
+        )
+    )
+    def test_max_concurrency_equals_brute_force(self, spark, offsets):
+        """The two-level prefix-sum decomposition must equal the naive
+        global sweep for arbitrary timestamp multisets — including
+        duplicates, bucket-boundary ticks, and intervals whose ends
+        coincide with other starts (half-open: end before start)."""
+        import datetime as dt
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.temporal import (
+            max_interval_concurrency,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        ts = [base + dt.timedelta(seconds=o) for o in offsets]
+        df = spark.createDataFrame([Row(ts=t) for t in ts], "ts timestamp")
+        got = max_interval_concurrency(df, duration_minutes=30).collect()[0]
+
+        # brute force: sweep all (tick, delta) with -1 before +1
+        events = sorted(
+            [(t, 1) for t in ts]
+            + [(t + dt.timedelta(minutes=30), -1) for t in ts],
+            key=lambda e: (e[0], e[1]),
+        )
+        conc = best = 0
+        best_at = None
+        for tick, delta in events:
+            conc += delta
+            if conc > best:
+                best, best_at = conc, tick
+        assert got["max_concurrent"] == best
+        assert got["at_tick"] == best_at
+
+
+class TestChangelogApplyProperty:
+    @SETTINGS
+    @given(
+        entries=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),  # key
+                st.integers(min_value=0, max_value=9),  # version
+                st.sampled_from(["I", "U", "D"]),
+                st.integers(min_value=-100, max_value=100),  # payload
+            ),
+            min_size=0,
+            max_size=30,
+            unique_by=lambda e: (e[0], e[1]),  # (key, version) unique
+        )
+    )
+    def test_argmax_apply_equals_sequential_fold(self, spark, entries):
+        """Last-writer-wins compaction must equal replaying the
+        changelog in version order per key — for any interleaving of
+        inserts, updates and deletes, including delete-then-reinsert
+        and keys that end deleted."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
+            apply_changelog,
+        )
+
+        if not entries:
+            return
+        df = spark.createDataFrame(
+            [Row(k=k, version=v, op=o, payload=p) for k, v, o, p in entries],
+            "k long, version long, op string, payload long",
+        )
+        got = {
+            r["k"]: (r["payload"], r["last_version"])
+            for r in apply_changelog(df, "k", "version", "op", ["payload"]).collect()
+        }
+
+        state: dict = {}
+        for k, v, o, p in sorted(entries, key=lambda e: (e[0], e[1])):
+            state[k] = (o, p, v)
+        want = {
+            k: (p, v) for k, (o, p, v) in state.items() if o != "D"
+        }
+        assert got == want
