@@ -127,5 +127,6 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import timeseries_queries  # noqa: F401
     from . import stats_queries  # noqa: F401
+    from . import robust_queries  # noqa: F401
 
     _LOADED = True

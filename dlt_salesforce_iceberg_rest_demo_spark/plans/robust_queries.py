@@ -1,0 +1,220 @@
+"""Robust-statistics / time-weighted analytics tranche: MAD outlier
+fences, winsorized summary statistics, per-user time-weighted average
+(TWAP), and hour-of-day seasonal baselines with residual anomalies.
+
+The reference ships no statistics executor (SURVEY.md §2.7); these
+extend the experimentation/monitoring layer (`stats_iqr_outliers_
+events`, `window_rolling_anomaly_zscore`) with the ROBUST versions a
+production data-quality monitor actually runs: median/MAD fences are
+immune to the very outliers they hunt (mean/stddev fences are not),
+winsorization is the standard heavy-tail-safe summary, TWAP is the
+canonical irregular-sampling average (plain AVG over-weights bursts),
+and seasonal baselines separate time-of-day effect from true anomaly.
+
+Execution pattern (the house distinct-value discipline from
+`stats_queries.py`): every order statistic is an exact integer rank
+pick over the DISTINCT-VALUE cumulative-count table, never a per-row
+ROW_NUMBER over raw events — raw rows contribute exactly one
+map-side-combinable groupBy, and all second-pass math (absolute
+deviations, clamps, outlier counts) runs over the distinct-value table
+too, which is bounded by the cents-quantized value domain, not the row
+count. Determinism: exact BIGINT moments; BIGINT->double is IEEE
+round-to-nearest in both engines; one final IEEE division per double
+output; the robust-fence comparison `dev*10000 > 44478*mad` keeps the
+3*1.4826 MAD-consistency constant in integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._helpers import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Median-absolute-deviation outlier fences (robust z-score).
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH x AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM {events}),
+g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY v),
+cum AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cc
+  FROM g),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+med AS (
+  SELECT MIN(CASE WHEN cc >= (n + 1) {div} 2 THEN v END) AS m
+  FROM cum CROSS JOIN tot),
+d AS (SELECT ABS(v - m) AS dv, c FROM g CROSS JOIN med),
+dg AS (SELECT dv, CAST(SUM(c) AS BIGINT) AS c FROM d GROUP BY dv),
+dcum AS (
+  SELECT dv,
+         CAST(SUM(c) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cc
+  FROM dg),
+mad AS (
+  SELECT MIN(CASE WHEN cc >= (n + 1) {div} 2 THEN dv END) AS md
+  FROM dcum CROSS JOIN tot)
+SELECT MIN(t.n) AS n_events,
+       MIN(me.m) AS median_cents,
+       MIN(ma.md) AS mad_cents,
+       CAST(SUM(CASE WHEN d.dv * 10000 > 44478 * ma.md THEN d.c ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d CROSS JOIN mad ma CROSS JOIN tot t CROSS JOIN med me
+"""
+
+
+@register("stats_mad_outliers_events", oracle=_MAD_SQL.format(events="events", div="//"))
+def stats_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier fences via the median absolute deviation: median
+    and MAD are exact lower-median order statistics (rank (n+1) DIV 2)
+    picked by integer rank on distinct-value cumulative counts, and a
+    row is an outlier when |x - med| > 3 * 1.4826 * MAD — evaluated as
+    the all-integer `dev*10000 > 44478*mad`, so no float ever enters
+    the comparison. Unlike the mean/stddev fences
+    (`window_rolling_anomaly_zscore`), a handful of extreme values
+    cannot drag the fence itself. Raw events hit ONE combinable
+    groupBy; the deviation distribution is derived from the
+    distinct-value table (bounded by the cents domain), not from raw
+    rows, so the second pass is value-domain-sized. The only dialect
+    split is integer division (DIV vs //)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("rb_mad_events")
+    return spark.sql(_MAD_SQL.format(events="rb_mad_events", div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized summary statistics (heavy-tail-safe mean).
+# ---------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH x AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM {orders}),
+g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY v),
+cum AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cc
+  FROM g),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+b AS (
+  SELECT MIN(CASE WHEN cc >= (5 * n + 99) {div} 100 THEN v END) AS lo,
+         MIN(CASE WHEN cc >= (95 * n + 99) {div} 100 THEN v END) AS hi
+  FROM cum CROSS JOIN tot)
+SELECT MIN(t.n) AS n_orders,
+       MIN(b.lo) AS p05_cents,
+       MIN(b.hi) AS p95_cents,
+       CAST(SUM((CASE WHEN g.v < b.lo THEN b.lo
+                      WHEN g.v > b.hi THEN b.hi
+                      ELSE g.v END) * g.c) AS BIGINT) AS winsorized_sum_cents,
+       CAST(SUM((CASE WHEN g.v < b.lo THEN b.lo
+                      WHEN g.v > b.hi THEN b.hi
+                      ELSE g.v END) * g.c) AS DOUBLE) / MIN(t.n)
+         AS winsorized_mean_cents
+FROM g CROSS JOIN b CROSS JOIN tot t
+"""
+
+
+@register(
+    "feature_winsorized_stats",
+    oracle=_WINSOR_SQL.format(orders="orders", div="//"),
+)
+def feature_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-price summary: clamp values to the exact
+    p05/p95 order statistics (rank ceil(q*n) as (q*n + 99) DIV 100 on
+    distinct-value cumulative counts — same machinery as
+    `feature_quantile_binning`), then sum the clamped cents as exact
+    BIGINTs. The heavy-tail-safe mean every pricing/feature pipeline
+    wants instead of a raw AVG that one fat-finger order can move. The
+    clamp-and-sum runs over the DISTINCT-VALUE table weighted by
+    counts (value-domain-sized), not over raw rows; raw orders hit one
+    combinable groupBy. Only dialect split: DIV vs //."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("rb_wins_orders")
+    return spark.sql(_WINSOR_SQL.format(orders="rb_wins_orders", div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Per-user time-weighted average (TWAP over irregular samples).
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, {us}(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM {events}),
+seg AS (
+  SELECT user_id, cents,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dur_us
+  FROM v)
+SELECT user_id,
+       CAST(COUNT(dur_us) AS BIGINT) AS n_segments,
+       CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_sum,
+       CAST(SUM(cents * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)
+         AS twap_cents
+FROM seg
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dur_us) > 0
+"""
+
+
+@register(
+    "timeseries_twap_user", oracle=_TWAP_SQL.format(events="events", us="epoch_us")
+)
+def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each observation
+    holds until the next one, so its weight is the exact
+    integer-microsecond gap from one LEAD (ties broken by event_id;
+    the last observation has no successor and carries zero weight —
+    the standard left-closed TWAP convention). Plain AVG over-weights
+    burst periods; TWAP is the correct average for irregularly sampled
+    gauges (prices, balances, sensor readings). Both accumulators are
+    exact BIGINTs (cents * micros <= ~1.5e17 at the fixture domain;
+    at larger spans the production path drops to millisecond weights
+    to stay under 2^63), and the final division is one IEEE op on
+    identically rounded doubles. Single shuffle on user_id; the
+    aggregate after the LAG/LEAD window is combinable. Dialect split:
+    epoch accessor only (unix_micros vs epoch_us)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("rb_twap_events")
+    return spark.sql(_TWAP_SQL.format(events="rb_twap_events", us="unix_micros"))
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal baseline + residual anomaly.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+         value, CAST(value AS DECIMAL(18,6)) AS dv
+  FROM {events}),
+w AS (
+  SELECT event_type, hod, value,
+         CAST(SUM(dv) OVER (PARTITION BY event_type, hod) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type, hod) AS mu
+  FROM x)
+SELECT event_type, hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(mu) AS baseline_mean,
+       MAX(value - mu) AS max_pos_residual
+FROM w
+GROUP BY event_type, hod
+"""
+
+
+@register("events_seasonal_baseline", oracle=_SEASONAL_SQL.format(events="events"))
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type, plus the largest
+    positive residual against that baseline — the decomposition step
+    that keeps a 3 a.m. traffic dip from paging as an anomaly. The
+    baseline mean is decimal-stabilized (exact DECIMAL window sum ->
+    one IEEE division; the house `davg` rule, in window form), the
+    residual `value - mu` is then the identical IEEE subtraction in
+    both engines, and MAX picks a single row's value — no float is
+    ever re-accumulated. The window and the GROUP BY share the
+    (event_type, hod) key, so Catalyst plans ONE shuffle and the
+    aggregation runs on already-partitioned data. At 100 TB the
+    (type, hour) grid is 24 x #types — tiny state, unbounded input."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("rb_seas_events")
+    return spark.sql(_SEASONAL_SQL.format(events="rb_seas_events"))
