@@ -204,3 +204,48 @@ def bellman_ford(
     # longer reachable from the returned plan — free them eagerly.
     _free_checkpoint(e)
     return dist
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    node_col: str = "node",
+    neigh_col: str = "neigh",
+    max_degree: int = 20,
+    topk: int = 50,
+) -> DataFrame:
+    """Link prediction by weighted common neighbors over a bipartite
+    edge list (node, neigh): score(u, v) = sum over shared neighbors p
+    of ``1_000_000 DIV degree(p)`` — the exact-integer surrogate for
+    Adamic-Adar's 1/log(deg) (engine ``ln`` differs in the last ulp;
+    rarity weighting is the signal either way: sharing a rare neighbor
+    says far more than sharing a hub).
+
+    Scale shape: the pair generation self-joins postings per neighbor,
+    so fan-out is sum(deg^2) — the ``max_degree`` cap drops hub
+    neighbors BEFORE the join (standard in link prediction: a hub's
+    weight is ~zero but its C(deg,2) pair blowup is the whole cost;
+    same quadratic the stopword cap kills in
+    `text.sparse_cosine_pairs`). Output is the deterministic top-k by
+    (score DESC, u, v) — ties at the boundary break on the pair key.
+
+    Returns (u, v, score, n_common) with u < v.
+    """
+    deg = edges.groupBy(neigh_col).agg(F.count("*").cast("bigint").alias("d"))
+    w = edges.join(deg.filter(F.col("d") <= max_degree), neigh_col).select(
+        F.col(node_col).alias("u0"),
+        F.col(neigh_col).alias("p"),
+        F.expr("1000000 DIV d").alias("wt"),
+    )
+    a = w.select(F.col("u0").alias("u"), "p", "wt")
+    b = w.select(F.col("u0").alias("v"), "p")
+    return (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.sum("wt").cast("bigint").alias("score"),
+            F.count("*").cast("bigint").alias("n_common"),
+        )
+        .orderBy(F.col("score").desc(), "u", "v")
+        .limit(topk)
+    )

@@ -258,3 +258,40 @@ def image_tiles(
             F.md5("chunk").alias("tile_md5"),
         )
     )
+
+
+def byte_histogram(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level byte-value histogram over the binary payload column
+    — the cheapest content diagnostic a multimodal lake runs before any
+    decode: byte distributions separate text from compressed media from
+    encrypted junk (uniform bytes), catch truncated/zero-padded blobs,
+    and feed entropy-based filters, all without leaving the JVM.
+
+    The payload's bytes are extracted natively (``hex`` of each 1-byte
+    ``substr`` slice -> ``conv`` base-16; works on ARBITRARY bytes, not
+    just ASCII) and exploded map-side into a combinable (byte_value ->
+    count, n_docs) aggregation — shuffle payload is <= 256 rows per
+    partition regardless of corpus size. Zero-length payloads
+    contribute no rows (the explicit empty-array guard: Spark's
+    sequence(1, 0) would count DOWN, the `dedup.shingles_tokens`
+    lesson).
+
+    Returns (byte_value, n_occurrences, n_docs).
+    """
+    n = F.octet_length("payload")
+    bytes_arr = F.when(n < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(
+                F.hex(F.col("payload").substr(i.cast("int"), F.lit(1))), 16, 10
+            ).cast("bigint"),
+        )
+    )
+    return (
+        mm.select(F.col(id_col).alias("doc"), F.explode(bytes_arr).alias("byte_value"))
+        .groupBy("byte_value")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+        )
+    )

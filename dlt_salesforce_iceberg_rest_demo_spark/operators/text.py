@@ -757,3 +757,82 @@ def bpe_encode(
             F.sum("n_word_tokens").alias("n_tokens"),
         )
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_df: int = 25,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All document pairs with rarity-weighted sparse cosine similarity
+    >= ``threshold`` — TF-IDF-style retrieval dedup via POSTING LISTS:
+    the sparse complement of the dense-embedding near-dup pass
+    (`similarity.embedding_similarity_pairs`) that needs no embedding
+    model at all.
+
+    Each document is the sparse vector of its distinct n-gram shingles
+    weighted by rarity ``w = 1_000_000 DIV df`` (the exact-integer
+    surrogate for idf — engine ``ln`` differs in the last ulp, the
+    house rule from `text.bm25_topk`). The pair dot product is then a
+    posting-list self-join: only shingles SHARED by a pair contribute,
+    and shingles with ``df > max_df`` are dropped up front — the
+    stopword cap that removes the df^2 hot-token blowup, the same
+    quadratic the prefix filter kills in `dedup.prefix_jaccard_pairs`
+    (here it is lossy by design: ubiquitous shingles carry ~zero
+    cosine weight but dominate join fan-out at corpus scale).
+
+    Determinism: weights, dot products, and squared norms are exact
+    BIGINTs; cosine = dot / (sqrt(na2)*sqrt(nb2)) is one identical
+    IEEE sqrt/multiply/divide chain in both engines.
+
+    The weighted postings table feeds three consumers (norms + both
+    join sides), so it is localCheckpoint-materialized once — the
+    `prefix_jaccard_pairs` lesson; callers running many operators in
+    one session should unpersist between queries (bench hygiene).
+    """
+    from .dedup import shingles_tokens, spread
+
+    d = spread(docs).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("tk0")
+    )
+    sh = d.select(
+        "doc", F.explode(shingles_tokens(F.col("tk0"), n)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    w = (
+        sh.join(dfreq.filter(F.col("df") <= max_df), "s")
+        .select("doc", "s", F.expr("1000000 DIV df").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    norms = w.groupBy("doc").agg(
+        F.sum(F.col("wt") * F.col("wt")).cast("bigint").alias("nrm2")
+    )
+    a = w.select(F.col("doc").alias("doc_a"), "s", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc").alias("doc_b"), "s", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    cos = (
+        dots.join(
+            norms.select(F.col("doc").alias("doc_a"), F.col("nrm2").alias("na2")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc").alias("doc_b"), F.col("nrm2").alias("nb2")),
+            "doc_b",
+        )
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+    )
+    return cos.filter(F.col("cosine") >= threshold).select(
+        "doc_a", "doc_b", "dot", "cosine"
+    )

@@ -1,0 +1,155 @@
+"""Linkage / retrieval tranche: sparse TF-IDF cosine similarity join,
+weighted common-neighbor link prediction, and payload byte histograms.
+
+The reference ships no analytics executor (SURVEY.md §2.7); these
+extend the driver-mandated corpus surface (SURVEY.md §2.8) along the
+retrieval/linkage axis: posting-list similarity search without an
+embedding model, graph link prediction over the FK graph the reference
+only stores as plain columns, and the pre-decode byte diagnostic for
+multimodal lakes.
+
+House determinism rules throughout: rarity weights are exact integers
+(``1_000_000 DIV df`` — the rational idf surrogate from
+`text.bm25_topk`; engine ``ln`` differs in the last ulp), dot products
+and norms are exact BIGINTs, and each double output is one identical
+IEEE expression evaluated from those integers in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._helpers import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity join (posting-list retrieval dedup).
+# ---------------------------------------------------------------------------
+
+_SPARSE_COS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk)-1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS s
+  FROM toks WHERE len(tk) >= 2),
+dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+w AS (
+  SELECT sh.doc_id, sh.s, 1000000 // df AS wt
+  FROM sh JOIN dfreq USING (s) WHERE df <= 25),
+norms AS (
+  SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS nrm2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+      >= 0.6
+"""
+
+
+@register("text_sparse_cosine_pairs", oracle=_SPARSE_COS_ORACLE)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse rarity-weighted cosine pairs (threshold 0.6) over bigram
+    shingles via posting-list self-join (`text.sparse_cosine_pairs`) —
+    TF-IDF retrieval dedup with NO embedding model. Integer weights
+    1e6 DIV df (rational idf — no cross-engine ln), exact BIGINT dots
+    and norms, one IEEE sqrt/divide chain; the df <= 25 stopword cap is
+    the scale knob that kills the hot-token df^2 join blowup (lossy by
+    design — ubiquitous shingles carry ~zero cosine weight)."""
+    from ..operators import text
+
+    return text.sparse_cosine_pairs(
+        t(spark, sf_dir, "documents"), n=2, max_df=25, threshold=0.6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted common-neighbor link prediction over the customer-part graph.
+# ---------------------------------------------------------------------------
+
+_LINKPRED_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p),
+w AS (
+  SELECT e.c, e.p, 1000000 // d AS wt
+  FROM e JOIN deg USING (p) WHERE d <= 20),
+pairs AS (
+  SELECT a.c AS u, b.c AS v,
+         CAST(SUM(a.wt) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM w a JOIN w b ON a.p = b.p AND a.c < b.c
+  GROUP BY 1, 2)
+SELECT u, v, score, n_common
+FROM pairs ORDER BY score DESC, u, v LIMIT 50
+"""
+
+
+@register("graph_link_prediction_customers", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted customer links by weighted common purchased
+    parts (`graph.common_neighbor_scores`): the Adamic-Adar family with
+    the exact-integer rarity weight 1e6 DIV degree(part) instead of
+    1/log (cross-engine ln), over the FK graph the reference stores
+    only as plain columns (SURVEY.md §2.7 — `Contact.AccountId`-style
+    relationships joined downstream). The degree cap <= 20 drops hub
+    parts BEFORE the pair self-join — the C(deg,2) blowup is the whole
+    cost of common-neighbor methods at scale and hubs carry ~zero
+    weight. Deterministic top-k: (score DESC, u, v)."""
+    from ..operators.graph import common_neighbor_scores
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(o["o_custkey"].alias("node"), li["l_partkey"].alias("neigh"))
+        .distinct()
+    )
+    return common_neighbor_scores(edges, max_degree=20, topk=50)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal payload byte histogram (pre-decode content diagnostic).
+# ---------------------------------------------------------------------------
+
+_BYTEHIST_ORACLE = """
+-- Fixture corpus is pure ASCII (same equivalence as
+-- multimodal_audio_windows): ascii(char) == the payload byte Spark
+-- extracts natively from the BLOB via hex/conv.
+WITH ch AS (
+  SELECT doc_id,
+         ascii(unnest(list_transform(generate_series(1, length(text)),
+                                     i -> text[i]))) AS byte_value
+  FROM documents WHERE length(text) > 0)
+SELECT CAST(byte_value AS BIGINT) AS byte_value,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch GROUP BY 1
+"""
+
+
+@register("multimodal_byte_histogram", oracle=_BYTEHIST_ORACLE)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value histogram over binary payloads
+    (`multimodal.byte_histogram`) — the cheapest pre-decode content
+    diagnostic (text vs compressed vs encrypted byte shapes, truncation
+    and padding detection, entropy-filter input). Spark extracts REAL
+    payload bytes (hex of 1-byte substr -> conv base 16 — arbitrary
+    binary, JVM-side, map-only explode into a combinable aggregate);
+    the oracle recomputes via ascii() on the ASCII-equivalent text."""
+    from ..operators import multimodal
+
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.byte_histogram(mm)

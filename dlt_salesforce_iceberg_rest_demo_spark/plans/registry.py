@@ -128,5 +128,6 @@ def _ensure_loaded() -> None:
     from . import timeseries_queries  # noqa: F401
     from . import stats_queries  # noqa: F401
     from . import robust_queries  # noqa: F401
+    from . import linkage_queries  # noqa: F401
 
     _LOADED = True
