@@ -218,3 +218,43 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, hour) grid is 24 x #types — tiny state, unbounded input."""
     t(spark, sf_dir, "events").createOrReplaceTempView("rb_seas_events")
     return spark.sql(_SEASONAL_SQL.format(events="rb_seas_events"))
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (engagement ratio).
+# ---------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM {events}),
+daily AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+monthly AS (
+  SELECT date_trunc('month', d) AS month,
+         CAST(SUM(dau) AS BIGINT) AS sum_dau,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1),
+mau AS (
+  SELECT date_trunc('month', d) AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM du GROUP BY 1)
+SELECT m.month, m.n_days, m.sum_dau, u.mau,
+       CAST(m.sum_dau AS DOUBLE) / m.n_days AS avg_dau,
+       CAST(m.sum_dau AS DOUBLE) / m.n_days / u.mau AS stickiness
+FROM monthly m JOIN mau u ON m.month = u.month
+"""
+
+
+@register("events_stickiness_dau_mau", oracle=_STICKINESS_SQL.format(events="events"))
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the canonical engagement ratio
+    (what fraction of the monthly audience shows up on an average
+    day). One distinct-(day, user) pass feeds both the daily counts
+    and the monthly distinct-user counts; all moments are exact
+    BIGINTs, and avg_dau / stickiness are the identical two-division
+    IEEE chain in both engines. The distinct pass partial-aggregates
+    map-side, daily/monthly rollups are day- and month-grain tiny; at
+    100 TB the only real shuffle is the (day, user) dedup, keyed well
+    below user-cardinality skew thresholds."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("rb_stick_events")
+    return spark.sql(_STICKINESS_SQL.format(events="rb_stick_events"))
