@@ -447,3 +447,91 @@ def max_interval_concurrency(
         F.col("g.peak").cast("long").alias("max_concurrent"),
         F.timestamp_micros(-F.col("g.neg_us")).alias("at_tick"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_col: str | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_next",
+) -> DataFrame:
+    """FORWARD as-of join: for every left row, the EARLIEST right row
+    with ``right.ts >= left.ts`` in the same ``on`` group, optionally
+    within ``tolerance_seconds`` — the lookahead twin of
+    :func:`asof_join` (time-to-next-event, next-fill attribution,
+    forward pandas ``merge_asof``; DuckDB's ASOF JOIN is
+    backward-only, so the oracle for this shape is a bounded range
+    join + ROW_NUMBER pick).
+
+    Same one-shuffle union-sort-carry execution as the backward join,
+    run in REVERSE time order: right rows sort before left rows at
+    equal timestamps (inclusive >=), and when several right rows share
+    a timestamp the ``tie_col`` (e.g. the event id) breaks the tie
+    DETERMINISTICALLY toward the smallest — ``last(ignorenulls)`` over
+    an ambiguous order would otherwise carry a partition-dependent
+    payload, which the backward join tolerates only because fixture
+    timestamps are unique per key. The tolerance is applied AFTER the
+    carry as a pure column predicate (payload nulled beyond the
+    horizon) — no second join, no range blow-up.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    tie = F.col(tie_col) if tie_col else F.lit(0)
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (-tie).cast("long").alias("__tie"),
+        F.struct(
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias("__payload"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on
+        ],
+    )
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    unioned = r.select(l_tagged.columns).unionByName(l_tagged)
+    # Reverse time: descending ts; at equal ts left (__side 1) sorts
+    # AFTER right (__side 0) ... but we need the carry to have seen the
+    # right row already, so order (ts DESC, side ASC is wrong for
+    # equal-ts inclusivity under last()): with ts DESC, rows later in
+    # the frame are EARLIER in time; the payload carried at a left row
+    # must come from right rows at ts >= left.ts, i.e. rows sorted
+    # BEFORE it. At equal ts the right row must sort before the left
+    # row -> __side ASC. Among equal-ts right rows, the LAST seen wins
+    # under last(); sorting __tie = -id ASC puts the smallest id last.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__next_payload", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1)
+    payload_fields = [f.name for f in r.schema["__payload"].dataType.fields]
+    p = F.col("__next_payload")
+    if tolerance_seconds is not None:
+        horizon = F.unix_micros(p[f"{right_ts}{suffix}"]) - F.unix_micros(
+            F.col("__ts")
+        ) <= F.lit(int(tolerance_seconds) * 1_000_000)
+        p = F.when(horizon, F.col("__next_payload"))
+    return out.select(
+        on,
+        *[c for c in left.columns if c != on],
+        *[p[f].alias(f) for f in payload_fields],
+    )

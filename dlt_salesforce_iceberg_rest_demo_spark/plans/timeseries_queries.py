@@ -524,3 +524,63 @@ def window_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("win_start"), "event_type", "n_events"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join with tolerance (time-to-next-event attribution).
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH l AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT event_id AS r_id, user_id, ts AS r_ts, value AS r_value
+  FROM events WHERE event_type = 'purchase'),
+pick AS (
+  SELECT l.click_id, l.user_id, l.click_ts,
+         r.r_id, r.r_ts, r.r_value,
+         ROW_NUMBER() OVER (PARTITION BY l.click_id
+                            ORDER BY r.r_ts, r.r_id) AS rn
+  FROM l LEFT JOIN r
+    ON r.user_id = l.user_id
+   AND r.r_ts >= l.click_ts
+   AND r.r_ts <= l.click_ts + INTERVAL 1 HOUR)
+SELECT click_id, user_id, click_ts,
+       r_ts AS ts_next, r_id AS event_id_next, r_value AS value_next
+FROM pick WHERE rn = 1
+"""
+
+
+@register("asof_join_forward_events", oracle=_ASOF_FWD_ORACLE)
+def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a 1-hour tolerance: every click is
+    matched to the user's EARLIEST purchase at or after it within the
+    horizon (`temporal.asof_join_forward`) — time-to-next-event /
+    conversion-lookahead attribution, the direction DuckDB's native
+    ASOF JOIN cannot express (backward-only; the oracle is a bounded
+    range join + ROW_NUMBER pick instead). Execution is the house
+    union-sort-carry: ONE shuffle on user_id, reverse-time order with
+    deterministic (ts, event_id) tie-breaks, tolerance applied as a
+    post-carry column predicate — no range self-join at any scale.
+    Output floats are single picked row values."""
+    from ..operators.temporal import asof_join_forward
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_forward(
+        left,
+        right,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        tie_col="event_id",
+        tolerance_seconds=3600,
+        suffix="_next",
+    )

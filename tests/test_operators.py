@@ -1048,3 +1048,70 @@ class TestOrderedFunnel:
             for r in ordered_funnel_df(ev, ["a", "b", "c"]).collect()
         }
         assert lazy == got
+
+
+class TestAsofJoinForward:
+    """Forward as-of join: earliest right row >= left ts, deterministic
+    ties, inclusive tolerance boundary, no-match nulls."""
+
+    def _mk(self, spark, rows):
+        import datetime
+
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(
+                    user_id=u,
+                    event_id=i,
+                    ts=datetime.datetime(2024, 1, 1, 0, m, s),
+                    value=float(v),
+                )
+                for (u, i, m, s, v) in rows
+            ]
+        )
+
+    def test_earliest_following_inclusive_and_ties(self, spark):
+        left = self._mk(spark, [(1, 100, 10, 0, 0)])
+        # right rows: one BEFORE (never matches), two at the same
+        # later instant (tie -> min event_id), one even later.
+        right = self._mk(
+            spark, [(1, 1, 5, 0, 1), (1, 3, 20, 0, 3), (1, 2, 20, 0, 2), (1, 4, 30, 0, 4)]
+        )
+        out = temporal.asof_join_forward(
+            left, right, on="user_id", right_cols=["event_id", "value"],
+            tie_col="event_id",
+        ).collect()
+        assert len(out) == 1
+        assert out[0].event_id_next == 2 and out[0].value_next == 2.0
+
+    def test_equal_ts_is_inclusive(self, spark):
+        left = self._mk(spark, [(1, 100, 10, 0, 0)])
+        right = self._mk(spark, [(1, 7, 10, 0, 7)])
+        row = temporal.asof_join_forward(
+            left, right, on="user_id", right_cols=["event_id"], tie_col="event_id"
+        ).collect()[0]
+        assert row.event_id_next == 7
+
+    def test_tolerance_boundary_inclusive_then_exclusive(self, spark):
+        left = self._mk(spark, [(1, 100, 0, 0, 0)])
+        at_horizon = self._mk(spark, [(1, 7, 10, 0, 7)])  # exactly 600s later
+        row = temporal.asof_join_forward(
+            left, at_horizon, on="user_id", right_cols=["event_id"],
+            tie_col="event_id", tolerance_seconds=600,
+        ).collect()[0]
+        assert row.event_id_next == 7  # inclusive horizon
+        row = temporal.asof_join_forward(
+            left, at_horizon, on="user_id", right_cols=["event_id"],
+            tie_col="event_id", tolerance_seconds=599,
+        ).collect()[0]
+        assert row.event_id_next is None  # beyond horizon -> nulled
+
+    def test_no_following_match_is_null(self, spark):
+        left = self._mk(spark, [(1, 100, 10, 0, 0)])
+        only_prior = self._mk(spark, [(1, 7, 5, 0, 7)])
+        row = temporal.asof_join_forward(
+            left, only_prior, on="user_id", right_cols=["event_id"],
+            tie_col="event_id",
+        ).collect()[0]
+        assert row.event_id_next is None
