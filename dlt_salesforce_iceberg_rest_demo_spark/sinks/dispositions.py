@@ -461,6 +461,61 @@ class ParquetLake:
         # semantics), not the copy-on-write rewrite size.
         return WriteReport(table, "merge", batch_rows)
 
+    def merge_cdc(
+        self,
+        log: DataFrame,
+        table: str,
+        key_col: str,
+        version_col: str = "version",
+        op_col: str = "op",
+    ) -> WriteReport:
+        """CDC disposition: apply an I/U/D changelog to the table in ONE
+        atomic commit — the upsert-with-deletes the reference's
+        delete-then-insert merge (W3) cannot express (it has no delete
+        op; rows can only be replaced, never removed). This is the lake
+        half of `operators.incremental_agg.apply_changelog` /
+        `cdc_apply_changelog`: the changelog compacts to last-writer-
+        wins per key first (partial-aggregatable ARGMAX over (version,
+        op, payload) structs, no window sort), then
+
+        - keys whose final op is D disappear,
+        - every other touched key is replaced by its final payload,
+        - untouched base rows are carried (broadcast anti-join on the
+          touched-key set — O(log) not O(table) shuffle, the same
+          scale argument as :meth:`merge`),
+
+        all visible in a single snapshot (Iceberg ``MERGE INTO ... WHEN
+        MATCHED AND op='D' THEN DELETE`` semantics). An empty changelog
+        is a no-op (no commit — the idle-poll rule from
+        :meth:`append`). ``rows_written`` reports surviving upserts.
+        """
+        from ..operators.incremental_agg import apply_changelog
+
+        payload_cols = [
+            c for c in log.columns if c not in (key_col, version_col, op_col)
+        ]
+        if log.isEmpty():
+            return WriteReport(table, "merge_cdc", 0)
+        upserts = apply_changelog(
+            log, key_col, version_col, op_col, payload_cols
+        ).drop("last_version")
+        if not self.exists(table):
+            df0 = self._prepare(table, upserts)
+            name, rows = self._new_data_dir(table, df0)
+            if rows == 0:
+                shutil.rmtree(self.root / table / name, ignore_errors=True)
+                return WriteReport(table, "merge_cdc", 0)
+            self._commit(table, [name])
+            return WriteReport(table, "merge_cdc", rows)
+        n_upserts = upserts.count()
+        touched = log.select(key_col).distinct()
+        base = self.read(table)
+        kept = base.join(F.broadcast(touched), key_col, "left_anti")
+        merged = kept.unionByName(self._prepare(table, upserts))
+        name, _total = self._new_data_dir(table, merged)
+        self._commit(table, [name])
+        return WriteReport(table, "merge_cdc", n_upserts)
+
     # -- lake maintenance (Iceberg rewrite_data_files / expire_snapshots
     #    analogs; the reference has no maintenance story - PyIceberg
     #    single-writer appends accrete files forever, README.md:269-281) --

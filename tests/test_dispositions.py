@@ -414,3 +414,68 @@ class TestTimestampTimeTravel:
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+class TestMergeCdc:
+    """CDC disposition: I/U/D changelog applied in one atomic commit."""
+
+    def _log(self, spark, rows):
+        return df_of(
+            spark,
+            [Row(id=i, version=ver, op=op, v=v) for (i, ver, op, v) in rows],
+        )
+
+    def test_insert_update_delete_in_one_commit(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]), "t")
+        v0 = lake.current_version("t")
+        rep = lake.merge_cdc(
+            self._log(spark, [(2, 1, "U", "b2"), (3, 1, "D", None), (4, 1, "I", "d")]),
+            "t", "id",
+        )
+        rows = rows_by_id(lake, "t")
+        assert rows[1]["v"] == "a"      # untouched survives
+        assert rows[2]["v"] == "b2"     # updated
+        assert 3 not in rows            # deleted
+        assert rows[4]["v"] == "d"      # inserted
+        assert rep.rows_written == 2    # surviving upserts (U + I)
+        assert lake.current_version("t") == v0 + 1  # ONE commit
+
+    def test_last_writer_wins_within_changelog(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")
+        # U then D (higher version) -> row removed; D then I -> row back
+        lake.merge_cdc(
+            self._log(spark, [(1, 1, "U", "a2"), (1, 2, "D", None),
+                              (2, 1, "D", None), (2, 2, "I", "fresh")]),
+            "t", "id",
+        )
+        rows = rows_by_id(lake, "t")
+        assert 1 not in rows
+        assert rows[2]["v"] == "fresh"
+
+    def test_reapply_is_idempotent(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]), "t")
+        log = self._log(spark, [(1, 1, "U", "a2"), (2, 1, "D", None)])
+        lake.merge_cdc(log, "t", "id")
+        first = rows_by_id(lake, "t")
+        lake.merge_cdc(log, "t", "id")
+        assert rows_by_id(lake, "t") == first
+
+    def test_empty_changelog_is_noop(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")
+        v0 = lake.current_version("t")
+        empty = df_of(spark, [Row(id=1, version=1, op="U", v="x")]).limit(0)
+        rep = lake.merge_cdc(empty, "t", "id")
+        assert rep.rows_written == 0
+        assert lake.current_version("t") == v0  # no commit
+
+    def test_auto_create_from_changelog(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(
+            self._log(spark, [(1, 1, "I", "a"), (2, 1, "D", None)]), "t", "id"
+        )
+        rows = rows_by_id(lake, "t")
+        assert rows == {1: {"id": 1, "v": "a"}} or (1 in rows and 2 not in rows)
