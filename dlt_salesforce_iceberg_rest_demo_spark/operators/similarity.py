@@ -886,3 +886,81 @@ def maxsim_scores(
     dots = docs.crossJoin(F.broadcast(q)).select("label", "qid", dot.alias("dot"))
     per_query = dots.groupBy("label", "qid").agg(F.max("dot").alias("m"))
     return per_query.groupBy("label").agg(F.sum("m").alias("maxsim_score"))
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): per query, greedily pick the candidate
+    maximizing ``lam * sim(q, d) - (1-lam) * max_{s in selected}
+    sim(d, s)`` — relevance traded against redundancy, the re-rank
+    step that keeps a RAG context window from filling with five copies
+    of the same paragraph.
+
+    Two-phase scale shape (the house ANN playbook): a distributed
+    EXACT shortlist per query (`cosine_topk`, JVM-side codegen dot
+    products) bounds the sequential part, then the inherently greedy
+    MMR loop runs per query-group in ONE applyInPandas over
+    ``shortlist`` rows x dim floats — O(shortlist^2 * dim) numpy per
+    query, never over the corpus. Deterministic: candidates enter in
+    (relevance DESC, corpus_id ASC) order and numpy's argmax takes the
+    first maximum, so exact score ties break toward higher relevance
+    then smaller id.
+
+    Returns (query_id, corpus_id, mmr_rank, relevance, mmr_score);
+    rows-only at the driver gate (greedy selection is not
+    SQL-expressible), pinned in pytest against a pure-Python reference.
+    """
+    short = cosine_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    cand = short.join(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")),
+        "corpus_id",
+    ).select("query_id", "corpus_id", "cosine", "rank", "cvec")
+
+    out_schema = (
+        "query_id long, corpus_id long, mmr_rank long, "
+        "relevance double, mmr_score double"
+    )
+
+    def pick(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
+        vecs = np.stack(pdf["cvec"].map(np.asarray).values).astype("float64")
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["cosine"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        penalty = np.full(n, -1.0)  # max sim to selected so far
+        alive = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * np.where(penalty < 0, 0.0, penalty)
+            mmr[~alive] = -np.inf
+            i = int(np.argmax(mmr))
+            chosen.append(i)
+            scores.append(float(mmr[i]))
+            alive[i] = False
+            sim_to_i = unit @ unit[i]
+            penalty = np.maximum(penalty, sim_to_i)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[chosen].values,
+                "corpus_id": pdf["corpus_id"].iloc[chosen].values,
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int64"),
+                "relevance": rel[chosen],
+                "mmr_score": np.array(scores, dtype="float64"),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(pick, out_schema)

@@ -836,3 +836,62 @@ def sparse_cosine_pairs(
     return cos.filter(F.col("cosine") >= threshold).select(
         "doc_a", "doc_b", "dot", "cosine"
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bigram language-model surprisal: per document, the sum and mean
+    of integer CONDITIONAL rarity weights
+    ``(c(w1·) * scale) DIV c(w1,w2)`` — the exact-integer proxy for
+    1/p(w2|w1), i.e. the KenLM-style perplexity filter one step up from
+    :func:`unigram_surprisal` (which scores rare TOKENS; this scores
+    rare TRANSITIONS — "the the" is common unigram-wise but a
+    high-surprisal bigram). c(w1·) is the bigram-start count derived
+    from the bigram table itself (sum of c(w1, *)), so p conditions on
+    exactly the events the model counts.
+
+    All weights are exact integers (>= scale by construction since
+    c(w1,w2) <= c(w1·)); the only float is one final IEEE division per
+    document. Plan shape: one bigram explode (raw multiset, NOT
+    distinct — multiplicity is the point), a bigram-vocabulary-sized
+    count table plus its w1 rollup (both map-side combinable), one
+    join back on the bigram key, one per-doc aggregate. At corpus
+    scale the count tables are vocabulary^2-bounded and AQE broadcasts
+    them when small; nothing per-row ever enters Python.
+    """
+    tk = docs.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    pairs = tk.filter(F.size("t") >= 2).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", (i + 1).cast("int")).alias("w1"),
+                    F.element_at("t", (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("cb"))
+    uni = big.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
+    counts = big.join(uni, "w1")
+    return (
+        pairs.join(counts, ["w1", "w2"])
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.expr(f"(cu * {scale}) DIV cb")).cast("long").alias("surprisal_sum"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_bigrams",
+            "surprisal_sum",
+            (F.col("surprisal_sum").cast("double") / F.col("n_bigrams")).alias(
+                "avg_surprisal"
+            ),
+        )
+    )

@@ -217,3 +217,67 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram_fixed",
         (F.col("gram_fixed").cast("double") / F.lit(1e12)).alias("gram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal (conditional-probability quality filter).
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t)-1), i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(t)-1), i -> t[i+1])) AS w2
+  FROM tk WHERE len(t) >= 2),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM big GROUP BY 1)
+SELECT p.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM((cu * 1000000) // cb) AS BIGINT) AS surprisal_sum,
+       CAST(CAST(SUM((cu * 1000000) // cb) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS avg_surprisal
+FROM pairs p
+JOIN big USING (w1, w2)
+JOIN uni USING (w1)
+GROUP BY p.doc_id
+"""
+
+
+@register("text_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM surprisal per document (`text.bigram_lm_score`): the
+    KenLM-style perplexity filter one step up from
+    `text_unigram_surprisal` — rare TRANSITIONS, not rare tokens,
+    flag the word salad a unigram model misses. Conditional rarity
+    weights (c(w1)*1e6) DIV c(w1,w2) are exact integers (the model's
+    own bigram-start rollup is the conditioning denominator), summed
+    exactly; one IEEE division per doc. Bigram explode over the raw
+    multiset, vocabulary^2-bounded count tables, one join back."""
+    from ..operators import text
+
+    return text.bigram_lm_score(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (greedy re-rank; rows-only).
+# ---------------------------------------------------------------------------
+
+
+@register("similarity_mmr_topk")
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 per query (`similarity.mmr_topk`,
+    lambda=0.7 over an exact cosine shortlist of 50): the re-rank that
+    trades relevance against redundancy before a context window fills
+    with near-copies. Greedy selection is inherently sequential ->
+    rows-only at the driver gate; pytest pins the selection against a
+    pure-Python reference and a planted diversity scenario."""
+    from ..operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    return similarity.mmr_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, shortlist=50, lam=0.7
+    )

@@ -563,3 +563,66 @@ class TestBpeEncode:
         docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
         row = t_ops.bpe_encode(docs, []).collect()[0]
         assert (row["n_words"], row["n_tokens"]) == (2, 5)
+
+
+class TestMmrTopk:
+    """MMR diversified retrieval: redundancy penalty, determinism,
+    Spark plumbing == pure-Python reference."""
+
+    def test_redundant_candidate_demoted(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+        from pyspark.sql import Row
+
+        corpus = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[0.9, 0.436, 0.0]),     # A: most relevant
+                Row(vec_id=2, embedding=[0.89, 0.446, 0.06]),   # B: ~dup of A
+                Row(vec_id=3, embedding=[0.8, -0.6, 0.0]),      # C: diverse
+            ]
+        )
+        q = spark.createDataFrame([Row(vec_id=100, embedding=[1.0, 0.0, 0.0])])
+        out = similarity.mmr_topk(corpus, q, k=3, shortlist=10, lam=0.6)
+        order = [r.corpus_id for r in out.orderBy("mmr_rank").collect()]
+        # pure relevance order would be [1, 2, 3]; MMR demotes the dup
+        assert order == [1, 3, 2]
+
+    def test_matches_python_reference_on_fixtures(self, spark):
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3)
+        out = similarity.mmr_topk(emb, queries, k=5, shortlist=20, lam=0.7)
+        got = {
+            (r.query_id, r.mmr_rank): r.corpus_id
+            for r in out.collect()
+        }
+
+        data = {r.vec_id: np.asarray(r.embedding, dtype="float64")
+                for r in emb.collect()}
+        for qid in [0, 1, 2]:
+            qv = data[qid]
+            sims = {
+                cid: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+                for cid, v in data.items() if cid != qid
+            }
+            short = sorted(sims, key=lambda c: (-sims[c], c))[:20]
+            unit = {c: data[c] / np.linalg.norm(data[c]) for c in short}
+            chosen, penalty = [], {c: -1.0 for c in short}
+            for rank in range(1, 6):
+                best, best_s = None, -np.inf
+                for c in short:
+                    if c in chosen:
+                        continue
+                    p = max(penalty[c], 0.0)
+                    s = 0.7 * sims[c] - 0.3 * p
+                    if s > best_s:
+                        best, best_s = c, s
+                chosen.append(best)
+                for c in short:
+                    penalty[c] = max(penalty[c], float(unit[c] @ unit[best]))
+                assert got[(qid, rank)] == best, (qid, rank, got[(qid, rank)], best)
