@@ -101,10 +101,12 @@ class ParquetLake:
         (tag) created with :meth:`set_ref` — the Iceberg
         ``VERSION AS OF 'tag'`` analog."""
         if isinstance(version, str):
-            refs = self.refs(table)
-            if version not in refs:
-                raise ValueError(f"ref {version!r} does not exist on {table}")
-            version = refs[version]
+            named = {**self.branches(table), **self.refs(table)}
+            if version not in named:
+                raise ValueError(
+                    f"ref or branch {version!r} does not exist on {table}"
+                )
+            version = named[version]
         if version is None:
             dirs = self._current_manifest(table)
         else:
@@ -206,22 +208,117 @@ class ParquetLake:
     def _current_manifest(self, table: str) -> list[str]:
         return self._manifest_info(table, self._current_version(table))[0]
 
-    def _commit(self, table: str, data_dirs: list[str]) -> None:
-        """Write manifest N+1 then atomically swing the pointer. The
-        manifest records its commit wall-clock (epoch micros) for
-        AS-OF-timestamp time travel."""
+    def _commit(self, table: str, data_dirs: list[str], branch: str | None = None) -> None:
+        """Write a new manifest then atomically swing a pointer — the
+        main ``_POINTER`` or a branch head. Manifests record commit
+        wall-clock (epoch micros, for AS-OF time travel) and their
+        PARENT version (for fast-forward ancestry checks). Version
+        numbers are allocated globally (1 + max existing manifest), so
+        branch and main histories never collide."""
         import time
 
         tdir = self.root / table
-        v = self._current_version(table) + 1
+        parent = (
+            self._branch_version(table, branch)
+            if branch is not None
+            else self._current_version(table)
+        )
+        existing = [int(m.name.split(".")[1]) for m in tdir.glob("_MANIFEST.*.json")]
+        v = (max(existing) if existing else -1) + 1
         (tdir / f"_MANIFEST.{v}.json").write_text(
             json.dumps(
-                {"dirs": data_dirs, "committed_at": time.time_ns() // 1000}
+                {
+                    "dirs": data_dirs,
+                    "committed_at": time.time_ns() // 1000,
+                    "parent": parent,
+                }
             )
         )
-        tmp = tdir / f"_POINTER.tmp.{v}"
-        tmp.write_text(str(v))
+        if branch is not None:
+            self._write_branches(table, {**self.branches(table), branch: v})
+        else:
+            tmp = tdir / f"_POINTER.tmp.{v}"
+            tmp.write_text(str(v))
+            os.replace(tmp, self._pointer(table))
+
+    # -- branches (Iceberg branch / write-audit-publish analog) ----------
+
+    def branches(self, table: str) -> dict[str, int]:
+        """Named MUTABLE heads: branch name -> head version. Unlike tags
+        (:meth:`set_ref`, pinned forever), a branch advances when
+        written to via ``append_to_branch``."""
+        p = self.root / table / "_BRANCHES.json"
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def _write_branches(self, table: str, branches: dict[str, int]) -> None:
+        tmp = self.root / table / "_BRANCHES.tmp"
+        tmp.write_text(json.dumps(branches))
+        os.replace(tmp, self.root / table / "_BRANCHES.json")
+
+    def _branch_version(self, table: str, name: str) -> int:
+        b = self.branches(table)
+        if name not in b:
+            raise ValueError(f"branch {name!r} does not exist on {table}")
+        return b[name]
+
+    def create_branch(self, table: str, name: str, version: int | None = None) -> int:
+        """Fork a branch at a snapshot (current main by default) — the
+        Iceberg branch, enabling WRITE-AUDIT-PUBLISH: load into the
+        branch, validate it (`operators.expectations.check_report` over
+        ``read(table, branch)``), then :meth:`fast_forward` main. A
+        failed audit just drops the branch; main never saw bad data."""
+        v = self._current_version(table) if version is None else version
+        if not (self.root / table / f"_MANIFEST.{v}.json").exists():
+            raise ValueError(f"snapshot {v} of {table} does not exist")
+        self._write_branches(table, {**self.branches(table), name: v})
+        return v
+
+    def drop_branch(self, table: str, name: str) -> None:
+        b = self.branches(table)
+        b.pop(name, None)
+        self._write_branches(table, b)
+
+    def append_to_branch(self, df: DataFrame, table: str, branch: str) -> WriteReport:
+        """W1 append against a BRANCH head: new branch snapshot = branch
+        manifest + one new data dir; main's pointer is untouched. Same
+        empty-batch no-op rule as :meth:`append`."""
+        df = self._prepare(table, df)
+        name, rows = self._new_data_dir(table, df)
+        if rows == 0:
+            shutil.rmtree(self.root / table / name, ignore_errors=True)
+            return WriteReport(table, "append", 0)
+        head = self._branch_version(table, branch)
+        dirs = self._manifest_info(table, head)[0]
+        self._commit(table, dirs + [name], branch=branch)
+        return WriteReport(table, "append", rows)
+
+    def _manifest_parent(self, table: str, v: int) -> int | None:
+        data = json.loads((self.root / table / f"_MANIFEST.{v}.json").read_text())
+        return data.get("parent") if isinstance(data, dict) else None
+
+    def fast_forward(self, table: str, branch: str) -> int:
+        """PUBLISH: advance main to the branch head — atomic and
+        metadata-only (the data dirs were already written by the branch
+        commits). Refuses unless main's current snapshot is an ANCESTOR
+        of the branch head (walking the manifests' parent chain), i.e.
+        nothing was committed to main since the fork — the Iceberg
+        fast_forward contract; a diverged main must be resolved by
+        re-branching, never silently overwritten."""
+        head = self._branch_version(table, branch)
+        current = self._current_version(table)
+        v: int | None = head
+        while v is not None and v > current:
+            v = self._manifest_parent(table, v)
+        if v != current:
+            raise ValueError(
+                f"main of {table} (v{current}) is not an ancestor of "
+                f"branch {branch!r} (v{head}); cannot fast-forward"
+            )
+        tdir = self.root / table
+        tmp = tdir / f"_POINTER.tmp.ff{head}"
+        tmp.write_text(str(head))
         os.replace(tmp, self._pointer(table))
+        return head
 
     def version_as_of(self, table: str, as_of) -> int:
         """Resolve the snapshot current AS OF a wall-clock instant
@@ -261,7 +358,15 @@ class ParquetLake:
         from pyspark.sql import Observation
 
         tdir = self.root / table
-        v = self._current_version(table) + 1
+        # Allocate past any existing dir, not main-version + 1: branch
+        # commits write data dirs without advancing the main pointer,
+        # so version-derived names would collide on the next write.
+        existing = [
+            int(p.name.split("_")[1])
+            for p in tdir.glob("data_*")
+            if p.name.split("_")[1].isdigit()
+        ]
+        v = max(existing, default=self._current_version(table)) + 1
         name = f"data_{v:06d}"
         try:
             obs = Observation(f"rows_{table}_{v}")
@@ -573,9 +678,13 @@ class ParquetLake:
         tdir = self.root / table
         current = self._current_version(table)
         keep = set(range(max(0, current - keep_last + 1), current + 1))
-        # Tagged snapshots are retention roots (Iceberg expire_snapshots
-        # contract): a ref'd manifest and its data dirs never expire.
+        # Tagged snapshots and branch HEADS are retention roots (Iceberg
+        # expire_snapshots contract): their manifests and data dirs
+        # never expire. (Interior branch lineage may expire — a later
+        # fast_forward of a vacuumed-through branch then refuses, the
+        # safe failure mode.)
         keep.update(self.refs(table).values())
+        keep.update(self.branches(table).values())
         referenced: set[str] = set()
         for v in keep:
             manifest = tdir / f"_MANIFEST.{v}.json"

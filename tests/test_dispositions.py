@@ -479,3 +479,64 @@ class TestMergeCdc:
         )
         rows = rows_by_id(lake, "t")
         assert rows == {1: {"id": 1, "v": "a"}} or (1 in rows and 2 not in rows)
+
+
+class TestBranchesWap:
+    """Iceberg-style branches: write-audit-publish, isolation,
+    fast-forward ancestry, vacuum retention."""
+
+    def test_write_audit_publish_roundtrip(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")
+        main_v = lake.current_version("t")
+        lake.create_branch("t", "audit")
+        lake.append_to_branch(df_of(spark, [Row(id=2, v="b")]), "t", "audit")
+        # isolation: main unchanged, branch sees the staged batch
+        assert lake.current_version("t") == main_v
+        assert lake.count("t") == 1
+        assert {r.id for r in lake.read("t", "audit").collect()} == {1, 2}
+        # publish
+        head = lake.fast_forward("t", "audit")
+        assert lake.current_version("t") == head
+        assert {r.id for r in lake.read("t").collect()} == {1, 2}
+
+    def test_failed_audit_drop_branch_leaves_main_clean(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.create_branch("t", "audit")
+        lake.append_to_branch(df_of(spark, [Row(id=2, v="bad")]), "t", "audit")
+        lake.drop_branch("t", "audit")
+        assert {r.id for r in lake.read("t").collect()} == {1}
+        assert "audit" not in lake.branches("t")
+
+    def test_fast_forward_refuses_diverged_main(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.create_branch("t", "audit")
+        lake.append_to_branch(df_of(spark, [Row(id=2, v="b")]), "t", "audit")
+        # main diverges after the fork
+        lake.append(df_of(spark, [Row(id=9, v="z")]), "t")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not an ancestor"):
+            lake.fast_forward("t", "audit")
+
+    def test_multiple_branch_commits_then_publish(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.create_branch("t", "stage")
+        lake.append_to_branch(df_of(spark, [Row(id=2, v="b")]), "t", "stage")
+        lake.append_to_branch(df_of(spark, [Row(id=3, v="c")]), "t", "stage")
+        lake.fast_forward("t", "stage")
+        assert lake.count("t") == 3
+
+    def test_vacuum_keeps_branch_head(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")
+        lake.create_branch("t", "keepme")
+        lake.append_to_branch(df_of(spark, [Row(id=2, v="b")]), "t", "keepme")
+        # several main commits so vacuum has something to expire
+        for i in range(3):
+            lake.append(df_of(spark, [Row(id=10 + i, v="x")]), "t")
+        lake.vacuum("t", keep_last=1)
+        assert {r.id for r in lake.read("t", "keepme").collect()} == {1, 2}
