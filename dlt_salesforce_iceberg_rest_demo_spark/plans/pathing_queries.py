@@ -1,0 +1,187 @@
+"""Pathing / interval-algebra tranche: interval coalescing, top event
+trigram paths, categorical diversity (Gini impurity), and CUSUM
+changepoint scores.
+
+The reference has no analytics executor (SURVEY.md §2.7); these extend
+the behavioral-analytics layer (`events_transition_matrix`,
+`interval_max_concurrency`, `sessionize_events`) with the remaining
+classics: flattening overlapping intervals into maximal islands
+(billing/coverage math), 3-step path mining (where 2-step transition
+matrices miss structure), a diversity index with no logarithm (engine
+libm differs — Gini impurity is exact rational where entropy is not),
+and the CUSUM drift statistic over the daily series.
+
+House determinism rules: exact integer microseconds and counts
+everywhere a value is summed or ranked; doubles only as single picked
+values or one identical final IEEE expression; window running sums
+only over bounded domains (per-user intervals, ~30 days) — never over
+the raw global event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._helpers import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands union of overlapping intervals).
+# ---------------------------------------------------------------------------
+
+_COALESCE_SQL = """
+WITH iv AS (
+  SELECT user_id, {us}(ts) AS s, {us}(ts) + 1800000000 AS e FROM {events}),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         CAST(SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM m),
+agg AS (
+  SELECT user_id, island,
+         MIN(s) AS island_s, MAX(e) AS island_e
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us,
+       CAST(MAX(island_e - island_s) AS BIGINT) AS longest_island_us
+FROM agg GROUP BY user_id
+"""
+
+
+@register(
+    "interval_coalesce_user_coverage",
+    oracle=_COALESCE_SQL.format(events="events", us="epoch_us"),
+)
+def interval_coalesce_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce each user's overlapping activity intervals (every event
+    opens [ts, ts+30min)) into maximal islands and report coverage —
+    the interval-UNION measure (total engaged time, billing coverage,
+    SLA uptime) that naive per-event sums double-count. Classic
+    gaps-and-islands: a running MAX of interval ends per user marks
+    island starts (s > max end so far), a running island counter
+    groups them; both windows are per-user (bounded state — the same
+    scale argument as `interval_max_concurrency`'s bucketed sweep).
+    All arithmetic is exact integer microseconds; dialect split is the
+    epoch accessor only."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("pa_coal_events")
+    return spark.sql(_COALESCE_SQL.format(events="pa_coal_events", us="unix_micros"))
+
+
+# ---------------------------------------------------------------------------
+# Top 3-step event paths (trigram path mining).
+# ---------------------------------------------------------------------------
+
+_PATHS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p1,
+         LAG(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p2
+  FROM {events}),
+tri AS (
+  SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+         CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM s WHERE p2 IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT step1, step2, step3, n_paths
+FROM tri ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20
+"""
+
+
+@register("events_top_trigram_paths", oracle=_PATHS_SQL.format(events="events"))
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event paths per user stream — path mining one
+    order above `events_transition_matrix` (A->B->C structure that
+    pairwise transitions provably cannot see). Two LAGs in ONE window
+    pass per user (single shuffle, no self-joins — the naive 3-way
+    sequence join is quadratic in per-user activity), then a
+    combinable trigram count and a deterministic top-k ((n DESC, path)
+    tie-break). The path-type domain is |types|^3-bounded, so the
+    final aggregate is tiny at any corpus scale."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("pa_tri_events")
+    return spark.sql(_PATHS_SQL.format(events="pa_tri_events"))
+
+
+# ---------------------------------------------------------------------------
+# Categorical diversity via Gini impurity (no-logarithm entropy stand-in).
+# ---------------------------------------------------------------------------
+
+_IMPURITY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM {events} GROUP BY user_id, event_type),
+m AS (
+  SELECT user_id,
+         CAST(SUM(ct) AS BIGINT) AS n,
+         CAST(SUM(ct * ct) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id)
+SELECT user_id, n AS n_events, n_types,
+       CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini_impurity
+FROM m
+"""
+
+
+@register("events_type_diversity_gini", oracle=_IMPURITY_SQL.format(events="events"))
+def events_type_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as Gini impurity 1 - sum(p_i^2) =
+    (n^2 - sum c_i^2) / n^2 — the diversity index chosen PRECISELY
+    because it needs no logarithm: Shannon entropy's ln differs in the
+    last ulp across engine libms (the BM25/idf lesson), while impurity
+    is one IEEE division of exact BIGINTs. Bot detection (impurity ~0:
+    one repeated action) and power-user scoring in two combinable
+    aggregations, the second over the (user x type) table only."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("pa_gini_events")
+    return spark.sql(_IMPURITY_SQL.format(events="pa_gini_events"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint score over the daily value series.
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {events} GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS m
+  FROM d),
+dev AS (
+  SELECT day, cents, n,
+         CAST(cents AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / m)
+           AS deviation
+  FROM d CROSS JOIN tot),
+cu AS (
+  SELECT day, deviation,
+         SUM(deviation) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM dev)
+SELECT day, deviation, cusum FROM cu
+"""
+
+
+@register("timeseries_cusum_daily", oracle=_CUSUM_SQL.format(events="events"))
+def timeseries_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily CUSUM drift statistic over event values: per-day deviation
+    from the global per-event mean, accumulated in day order — the
+    changepoint detector whose peak marks WHEN a metric's level
+    shifted (a mean-based monitor only says THAT it shifted). Daily
+    cents and counts are exact BIGINTs from one combinable groupBy;
+    the mean is one shared IEEE division; deviations and their running
+    sum accumulate in the SAME deterministic day order in both engines
+    (the cumulative window is day-grain — ~30 rows here, bounded by
+    calendar span, never by event volume)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("pa_cusum_events")
+    return spark.sql(_CUSUM_SQL.format(events="pa_cusum_events"))

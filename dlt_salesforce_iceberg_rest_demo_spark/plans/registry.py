@@ -129,5 +129,6 @@ def _ensure_loaded() -> None:
     from . import stats_queries  # noqa: F401
     from . import robust_queries  # noqa: F401
     from . import linkage_queries  # noqa: F401
+    from . import pathing_queries  # noqa: F401
 
     _LOADED = True
