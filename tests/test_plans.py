@@ -384,3 +384,58 @@ class TestStatsPlans:
         assert self._scan_count(plan) == 1
         # 1-row total joins via broadcast NLJ, never a shuffle join
         assert "SortMergeJoin" not in plan
+
+
+class TestLinkagePlans:
+    """Plan audits for the linkage / pathing tranche: each docstring's
+    scale claim must be visible in the physical plan."""
+
+    def test_sparse_cosine_no_cartesian(self, spark):
+        # Posting-list self-join keys on the shingle — never a cross
+        # join of the document table with itself.
+        plan = plan_of(REGISTRY["text_sparse_cosine_pairs"].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_gram_matrix_single_scan_single_shuffle(self, spark):
+        import re
+
+        # One embeddings scan; the only Exchange is the (i, j) cell
+        # aggregation — the map-side D^2 grid never joins.
+        plan = plan_of(REGISTRY["embedding_gram_matrix"].spark(spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2  # shuffle (+ AQE read)
+
+    def test_link_prediction_no_cartesian(self, spark):
+        plan = plan_of(
+            REGISTRY["graph_link_prediction_customers"].spark(spark, SF_DIR)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # deterministic top-k must plan as TakeOrdered, not global sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_byte_histogram_no_join_no_window(self, spark):
+        plan = plan_of(REGISTRY["multimodal_byte_histogram"].spark(spark, SF_DIR))
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_trigram_paths_single_window_pass(self, spark):
+        import re
+
+        # Both LAGs fuse into ONE Window node over one user shuffle;
+        # no self-joins of the event stream.
+        plan = plan_of(REGISTRY["events_top_trigram_paths"].spark(spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+        assert "Join" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_coalesce_windows_are_user_partitioned(self, spark):
+        # Gaps-and-islands windows must be PARTITIONED (bounded state),
+        # never a global single-partition sort.
+        plan = plan_of(
+            REGISTRY["interval_coalesce_user_coverage"].spark(spark, SF_DIR)
+        )
+        assert "hashpartitioning(user_id" in plan
+        assert "SinglePartition" not in plan
