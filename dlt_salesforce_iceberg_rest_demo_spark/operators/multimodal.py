@@ -295,3 +295,51 @@ def byte_histogram(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.countDistinct("doc").cast("bigint").alias("n_docs"),
         )
     )
+
+
+def ahash(mm: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over the binary
+    payload: stride-sample ``bits`` bytes (the 'thumbnail' —
+    :func:`resize_payload`'s sampling, kept as VALUES not bytes), set
+    bit i when sample i exceeds the sample mean, pack into one BIGINT.
+    The canonical cheap perceptual hash: identical payloads collide
+    exactly, and near-identical payloads (same image re-encoded, audio
+    re-chunked) land within small Hamming distance.
+
+    Everything is exact integer arithmetic map-side: the mean
+    comparison is ``b * n_samples > total`` (no division), the pack is
+    shifts and adds, bytes extract natively via hex/conv (arbitrary
+    binary). One projection, zero shuffles — the fingerprint then
+    feeds exact-match grouping (below) or the simhash-style banded
+    Hamming join at corpus scale.
+
+    Returns (id_col, n_samples, ahash).
+    """
+    n = F.octet_length("payload")
+    stride = F.greatest(F.floor(n / bits).cast("int"), F.lit(1))
+    pos = F.slice(F.sequence(F.lit(1), F.greatest(n, F.lit(1)), stride), 1, bits)
+    byte_vals = F.transform(
+        pos,
+        lambda i: F.conv(
+            F.hex(F.col("payload").substr(i.cast("int"), F.lit(1))), 16, 10
+        ).cast("bigint"),
+    )
+    d = mm.filter(n > 0).select(
+        F.col(id_col),
+        byte_vals.alias("bytes"),
+    )
+    m = F.size("bytes").cast("bigint")
+    tot = F.aggregate("bytes", F.lit(0).cast("bigint"), lambda a, b: a + b)
+    d = d.select(id_col, m.alias("m"), tot.alias("tot"), "bytes")
+    # SQL form: shiftleft's Python binding takes a literal shift count,
+    # but the Catalyst function accepts a column — the 0-based transform
+    # index i sets bit i for above-mean samples.
+    packed = F.expr(
+        "aggregate(transform(bytes, (b, i) -> "
+        "CASE WHEN b * m > tot THEN shiftleft(CAST(1 AS BIGINT), i) "
+        "ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return d.select(
+        id_col, F.col("m").alias("n_samples"), packed.alias("ahash")
+    )

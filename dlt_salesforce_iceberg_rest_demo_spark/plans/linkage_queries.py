@@ -281,3 +281,68 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, shortlist=50, lam=0.7
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) duplicate groups over binary payloads.
+# ---------------------------------------------------------------------------
+
+_AHASH_ORACLE = """
+-- ASCII equivalence (multimodal_audio_windows): ascii(text[i]) == the
+-- payload byte Spark samples from the BLOB. 1-based series with
+-- (i-1) shifts == Spark's 0-based transform index.
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) > 0),
+s AS (
+  SELECT doc_id,
+         list_transform(
+           list_slice(generate_series(1, n, greatest(n // 32, 1)), 1, 32),
+           i -> CAST(ascii(text[i]) AS BIGINT)) AS bytes
+  FROM d),
+h AS (
+  SELECT doc_id,
+         CAST(len(bytes) AS BIGINT) AS m,
+         CAST(list_sum(bytes) AS BIGINT) AS tot,
+         bytes
+  FROM s),
+hh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(1, CAST(len(bytes) AS INT)),
+              i -> CASE WHEN bytes[i] * m > tot
+                        THEN (CAST(1 AS BIGINT) << (i - 1))
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+  FROM h)
+SELECT ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM hh GROUP BY ahash HAVING COUNT(*) >= 2
+"""
+
+
+@register("multimodal_ahash_dedup", oracle=_AHASH_ORACLE)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash duplicate groups over binary payloads
+    (`multimodal.ahash`, 32-bit average hash): stride-sampled payload
+    bytes thresholded against their own mean, packed by shifts — the
+    content fingerprint that survives byte-identical AND
+    mean-preserving re-encodes, computed entirely in exact integer
+    map-side expressions (no division, no Python). Groups with >= 2
+    members are duplicate candidates, keep-min representative — the
+    multimodal twin of `dedup_exact_documents`; the Hamming-banded
+    variant at scale reuses the `dedup.simhash_pairs` pigeonhole
+    machinery on the same fingerprints."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal
+
+    mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    h = multimodal.ahash(mm, bits=32)
+    return (
+        h.groupBy("ahash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

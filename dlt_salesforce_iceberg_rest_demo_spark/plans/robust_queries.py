@@ -258,3 +258,75 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     below user-cardinality skew thresholds."""
     t(spark, sf_dir, "events").createOrReplaceTempView("rb_stick_events")
     return spark.sql(_STICKINESS_SQL.format(events="rb_stick_events"))
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix (single-scan exact moments).
+# ---------------------------------------------------------------------------
+
+_CORRMAT_SQL = """
+WITH x AS (
+  SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS p,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS t
+  FROM {lineitem}),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq,  CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(SUM(d) AS BIGINT) AS sd,  CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(q*q) AS BIGINT) AS sqq, CAST(SUM(p*p) AS BIGINT) AS spp,
+         CAST(SUM(d*d) AS BIGINT) AS sdd, CAST(SUM(t*t) AS BIGINT) AS stt,
+         CAST(SUM(q*p) AS BIGINT) AS sqp, CAST(SUM(q*d) AS BIGINT) AS sqd,
+         CAST(SUM(q*t) AS BIGINT) AS sqt, CAST(SUM(p*d) AS BIGINT) AS spd,
+         CAST(SUM(p*t) AS BIGINT) AS spt, CAST(SUM(d*t) AS BIGINT) AS sdt
+  FROM x),
+pairs AS (
+  SELECT v1, v2,
+         CASE v1 WHEN 'quantity' THEN sq WHEN 'price' THEN sp
+                 WHEN 'discount' THEN sd ELSE st END AS sx,
+         CASE v1 WHEN 'quantity' THEN sqq WHEN 'price' THEN spp
+                 WHEN 'discount' THEN sdd ELSE stt END AS sxx,
+         CASE v2 WHEN 'price' THEN sp WHEN 'discount' THEN sd ELSE st END AS sy,
+         CASE v2 WHEN 'price' THEN spp WHEN 'discount' THEN sdd
+                 ELSE stt END AS syy,
+         CASE v1 || '|' || v2
+           WHEN 'quantity|price' THEN sqp WHEN 'quantity|discount' THEN sqd
+           WHEN 'quantity|tax' THEN sqt WHEN 'price|discount' THEN spd
+           WHEN 'price|tax' THEN spt ELSE sdt END AS sxy,
+         n
+  FROM m CROSS JOIN (VALUES
+    ('quantity', 'price'), ('quantity', 'discount'), ('quantity', 'tax'),
+    ('price', 'discount'), ('price', 'tax'), ('discount', 'tax')
+  ) AS lbl(v1, v2))
+SELECT v1, v2, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM pairs
+"""
+
+
+@register(
+    "stats_correlation_matrix_lineitem",
+    oracle=_CORRMAT_SQL.format(lineitem="lineitem"),
+)
+def stats_correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over lineitem's four
+    measures in ONE SCAN: every sum, square and cross-product is an
+    exact BIGINT moment from a single combinable aggregation
+    (quantization: integer dollars for price — cents squared would
+    pass 2^63 at sf1 — and percent points for the rates), then the six
+    (v1, v2) cells unfold by a CROSS JOIN against a 6-row VALUES
+    literal, NOT six UNION'd subqueries (which would re-scan the fact
+    table per cell — no CTE materialization without a checkpoint).
+    Each corr is the textbook (n*Sxy - SxSy) / (sqrt(...) * sqrt(...))
+    evaluated once in doubles from the exact integers — identical IEEE
+    chain in both engines. The matrix generalizes
+    `stats_corr_regression` (one pair) to the feature-screening pass a
+    modeling pipeline runs first."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("rb_corr_lineitem")
+    return spark.sql(_CORRMAT_SQL.format(lineitem="rb_corr_lineitem"))
