@@ -249,3 +249,61 @@ def common_neighbor_scores(
         .orderBy(F.col("score").desc(), "u", "v")
         .limit(topk)
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove
+    nodes with degree < k (undirected; each round recomputes degrees
+    over the surviving subgraph) until a fixed point — the standard
+    dense-substructure filter (community cores, spam/bot rings,
+    collaboration backbones) and the cheapest of the cohesion mining
+    family (k-truss/clique are strictly costlier).
+
+    Execution mirrors :func:`bellman_ford`'s frontier loop: each round
+    is one combinable degree aggregate + one semi-join of the edge
+    list against surviving nodes, localCheckpoint-materialized so the
+    lineage stays O(1) deep (superseded checkpoint blocks freed
+    eagerly). Rounds are data-dependent but bounded by ``max_iter``;
+    each round's edge set only shrinks. Peeling converges to the SAME
+    fixed point regardless of removal order (the k-core is unique), so
+    the result is deterministic even though the round count may vary.
+
+    Returns the surviving nodes with their core degrees
+    (node, degree) — degree >= k for every row, over edges whose both
+    endpoints survive.
+    """
+    from .dedup import _free_checkpoint
+
+    # undirected: symmetrize once, dedupe parallel edges, drop loops
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    e = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = e.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        pruned = (
+            e.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_before, n_after = e.count(), pruned.count()
+        _free_checkpoint(e)
+        e = pruned
+        if n_after == n_before:
+            break
+    return e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )

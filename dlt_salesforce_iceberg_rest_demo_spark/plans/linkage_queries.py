@@ -346,3 +346,106 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers by distance-to-centroid (label-conditioned).
+# ---------------------------------------------------------------------------
+
+_EMB_OUTLIER_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label, i,
+         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+           / (1e6 * COUNT(v)) AS mu
+  FROM ex GROUP BY label, i),
+d AS (
+  SELECT ex.vec_id, ex.label,
+         CAST(SUM(CAST(FLOOR((CAST(ex.v AS DOUBLE) - cent.mu)
+                             * (CAST(ex.v AS DOUBLE) - cent.mu) * 1e12)
+                       AS BIGINT)) AS BIGINT) AS dist2_fixed
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+  GROUP BY ex.vec_id, ex.label)
+SELECT vec_id, label, dist2_fixed,
+       CAST(dist2_fixed AS DOUBLE) / 1e12 AS dist2
+FROM d ORDER BY dist2_fixed DESC, vec_id LIMIT 20
+"""
+
+
+@register("embedding_outliers_by_label", oracle=_EMB_OUTLIER_ORACLE)
+def embedding_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by squared distance to their OWN
+    label's centroid — the curation pass that surfaces mislabeled or
+    junk vectors before they poison retrieval or training. Centroids
+    are the exact fixed-point means of `embedding_centroids_by_label`
+    (label x dim rows — broadcast back to the explode, no big-side
+    shuffle for the join); per-element squared deviations are
+    fixed-point BIGINTs (the `_DDOT` discipline: identical IEEE
+    subtract/multiply, then floor), so the per-vector sum is exact in
+    any order, and the top-k is a deterministic (dist DESC, vec_id)
+    TakeOrdered."""
+    from pyspark.sql import functions as F
+
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), "v")
+    fixed = F.floor(F.col("v").cast("double") * F.lit(1e6)).cast("bigint")
+    cent = ex.groupBy("label", "i").agg(
+        (F.sum(fixed).cast("double") / (F.lit(1e6) * F.count("v"))).alias("mu")
+    )
+    dev = F.col("v").cast("double") - F.col("mu")
+    d = (
+        ex.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.floor(dev * dev * F.lit(1e12)).cast("bigint"))
+            .cast("bigint")
+            .alias("dist2_fixed")
+        )
+    )
+    return (
+        d.select(
+            "vec_id",
+            "label",
+            "dist2_fixed",
+            (F.col("dist2_fixed").cast("double") / F.lit(1e12)).alias("dist2"),
+        )
+        .orderBy(F.col("dist2_fixed").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (rows-only; iterative peel).
+# ---------------------------------------------------------------------------
+
+
+@register("graph_k_core_customers_parts")
+def graph_k_core_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-core of the customer-part purchase graph (`graph.k_core`):
+    iterative peel of nodes with degree < 20 until the unique fixed
+    point — the dense-substructure filter for community cores and
+    ring detection. Data-dependent round count -> rows-only at the
+    driver gate; pytest pins the peel against a reference
+    implementation on crafted graphs (clique + tail) and checks the
+    degree invariant here."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import k_core
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (o["o_custkey"] + 10000000).alias("src"),  # disjoint id spaces
+            li["l_partkey"].alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=20)

@@ -626,3 +626,80 @@ class TestMmrTopk:
                 for c in short:
                     penalty[c] = max(penalty[c], float(unit[c] @ unit[best]))
                 assert got[(qid, rank)] == best, (qid, rank, got[(qid, rank)], best)
+
+
+class TestKCore:
+    """k-core peeling: unique fixed point, clique survives, tails peel."""
+
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+    def test_clique_survives_tail_peels(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_core
+
+        # K4 on {1,2,3,4} plus a tail 4-5-6: the 3-core is exactly K4.
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        out = k_core(self._edges(spark, k4 + [(4, 5), (5, 6)]), k=3)
+        rows = {r.node: r.degree for r in out.collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert all(d == 3 for d in rows.values())
+
+    def test_whole_graph_below_k_empty(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_core
+
+        out = k_core(self._edges(spark, [(1, 2), (2, 3), (3, 1)]), k=3)
+        assert out.count() == 0  # triangle is a 2-core, not a 3-core
+
+    def test_cascading_peel(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_core
+
+        # Path 1-2-3-4-5: removing endpoints cascades until nothing
+        # has degree >= 2.
+        out = k_core(self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), k=2)
+        assert out.count() == 0
+        # but close the cycle and everything is a 2-core
+        out2 = k_core(
+            self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]), k=2
+        )
+        assert {r.node for r in out2.collect()} == {1, 2, 3, 4, 5}
+
+    def test_matches_reference_peel_on_fixtures(self, spark):
+        """Distributed peel == in-memory reference peel on the sf0.001
+        customer-part graph (node set AND core degrees)."""
+        from collections import defaultdict
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_core
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+        o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(
+                (o["o_custkey"] + 10000000).alias("src"),
+                li["l_partkey"].alias("dst"),
+            )
+            .distinct()
+        )
+        pairs = [(r.src, r.dst) for r in edges.collect()]
+        adj = defaultdict(set)
+        for s, d in pairs:
+            adj[s].add(d)
+            adj[d].add(s)
+        k = 8
+        a = {u: set(v) for u, v in adj.items()}
+        changed = True
+        while changed:
+            changed = False
+            for u in list(a):
+                if len(a[u]) < k:
+                    for v in a[u]:
+                        a[v].discard(u)
+                    del a[u]
+                    changed = True
+        want = {u: len(v) for u, v in a.items()}
+        got = {r.node: r.degree for r in k_core(edges, k=k).collect()}
+        assert got == want
+        assert want, "sf0.001 graph should have a nonempty 8-core"
