@@ -433,3 +433,76 @@ def streaming_ohlc(
         F.col("c.value").alias("close_value"),
         "n_events",
     )
+
+
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join on key + event-time interval: like
+    :func:`stream_stream_interval_join`, but a left event with NO match
+    inside the horizon is still emitted (right side NULL) — the
+    un-attributed-click / abandoned-cart feed, which an inner join
+    silently drops.
+
+    The outer semantics are only correct BECAUSE of the watermark +
+    interval bound: Spark can declare a left row match-less (and emit
+    the NULL row) only once the watermark has passed its entire match
+    window — unmatched rows therefore surface with watermark delay,
+    not immediately. Same bounded state expiry as the inner variant.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l.{user_col} = r.{user_col} AND
+            r.{ts_col} >= l.{ts_col} AND
+            r.{ts_col} <= l.{ts_col} + interval {horizon}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col(f"l.{user_col}").alias(user_col),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+    )
+
+
+def stream_cdc_apply(
+    changelog: DataFrame,
+    lake,
+    table: str,
+    key_col: str,
+    version_col: str = "version",
+    op_col: str = "op",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous CDC apply: each micro-batch of the I/U/D changelog
+    stream runs ``ParquetLake.merge_cdc`` — last-writer-wins compaction
+    within the batch, deletes drop out, upserts replace, one atomic
+    snapshot per batch. With checkpointing the sink is exactly-once
+    (replayed batches re-apply idempotently: merge_cdc of the same
+    changelog is a fixed point). The streaming half of the CDC story
+    whose batch half is `cdc_apply_changelog`; on Iceberg the body
+    becomes MERGE INTO ... WHEN MATCHED AND op='D' THEN DELETE.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+
+    def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lake.merge_cdc(batch_df, table, key_col, version_col, op_col)
+
+    writer = changelog.writeStream.foreachBatch(_apply_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -385,3 +385,94 @@ def test_streaming_ohlc_matches_batch(spark, landing):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= len(want) * 0.5
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER interval join: an unmatched left event surfaces with a
+    NULL right side once the watermark clears its match window (the
+    inner variant silently drops it)."""
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
+        stream_stream_left_outer_join,
+    )
+
+    left_dir = tmp_path / "lo_l"
+    right_dir = tmp_path / "lo_r"
+    left_dir.mkdir(); right_dir.mkdir()
+    mk = lambda eid, ts, u: Row(event_id=eid, ts=ts, user_id=u)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def put(d, name, rows):
+        spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).select("event_id", "ts", "user_id").coalesce(1).write.parquet(
+            str(d / name)
+        )
+
+    # batch 1: left 10 (matched), left 11 (never matched); right 20
+    put(left_dir, "b1", [mk(10, "2024-01-01 00:00:00", 1),
+                         mk(11, "2024-01-01 00:00:00", 2)])
+    put(right_dir, "b1", [mk(20, "2024-01-01 00:10:00", 1)])
+
+    l = spark.readStream.schema(schema).parquet(str(left_dir / "*"))
+    r = spark.readStream.schema(schema).parquet(str(right_dir / "*"))
+    joined = stream_stream_left_outer_join(
+        l, r, horizon="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssloj")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: far-future rows on BOTH streams push the watermark past
+    # left 11's entire match window -> its NULL row can now emit.
+    put(left_dir, "b2", [mk(12, "2024-01-01 06:00:00", 9)])
+    put(right_dir, "b2", [mk(29, "2024-01-01 06:00:00", 9)])
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT left_event_id, right_event_id FROM ssloj"
+    ).collect()
+    got = {(r.left_event_id, r.right_event_id) for r in rows}
+    assert (10, 20) in got          # matched pair
+    assert (11, None) in got        # unmatched left surfaced with NULLs
+
+
+def test_stream_cdc_apply_upserts_and_deletes(spark, tmp_path):
+    """foreachBatch CDC apply: micro-batches of I/U/D changelog rows
+    land in the lake with merge_cdc semantics, one snapshot per batch."""
+    from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import ParquetLake
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import stream_cdc_apply
+
+    lake = ParquetLake(spark, tmp_path / "cdc_lake")
+    base = spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]
+    )
+    lake.replace(base, "t")
+
+    landing = tmp_path / "cdc_in"
+    landing.mkdir()
+    schema = "id long, version long, op string, v string"
+    spark.createDataFrame(
+        [Row(id=2, version=1, op="U", v="b2"), Row(id=4, version=1, op="I", v="d")]
+    ).coalesce(1).write.parquet(str(landing / "b1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(landing / "*"))
+    q = stream_cdc_apply(
+        stream, lake, "t", "id",
+        checkpoint_dir=str(tmp_path / "cdc_ckpt"),
+    )
+    q.processAllAvailable()
+
+    spark.createDataFrame(
+        [Row(id=3, version=2, op="D", v=None), Row(id=2, version=2, op="U", v="b3")]
+    ).coalesce(1).write.parquet(str(landing / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.id: r.v for r in lake.read("t").collect()}
+    assert rows == {1: "a", 2: "b3", 4: "d"}  # 3 deleted, 2 updated twice
