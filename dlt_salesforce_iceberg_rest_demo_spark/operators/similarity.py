@@ -370,8 +370,24 @@ def ivf_topk(
         F.col(vec_col).alias("cvec"),
         _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
     )
-    # Probe ranking shares _centroid_distances with assignment, so a
-    # boundary corpus vector is probed by the list it was assigned to.
+    return _ivf_search(c, centroids, queries, k, id_col, vec_col, n_probe)
+
+
+def _ivf_search(
+    c: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF probe + exact-rerank body over a pre-assigned corpus
+    (corpus_id, cvec, cluster) — used by the build-and-query-in-one
+    :func:`ivf_topk` and the persisted-index :func:`ivf_query` path.
+
+    Probe ranking shares _centroid_distances with assignment, so a
+    boundary corpus vector is probed by the list it was assigned to."""
     probes = _probe_clusters_udf(centroids, n_probe)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
@@ -390,6 +406,90 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    lake,
+    index_name: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Build an IVF index ONCE and persist it to the lake — the
+    production split of :func:`ivf_topk` (which retrains k-means per
+    call): queries then pay only probe + rerank against the stored
+    inverted lists, and the index rebuilds on ITS schedule, not the
+    query path's. Two tables:
+
+    - ``{index}__assignments``: (corpus_id, cluster, pos, val) — the
+      corpus vectors FLATTENED to scalars, because the lake's
+      reference-parity schema policy has no array type
+      (`normalize.widen_types` falls back to string; on real Iceberg
+      the array column persists natively and this flattening
+      disappears);
+    - ``{index}__centroids``: (cluster, pos, val) — k x dim cells.
+
+    Both written with the atomic ``replace`` disposition, so a rebuild
+    swaps the whole index in one snapshot per table and time travel
+    keeps the previous index readable. Returns the centroid matrix.
+    """
+    centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
+    flat = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val0"),
+    ).select(
+        "corpus_id", "cluster", "pos", F.col("val0").cast("double").alias("val")
+    )
+    lake.replace(flat, f"{index_name}__assignments")
+    spark = corpus.sparkSession
+    cent_rows = [
+        (ci, pi, float(v))
+        for ci, row in enumerate(centroids)
+        for pi, v in enumerate(row)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster long, pos long, val double"
+    )
+    lake.replace(cent_df, f"{index_name}__centroids")
+    return centroids
+
+
+def ivf_query(
+    lake,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_build`): load the k x dim
+    centroid matrix driver-side (tiny), reassemble the stored inverted
+    lists (one groupBy on corpus_id — the cost of the lake's flat
+    schema; native-array storage skips it), and run the shared probe +
+    exact-rerank body. Same output contract as :func:`ivf_topk`."""
+    cent = lake.read(f"{index_name}__centroids").collect()
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in cent:
+        by_cluster.setdefault(r.cluster, {})[r.pos] = r.val
+    centroids = [
+        [by_cluster[ci][pi] for pi in sorted(by_cluster[ci])]
+        for ci in sorted(by_cluster)
+    ]
+    flat = lake.read(f"{index_name}__assignments")
+    c = (
+        flat.groupBy("corpus_id", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("cvec")
+        )
+    )
+    return _ivf_search(c, centroids, queries, k, id_col, vec_col, n_probe)
 
 
 # ---------------------------------------------------------------------------

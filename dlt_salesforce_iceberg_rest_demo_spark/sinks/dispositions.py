@@ -638,6 +638,31 @@ class ParquetLake:
         self._commit(table, [name])
         return WriteReport(table, "compact", rows)
 
+    def compact_zorder(
+        self,
+        table: str,
+        zorder_cols: list[str],
+        num_files: int = 8,
+        bits: int = 16,
+    ) -> "WriteReport":
+        """Compaction + multi-dimensional clustering in one rewrite —
+        Iceberg ``rewrite_data_files`` with a z-order sort order /
+        Delta ``OPTIMIZE ... ZORDER BY``: the current snapshot is
+        rewritten through `operators.layout.zorder_layout` (Morton-key
+        range partitioning + local sort), so every output file covers
+        a tight hyper-rectangle of ``zorder_cols`` and parquet min/max
+        stats prune scans on ANY of those columns. Logically a no-op
+        (same rows); one atomic commit. Continuous columns should be
+        pre-bucketed (integer domains) per `zorder_key`'s contract."""
+        from ..operators.layout import zorder_layout
+
+        df = zorder_layout(
+            self.read(table), zorder_cols, num_files=num_files, bits=bits
+        )
+        name, rows = self._new_data_dir(table, df)
+        self._commit(table, [name])
+        return WriteReport(table, "compact", rows)
+
     def compact_small(
         self, table: str, max_bytes: int = 128 * 1024 * 1024
     ) -> "WriteReport":

@@ -703,3 +703,49 @@ class TestKCore:
         got = {r.node: r.degree for r in k_core(edges, k=k).collect()}
         assert got == want
         assert want, "sf0.001 graph should have a nonempty 8-core"
+
+
+class TestIvfPersistence:
+    """Persisted IVF index: build once to the lake, query path equals
+    the build-and-query-in-one operator exactly."""
+
+    def test_query_matches_direct_ivf(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 8)
+        direct = {
+            (r.query_id, r.rank): r.corpus_id
+            for r in similarity.ivf_topk(
+                emb, queries, k=5, n_centroids=8, n_probe=3, iters=2
+            ).collect()
+        }
+        lake = ParquetLake(spark, tmp_path / "ivf_lake")
+        similarity.ivf_build(emb, lake, "emb_idx", n_centroids=8, iters=2)
+        via_index = {
+            (r.query_id, r.rank): r.corpus_id
+            for r in similarity.ivf_query(
+                lake, "emb_idx", queries, k=5, n_probe=3
+            ).collect()
+        }
+        assert via_index == direct
+        assert direct  # nonempty
+
+    def test_rebuild_is_atomic_snapshot(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        lake = ParquetLake(spark, tmp_path / "ivf_lake2")
+        similarity.ivf_build(emb, lake, "idx", n_centroids=4, iters=1)
+        v1 = lake.current_version("idx__assignments")
+        similarity.ivf_build(emb, lake, "idx", n_centroids=8, iters=1)
+        # one replace commit per rebuild; old index still time-travels
+        assert lake.current_version("idx__assignments") == v1 + 1
+        assert lake.read("idx__centroids", v1) is not None

@@ -540,3 +540,30 @@ class TestBranchesWap:
             lake.append(df_of(spark, [Row(id=10 + i, v="x")]), "t")
         lake.vacuum("t", keep_last=1)
         assert {r.id for r in lake.read("t", "keepme").collect()} == {1, 2}
+
+
+class TestCompactZorder:
+    def test_rows_preserved_and_files_clustered(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        rows = [Row(id=i, x=i % 16, y=(i * 7) % 16, v=float(i)) for i in range(256)]
+        lake.replace(df_of(spark, rows), "t")
+        before = rows_by_id(lake, "t")
+        rep = lake.compact_zorder("t", ["x", "y"], num_files=4, bits=4)
+        assert rep.rows_written == 256
+        assert rows_by_id(lake, "t") == before  # logical no-op
+        # clustering: each output file's x-range must be narrower than
+        # the global domain (files cover tight hyper-rectangles)
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        dirs = lake._current_manifest("t")
+        assert len(dirs) == 1
+        files = sorted(Path(lake.table_location("t"), dirs[0]).glob("part-*.parquet"))
+        assert len(files) >= 2
+        spans = []
+        for f in files:
+            t_ = pq.read_table(f, columns=["x", "y"])
+            xs, ys = t_["x"].to_pylist(), t_["y"].to_pylist()
+            if xs:
+                spans.append((max(xs) - min(xs)) + (max(ys) - min(ys)))
+        assert min(spans) < 30  # global span would be 15+15
