@@ -99,6 +99,12 @@ EXTENSION_HEADLINE = [
     "multimodal_image_tiles",
     "window_max_drawdown_per_user",
     "events_transition_matrix",
+    "embedding_gram_matrix",
+    "text_sparse_cosine_pairs",
+    "interval_coalesce_user_coverage",
+    "stats_correlation_matrix_lineitem",
+    "multimodal_ahash_dedup",
+    "timeseries_twap_user",
 ]
 
 

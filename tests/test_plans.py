@@ -400,11 +400,14 @@ class TestLinkagePlans:
     def test_gram_matrix_single_scan_single_shuffle(self, spark):
         import re
 
-        # One embeddings scan; the only Exchange is the (i, j) cell
-        # aggregation — the map-side D^2 grid never joins.
+        # One embeddings scan feeding the Arrow-batched partial-Gram
+        # kernel; the only Exchange is the (i, j) cell aggregation —
+        # the map-side D^2 grid never joins and never explodes.
         plan = plan_of(REGISTRY["embedding_gram_matrix"].spark(spark, SF_DIR))
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "MapInPandas" in plan
         assert "Join" not in plan
+        assert "Generate" not in plan  # no posexplode row blow-up
         assert plan.count("Exchange") <= 2  # shuffle (+ AQE read)
 
     def test_link_prediction_no_cartesian(self, spark):
