@@ -185,3 +185,100 @@ def timeseries_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar span, never by event volume)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("pa_cusum_events")
     return spark.sql(_CUSUM_SQL.format(events="pa_cusum_events"))
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality pre-flight estimate (exact, without running the join).
+# ---------------------------------------------------------------------------
+
+_JOINCARD_SQL = """
+WITH a AS (
+  SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS ca
+  FROM {lineitem} GROUP BY l_orderkey),
+b AS (
+  SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM {orders} GROUP BY o_orderkey),
+j AS (SELECT a.key, ca, cb FROM a JOIN b ON a.key = b.key)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+       CAST(SUM(ca * cb) AS BIGINT) AS predicted_rows,
+       CAST(MAX(ca * cb) AS BIGINT) AS max_key_product,
+       CAST(MAX(ca) AS BIGINT) AS max_left_count,
+       CAST(MAX(cb) AS BIGINT) AS max_right_count
+FROM j
+"""
+
+
+@register(
+    "profile_join_cardinality",
+    oracle=_JOINCARD_SQL.format(lineitem="lineitem", orders="orders"),
+)
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-output cardinality WITHOUT running the join:
+    |A ⋈ B| = sum over matching keys of ca*cb, from two combinable
+    per-key counts joined on the key domain (key-cardinality-sized,
+    not row-sized — the shuffle moves one row per distinct key). The
+    pre-flight that, with `profile_key_skew_lineitem`, decides whether
+    a planned join is safe to run at all: max_key_product is the
+    single hottest output cell (the row-explosion an AQE skew split
+    would have to absorb), and predicted_rows prices the shuffle
+    before a 100-TB join is launched. All counts and products exact
+    BIGINTs."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pa_jc_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pa_jc_orders")
+    return spark.sql(
+        _JOINCARD_SQL.format(lineitem="pa_jc_lineitem", orders="pa_jc_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps'-law corpus diagnostic).
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+  FROM {documents}),
+first_seen AS (
+  SELECT tk, MIN(doc_id) AS first_doc FROM tok GROUP BY tk),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY first_doc),
+docs AS (SELECT DISTINCT doc_id FROM tok)
+SELECT d.doc_id,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_tokens,
+       CAST(SUM(COALESCE(n.n_new, 0))
+            OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_size
+FROM docs d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id
+"""
+
+
+@register("text_vocab_growth", oracle=_VOCAB_GROWTH_SQL.format(documents="documents"))
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve in doc-id order (the Heaps'-law
+    diagnostic): distinct vocabulary size after each document, from
+    each token's FIRST-occurrence document — a corpus whose curve goes
+    flat is repetitive/templated; one that keeps climbing is diverse
+    (and tells you what a tokenizer's vocab should expect). No
+    sequential scan over documents: first-seen is a combinable MIN per
+    token, new-token counts roll up per doc, and the cumulative sum
+    runs over the DOC-ID domain only (corpus-count-sized, the same
+    bounded-window argument as `timeseries_cusum_daily`). The Spark
+    side shares the SQL template verbatim."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("pa_vg_documents")
+    # Spark's split/explode twin of DuckDB's string_split/unnest.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW pa_vg_tok AS
+        SELECT DISTINCT doc_id, tk
+        FROM pa_vg_documents
+        LATERAL VIEW explode(split(lower(text), ' ')) AS tk
+        """
+    )
+    body = _VOCAB_GROWTH_SQL.format(documents="pa_vg_documents").replace(
+        """WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+  FROM pa_vg_documents),""",
+        "WITH tok AS (SELECT doc_id, tk FROM pa_vg_tok),",
+    )
+    return spark.sql(body)
