@@ -282,3 +282,68 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH tok AS (SELECT doc_id, tk FROM pa_vg_tok),",
     )
     return spark.sql(body)
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (what dedup would save, before running it).
+# ---------------------------------------------------------------------------
+
+_DEDUP_IMPACT_SQL = """
+WITH g AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM {documents} GROUP BY text)
+SELECT n_copies,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS rows_removed,
+       CAST(SUM((n_copies - 1) * n_chars) AS BIGINT) AS chars_saved
+FROM g GROUP BY n_copies
+"""
+
+
+@register("dedup_impact_report", oracle=_DEDUP_IMPACT_SQL.format(documents="documents"))
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup WOULD save, before rewriting anything: the
+    duplicate-cluster size distribution with rows and bytes reclaimed
+    per cluster size — the sizing report that decides whether a 100-TB
+    dedup pass pays for itself (and the monitoring surface for
+    duplication creeping into an ingest feed). Two combinable
+    aggregations: content groups (the only row-sized shuffle — and it
+    moves (hash, length) not payloads at scale), then the
+    cluster-size histogram."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("pa_di_documents")
+    return spark.sql(_DEDUP_IMPACT_SQL.format(documents="pa_di_documents"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (sliding-window distinct).
+# ---------------------------------------------------------------------------
+
+_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM {events}),
+days AS (SELECT DISTINCT d FROM du),
+win AS (
+  SELECT w.d AS window_day, du.user_id
+  FROM du JOIN days w
+    ON du.d <= w.d AND du.d > w.d - INTERVAL 7 DAY)
+SELECT window_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM win GROUP BY window_day
+"""
+
+
+@register("events_rolling_7day_active_users", oracle=_WAU_SQL.format(events="events"))
+def events_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the WAU curve. Sliding
+    DISTINCT cannot partial-aggregate as a window function, so the
+    shape is: dedup to (day, user) once (the only row-sized shuffle),
+    then replicate each day-user fact to the <= 7 window days it
+    supports via a calendar-bounded range join (days table is
+    span-sized, so the join fans out 7x on day-grain data, never on
+    raw events), then a distinct count per window day. The streaming
+    twin would be a sliding `F.window` with
+    `approx_count_distinct`/HLL state; this is the exact batch
+    report."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("pa_wau_events")
+    return spark.sql(_WAU_SQL.format(events="pa_wau_events"))
