@@ -71,20 +71,33 @@ class SalesforcePipeline:
         *,
         force_replace: bool = False,
         load_id: str | None = None,
+        audit=None,
     ) -> LoadInfo:
+        """Load the selected resources. With ``audit`` set (a callable
+        ``(DataFrame, table_name) -> bool``), every resource runs in
+        WRITE-AUDIT-PUBLISH mode: the batch lands on a per-load BRANCH
+        (``wap_{load_id}``), the audit inspects the branch's full table
+        state, and only a passing audit fast-forwards main — a failing
+        one drops the branch, leaves main untouched, and does NOT
+        advance the incremental cursor (the failed batch re-extracts
+        next run). The governed-ingestion upgrade the reference cannot
+        express (PyIceberg single-writer, no branches; SURVEY §2.4).
+        """
         if force_replace:
             self.state.reset()
         info = LoadInfo(load_id=load_id or new_load_id())
         for name in resources:
             cfg = RESOURCES[name]
-            report, cursor = self._load_resource(cfg, info.load_id, force_replace)
+            report, cursor = self._load_resource(
+                cfg, info.load_id, force_replace, audit
+            )
             info.reports.append(report)
             if cursor is not None:
                 info.cursors[name] = cursor
         return info
 
     def _load_resource(
-        self, cfg: ResourceConfig, load_id: str, force_replace: bool
+        self, cfg: ResourceConfig, load_id: str, force_replace: bool, audit=None
     ) -> tuple[WriteReport, str | None]:
         last_state = (
             None
@@ -107,7 +120,23 @@ class SalesforcePipeline:
 
         disposition = "replace" if force_replace else cfg.write_disposition
         pk = tuple(snake_case(k) for k in cfg.primary_key)
-        report = self.lake.write(normalized, cfg.name, disposition, pk)
+        if audit is not None:
+            branch = f"wap_{load_id}"
+            report = self.lake.write_to_branch(
+                normalized, cfg.name, disposition, pk, branch=branch
+            )
+            if audit(self.lake.read(cfg.name, branch), cfg.name):
+                self.lake.fast_forward(cfg.name, branch)
+                self.lake.drop_branch(cfg.name, branch)
+            else:
+                self.lake.drop_branch(cfg.name, branch)
+                # failed audit: nothing published, cursor must not move
+                return (
+                    WriteReport(cfg.name, disposition, 0, fallback_append=False),
+                    None,
+                )
+        else:
+            report = self.lake.write(normalized, cfg.name, disposition, pk)
 
         cursor_value: str | None = None
         if cfg.replication_key:

@@ -292,6 +292,59 @@ class ParquetLake:
         self._commit(table, dirs + [name], branch=branch)
         return WriteReport(table, "append", rows)
 
+    def write_to_branch(
+        self,
+        df: DataFrame,
+        table: str,
+        disposition: str,
+        primary_key: tuple[str, ...] | list[str] = (),
+        *,
+        branch: str,
+    ) -> WriteReport:
+        """WAP staging write: the same disposition semantics as
+        :meth:`write` (append / replace / merge with the W4 fallbacks
+        and the batch-local-duplicates merge quirk), committed to a
+        BRANCH head instead of main — the write half of
+        write-audit-publish. The table (and the branch, forked at the
+        current main snapshot) auto-create on first contact; merge
+        reads its base from the BRANCH, so multiple staged batches
+        compose before one audit + fast_forward publishes them all.
+        """
+        if not self.exists(table):
+            self.create_table(table, df.schema)
+        if branch not in self.branches(table):
+            self.create_branch(table, branch)
+        if disposition == "append":
+            return self.append_to_branch(df, table, branch)
+        df = self._prepare(table, df)
+        if disposition == "replace":
+            name, rows = self._new_data_dir(table, df)
+            self._commit(table, [name], branch=branch)
+            return WriteReport(table, "replace", rows)
+        if disposition != "merge":
+            raise ValueError(f"unknown disposition: {disposition}")
+        pk = [k for k in primary_key]
+        missing = [k for k in pk if k not in df.columns]
+        if not pk or missing:
+            logger.warning(
+                "merge-to-branch for %s without usable primary key %s: "
+                "falling back to append",
+                table,
+                pk,
+            )
+            rep = self.append_to_branch(df, table, branch)
+            return WriteReport(table, "merge", rep.rows_written, fallback_append=True)
+        batch_rows = df.count()
+        if batch_rows == 0:
+            return WriteReport(table, "merge", 0)
+        base = self.read(table, branch)
+        keys = df.select(*pk).distinct()
+        kept = base.join(F.broadcast(keys), pk, "left_anti")
+        merged = kept.unionByName(df)
+        name, _total = self._new_data_dir(table, merged)
+        self._commit(table, [name], branch=branch)
+        return WriteReport(table, "merge", batch_rows)
+
     def _manifest_parent(self, table: str, v: int) -> int | None:
         data = json.loads((self.root / table / f"_MANIFEST.{v}.json").read_text())
         return data.get("parent") if isinstance(data, dict) else None

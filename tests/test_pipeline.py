@@ -108,3 +108,56 @@ class TestLoadInfo:
         info = p.run(("account", "contact"))
         assert info.total_rows == 4
         assert [r.table for r in info.reports] == ["account", "contact"]
+
+
+class TestWriteAuditPublish:
+    """WAP mode: passing audits publish via fast-forward; failing audits
+    leave main AND the incremental cursor untouched."""
+
+    def test_passing_audit_publishes(self, spark, tmp_path):
+        p = make_pipeline(spark, tmp_path, version=1)
+        audited = []
+
+        def audit(df, table):
+            audited.append((table, df.count()))
+            return True
+
+        info = p.run(("account",), audit=audit)
+        assert audited and audited[0][0] == "account" and audited[0][1] == 2
+        assert p.lake.count("account") == 2          # published to main
+        assert info.cursors["account"].startswith("2024-01-03")
+        assert p.lake.branches("account") == {}      # staging branch dropped
+
+    def test_failing_audit_blocks_publish_and_cursor(self, spark, tmp_path):
+        p = make_pipeline(spark, tmp_path, version=1)
+        p.run(("account",))  # seed main + cursor
+        v0 = p.lake.current_version("account")
+        cursor0 = p.state.get("account")
+
+        p2 = make_pipeline(spark, tmp_path, version=2)
+        info = p2.run(("account",), audit=lambda df, table: False)
+        assert p2.lake.current_version("account") == v0   # main untouched
+        assert p2.state.get("account") == cursor0         # cursor frozen
+        assert info.total_rows == 0
+        assert p2.lake.branches("account") == {}          # branch dropped
+        # the failed batch re-extracts and publishes on the next good run
+        p3 = make_pipeline(spark, tmp_path, version=2)
+        p3.run(("account",), audit=lambda df, table: True)
+        assert p3.lake.count("account") == 3
+
+    def test_wap_incremental_upsert_semantics_preserved(self, spark, tmp_path):
+        # WAP merge == plain merge results, just routed through a branch
+        pa = make_pipeline(spark, tmp_path / "plain", version=1)
+        pa.run(("account",))
+        pa2 = make_pipeline(spark, tmp_path / "plain", version=2)
+        pa2.run(("account",))
+        plain = {r["id"]: r["annual_revenue"]
+                 for r in pa2.lake.read("account").collect()}
+
+        pb = make_pipeline(spark, tmp_path / "wap", version=1)
+        pb.run(("account",), audit=lambda df, t: True)
+        pb2 = make_pipeline(spark, tmp_path / "wap", version=2)
+        pb2.run(("account",), audit=lambda df, t: True)
+        wap = {r["id"]: r["annual_revenue"]
+               for r in pb2.lake.read("account").collect()}
+        assert wap == plain
