@@ -236,3 +236,28 @@ def explode_nested(
         parent = parent.drop(col)
     out[parent_name] = parent
     return out
+
+
+def pseudonymize(
+    df: DataFrame, columns: list[str], salt: str = "dlt-salesforce-iceberg-rest-demo"
+) -> DataFrame:
+    """Deterministic salted pseudonymization of PII/key columns:
+    every listed column is replaced by ``md5(salt || '|' || value)``
+    (NULL stays NULL) — the governance pass that makes a lake export
+    shareable while PRESERVING JOINABILITY: equal raw values tokenize
+    identically in every table of the export, so FK joins, group-bys
+    and dedup all still work on the tokens (unlike random UUIDs), and
+    without the salt the mapping cannot be replayed from public
+    values. Complements the pattern-based `text_redact_pii` scrubber
+    (free text) with exact column-level tokenization. Map-side only —
+    one projection, no shuffle, codegen'd md5."""
+    out = df
+    for c in columns:
+        v = F.col(c).cast("string")
+        out = out.withColumn(
+            c,
+            F.when(v.isNull(), F.lit(None).cast("string")).otherwise(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), v))
+            ),
+        )
+    return out

@@ -347,3 +347,65 @@ def events_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFr
     report."""
     t(spark, sf_dir, "events").createOrReplaceTempView("pa_wau_events")
     return spark.sql(_WAU_SQL.format(events="pa_wau_events"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudonymization (FK-preserving PII tokenization).
+# ---------------------------------------------------------------------------
+
+_PSEUDO_ORACLE = """
+WITH c AS (
+  SELECT md5('dlt-salesforce-iceberg-rest-demo|' || CAST(c_custkey AS VARCHAR)) AS ckey_token,
+         md5('dlt-salesforce-iceberg-rest-demo|' || c_name) AS name_token,
+         c_mktsegment
+  FROM customer),
+o AS (
+  SELECT md5('dlt-salesforce-iceberg-rest-demo|' || CAST(o_custkey AS VARCHAR)) AS ckey_token
+  FROM orders)
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(DISTINCT c.ckey_token) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT c.name_token) AS BIGINT) AS n_name_tokens,
+       CAST(COUNT(o.ckey_token) AS BIGINT) AS n_orders_via_token
+FROM c LEFT JOIN o ON o.ckey_token = c.ckey_token
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("privacy_pseudonymize_join", oracle=_PSEUDO_ORACLE)
+def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-preserving pseudonymization (`normalize.pseudonymize`):
+    customer keys and names replaced by salted md5 tokens, then orders
+    JOINED TO CUSTOMERS ENTIRELY ON TOKENS — the governance property
+    that makes a de-identified lake export still analyzable (equal raw
+    values tokenize identically across tables, so FK joins, group-bys
+    and dedup survive; random UUIDs would break all three). Per
+    segment: distinct customer tokens (== distinct customers —
+    tokenization is injective in practice), distinct name tokens, and
+    the order count recovered through the token join (== the raw-key
+    join count). Tokenization is one map-side md5 projection per
+    table."""
+    from pyspark.sql import functions as F
+
+    from ..normalize import pseudonymize
+
+    c = pseudonymize(
+        t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ckey_token"),
+            F.col("c_name").alias("name_token"),
+            "c_mktsegment",
+        ),
+        ["ckey_token", "name_token"],
+    )
+    o = pseudonymize(
+        t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ckey_token")),
+        ["ckey_token"],
+    )
+    return (
+        c.join(o, "ckey_token", "left")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.countDistinct(c["ckey_token"]).cast("bigint").alias("n_customers"),
+            F.countDistinct("name_token").cast("bigint").alias("n_name_tokens"),
+            F.count(o["ckey_token"]).cast("bigint").alias("n_orders_via_token"),
+        )
+    )

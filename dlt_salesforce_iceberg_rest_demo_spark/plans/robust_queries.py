@@ -330,3 +330,100 @@ def stats_correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataF
     modeling pipeline runs first."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("rb_corr_lineitem")
     return spark.sql(_CORRMAT_SQL.format(lineitem="rb_corr_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted exact median (quantity-weighted price).
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = """
+WITH x AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q
+  FROM {lineitem}),
+g AS (SELECT v, CAST(SUM(q) AS BIGINT) AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM x GROUP BY v),
+cum AS (
+  SELECT v,
+         CAST(SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cw,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cc
+  FROM g),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(c) AS BIGINT) AS tc
+        FROM g)
+SELECT MIN(t.tw) AS total_weight,
+       MIN(CASE WHEN cw >= (tw + 1) {div} 2 THEN v END) AS weighted_median_cents,
+       MIN(CASE WHEN cc >= (tc + 1) {div} 2 THEN v END) AS unweighted_median_cents
+FROM cum CROSS JOIN tot t
+"""
+
+
+@register(
+    "stats_weighted_median_price",
+    oracle=_WMEDIAN_SQL.format(lineitem="lineitem", div="//"),
+)
+def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact median of line price (the 'median dollar
+    spent', not the 'median line') next to the plain row median — the
+    two disagree whenever quantity correlates with price, which is
+    exactly what a pricing monitor needs to see. Same distinct-value
+    rank-pick machinery as the MAD/winsorize tranche, with the
+    cumulative counter summing integer QUANTITY weights instead of
+    rows; both medians read off one cumulative pass. Only dialect
+    split: DIV vs //."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("rb_wm_lineitem")
+    return spark.sql(_WMEDIAN_SQL.format(lineitem="rb_wm_lineitem", div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent hierarchical report (nation within region within total).
+# ---------------------------------------------------------------------------
+
+_SHARE_SQL = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM {orders} o
+  JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+  JOIN {region} r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name)
+SELECT region, nation,
+       CAST(rev_dec AS DOUBLE) AS nation_rev,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
+         AS share_of_region,
+       CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+         AS share_of_total
+FROM rev
+"""
+
+
+@register(
+    "report_revenue_share_hierarchy",
+    oracle=_SHARE_SQL.format(
+        orders="orders", customer="customer", nation="nation", region="region"
+    ),
+)
+def report_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent revenue report: each nation's revenue with its
+    share of the region and of the grand total — the hierarchical BI
+    staple one level up from `window_ratio_to_report` (two parent
+    grains in one pass). The fact scan collapses to nation grain first
+    (exact DECIMAL sums), so both share windows run over ~25 rows —
+    window cost is grain-sized, never fact-sized. Crucially the PARENT
+    sums stay DECIMAL through the window (a double window sum
+    re-accumulates in engine-specific order and drifted a last ulp —
+    caught by the hash gate), so every double is born from one cast +
+    one IEEE division."""
+    for name in ("orders", "customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"rb_sh_{name}")
+    return spark.sql(
+        _SHARE_SQL.format(
+            orders="rb_sh_orders",
+            customer="rb_sh_customer",
+            nation="rb_sh_nation",
+            region="rb_sh_region",
+        )
+    )

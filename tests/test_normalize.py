@@ -145,3 +145,22 @@ class TestExplodeNested:
             ("a", 2, 0),
             ("b", 1, 1),
         ]
+
+
+class TestPseudonymize:
+    def test_deterministic_null_safe_and_fk_preserving(self, spark):
+        import hashlib
+
+        from dlt_salesforce_iceberg_rest_demo_spark.normalize import pseudonymize
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(k=1, name="alice"), Row(k=2, name=None), Row(k=1, name="alice")]
+        )
+        out = pseudonymize(df, ["k", "name"], salt="s").collect()
+        want_k1 = hashlib.md5(b"s|1").hexdigest()
+        assert out[0].k == want_k1
+        assert out[1].name is None                 # NULL passes through
+        assert out[0].k == out[2].k                # equal raws -> equal tokens
+        assert out[0].name == out[2].name
+        assert out[0].k != out[1].k
