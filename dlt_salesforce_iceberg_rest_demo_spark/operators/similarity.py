@@ -1064,3 +1064,87 @@ def mmr_topk(
         )
 
     return cand.groupBy("query_id").applyInPandas(pick, out_schema)
+
+
+def dbscan(
+    corpus: DataFrame,
+    eps_cosine: float = 0.4,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) over
+    cosine similarity — the clustering k-means cannot do: arbitrary
+    cluster shapes, no preset k, and an explicit NOISE bucket (exactly
+    what embedding-corpus curation wants: dense semantic blobs =
+    topics/near-dup families, noise = the long tail worth keeping).
+
+    Composition of existing scale primitives, no new iteration scheme:
+
+    1. epsilon-neighborhood pairs (cosine >= ``eps_cosine``) — exact
+       fixed-point all-pairs by default; pass ``pairs`` (id_a, id_b)
+       from the LSH/IVF candidate generators at corpus scale;
+    2. CORE points = >= ``min_pts`` neighbors (self excluded — the
+       common minPts-1 convention, pinned by the tests);
+    3. clusters = `dedup.connected_components` over core-core edges
+       (deterministic min-id labels);
+    4. BORDER points attach to the min cluster id among their core
+       neighbors (deterministic tie-break); everything else is NOISE.
+
+    Returns (id_col, cluster_id, role) — cluster_id NULL for noise.
+    DBSCAN's classic border ambiguity (a border point reachable from
+    two clusters) resolves by min cluster id here, so the output is
+    deterministic regardless of partitioning.
+    """
+    from .dedup import connected_components
+
+    if pairs is None:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cos = _dot_fixed(F.col("va"), F.col("vb")).cast("double") / (
+            F.sqrt(_dot_fixed(F.col("va"), F.col("va")).cast("double"))
+            * F.sqrt(_dot_fixed(F.col("vb"), F.col("vb")).cast("double"))
+        )
+        pairs = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= eps_cosine)
+            .select("id_a", "id_b")
+        )
+    nb = pairs.select("id_a", "id_b").unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).localCheckpoint(eager=True)
+    deg = nb.groupBy("id_a").agg(F.count("*").alias("n_neighbors"))
+    core = deg.filter(F.col("n_neighbors") >= min_pts).select(
+        F.col("id_a").alias("cid")
+    )
+    core_edges = (
+        nb.join(core.select(F.col("cid").alias("id_a")), "id_a")
+        .join(core.select(F.col("cid").alias("id_b")), "id_b")
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = connected_components(core_edges, nodes=core.select(F.col("cid").alias("node")))
+    core_lbl = cc.select(
+        F.col("node").alias("id"), F.col("cluster_id"), F.lit("core").alias("role")
+    )
+    border = (
+        nb.join(core.select(F.col("cid").alias("id_b")), "id_b")
+        .join(core_lbl.select(F.col("id").alias("id_b"), "cluster_id"), "id_b")
+        .join(core.select(F.col("cid").alias("id_a")), "id_a", "left_anti")
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .withColumn("role", F.lit("border"))
+    )
+    labeled = core_lbl.unionByName(border)
+    all_ids = corpus.select(F.col(id_col).alias("id"))
+    noise = all_ids.join(labeled.select("id"), "id", "left_anti").select(
+        "id",
+        F.lit(None).cast(labeled.schema["cluster_id"].dataType).alias("cluster_id"),
+        F.lit("noise").alias("role"),
+    )
+    return labeled.unionByName(noise).select(
+        F.col("id").alias(id_col), "cluster_id", "role"
+    )

@@ -461,3 +461,40 @@ def graph_k_core_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_core(edges, k=20)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density clustering over embeddings (rows-only).
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_dbscan_clusters")
+def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding corpus (`similarity.dbscan`, eps =
+    cosine 0.4, minPts 3): density clusters with explicit noise — the
+    non-parametric complement of k-means/IVF (arbitrary shapes, no
+    preset k; noise = the long tail a curation pass should KEEP).
+    Composed from the engine's own primitives: exact fixed-point
+    epsilon pairs (LSH candidates at scale), core marking by degree,
+    `connected_components` over core-core edges, min-id border
+    attachment. Output: per-cluster core/border counts, plus the
+    noise row (cluster NULL). Iterative CC -> rows-only at the gate;
+    pytest pins roles and labels on planted geometry."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.dbscan(emb, eps_cosine=0.4, min_pts=3)
+    return (
+        out.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_core"),
+            F.sum(F.when(F.col("role") == "border", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_border"),
+        )
+    )

@@ -749,3 +749,55 @@ class TestIvfPersistence:
         # one replace commit per rebuild; old index still time-travels
         assert lake.current_version("idx__assignments") == v1 + 1
         assert lake.read("idx__centroids", v1) is not None
+
+
+class TestDbscan:
+    """DBSCAN roles and labels on planted geometry (eps as cosine)."""
+
+    def _vecs(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+        )
+
+    def test_chain_core_border_noise(self, spark):
+        import math
+
+        # Angular chain at 0, 5, 10 degrees with eps = cos(8.1deg):
+        # only the middle point has 2 neighbors -> core; ends are
+        # border; the far vector is noise.
+        def ang(d):
+            return [math.cos(math.radians(d)), math.sin(math.radians(d)), 0.0]
+
+        corpus = self._vecs(
+            spark, [(1, ang(0)), (2, ang(5)), (3, ang(10)), (9, [0.0, 0.0, 1.0])]
+        )
+        out = {
+            r.vec_id: (r.role, r.cluster_id)
+            for r in similarity.dbscan(corpus, eps_cosine=0.99, min_pts=2).collect()
+        }
+        assert out[2] == ("core", 2)
+        assert out[1] == ("border", 2) and out[3] == ("border", 2)
+        assert out[9] == ("noise", None)
+
+    def test_two_blobs_get_distinct_min_id_labels(self, spark):
+        import math
+
+        def ang(d, axis=0):
+            c, s = math.cos(math.radians(d)), math.sin(math.radians(d))
+            return [c, s, 0.0] if axis == 0 else [0.0, c, s]
+
+        corpus = self._vecs(
+            spark,
+            [(1, ang(0)), (2, ang(2)), (3, ang(4)),
+             (11, ang(0, 1)), (12, ang(2, 1)), (13, ang(4, 1)),
+             (99, [0.577, 0.577, 0.578])],
+        )
+        rows = similarity.dbscan(corpus, eps_cosine=0.99, min_pts=2).collect()
+        lbl = {r.vec_id: r.cluster_id for r in rows}
+        role = {r.vec_id: r.role for r in rows}
+        assert lbl[1] == lbl[2] == lbl[3] == 1
+        assert lbl[11] == lbl[12] == lbl[13] == 11
+        assert all(role[i] == "core" for i in (1, 2, 3, 11, 12, 13))
+        assert role[99] == "noise"
