@@ -409,3 +409,98 @@ def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(o["ckey_token"]).cast("bigint").alias("n_orders_via_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk report (quasi-identifier group sizes).
+# ---------------------------------------------------------------------------
+
+_KANON_SQL = """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM {customer}
+  GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_groups,
+       CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT)
+         AS n_risky_rows
+FROM qi
+"""
+
+
+@register("privacy_k_anonymity_check", oracle=_KANON_SQL.format(customer="customer"))
+def privacy_k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple (nation,
+    market segment, account-balance band): rows whose QI group has
+    fewer than k=5 members are re-identifiable by linkage even after
+    `normalize.pseudonymize` strips direct identifiers — this report
+    counts the groups and rows below the threshold, the go/no-go
+    check before any de-identified export. One combinable groupBy on
+    the QI tuple + a tiny rollup; generalizing a QI (coarser bands)
+    to fix a failing report just widens the first groupBy's keys."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("pa_ka_customer")
+    return spark.sql(_KANON_SQL.format(customer="pa_ka_customer"))
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window in BATCH mode (streaming/batch unification).
+# ---------------------------------------------------------------------------
+
+_SESSWIN_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+           AS is_start
+  FROM o),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("window_session_builtin", oracle=_SESSWIN_ORACLE)
+def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native `session_window` aggregation in BATCH mode — the
+    same operator Structured Streaming uses for session state, proving
+    the batch/stream unification: one code path, two execution modes
+    (the custom gaps-and-islands `sessionize_events` is its
+    window-function twin; the ORACLE uses that formulation, pinning
+    Spark's session semantics — window end = last event + gap —
+    against an independent derivation). groupBy(user, session_window)
+    partial-aggregates map-side; decimal-stabilized value sums."""
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
