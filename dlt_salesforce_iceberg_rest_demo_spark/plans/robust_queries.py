@@ -427,3 +427,130 @@ def report_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFram
             region="rb_sh_region",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (CRM staple on the order history).
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM {orders} GROUP BY o_custkey),
+scored AS (
+  SELECT custkey, frequency, monetary_cents,
+         NTILE(3) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+         NTILE(3) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+         NTILE(3) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+  FROM m)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_revenue_cents,
+       MIN(custkey) AS example_custkey
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("report_rfm_segments", oracle=_RFM_SQL.format(orders="orders"))
+def report_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over the order history — THE CRM analysis for
+    exactly the Salesforce-shaped data the reference pipelines
+    (SURVEY §1.1): customers tertiled by recency, frequency and
+    monetary value (1 = best), rolled up to the 27 RFM cells with
+    size and revenue. One combinable groupBy collapses orders to
+    customer grain; the three NTILEs then run over CUSTOMER-grain
+    rows (not orders), totally ordered with a custkey tie-break so
+    both engines cut identical tertiles. Monetary is exact cents."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("rb_rfm_orders")
+    return spark.sql(_RFM_SQL.format(orders="rb_rfm_orders"))
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC from rank statistics (Mann-Whitney identity).
+# ---------------------------------------------------------------------------
+
+_AUC_SQL = """
+WITH ab AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM {events} WHERE event_type IN ('click', 'purchase')),
+g AS (
+  SELECT x, CAST(SUM(pos) AS BIGINT) AS p, COUNT(*) AS t
+  FROM ab GROUP BY x),
+c AS (
+  SELECT x, p, t,
+         COALESCE(CAST(SUM(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS BIGINT), 0) AS cb
+  FROM g),
+m AS (
+  SELECT CAST(SUM(p * (2 * cb + t + 1)) AS BIGINT) AS s2rp,
+         CAST(SUM(p) AS BIGINT) AS np,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM c)
+SELECT np AS n_positive, n - np AS n_negative,
+       (CAST(s2rp - np * (np + 1) AS DOUBLE) / 2)
+         / (CAST(np AS DOUBLE) * (n - np)) AS auc
+FROM m
+"""
+
+
+@register("eval_auc_value_separates_purchase", oracle=_AUC_SQL.format(events="events"))
+def eval_auc_value_separates_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of `value` as a classifier score for purchase-vs-click —
+    via the exact rank identity AUC = U_pos / (n_pos * n_neg), i.e.
+    the probability a random positive outscores a random negative
+    (ties count half, handled exactly by the doubled midrank sum from
+    `stats_mann_whitney_u`). The model-evaluation twin of the U test:
+    same distinct-value midrank algebra, all BIGINTs, one final IEEE
+    division — no per-row ranking, no threshold sweep (the AUC needs
+    neither)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("rb_auc_events")
+    return spark.sql(_AUC_SQL.format(events="rb_auc_events"))
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution (funnel latency histogram).
+# ---------------------------------------------------------------------------
+
+_TTC_SQL = """
+WITH s AS (
+  SELECT user_id, MIN({us}(ts)) AS signup_us
+  FROM {events} WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, MIN({us}(e.ts)) AS purchase_us
+  FROM {events} e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND {us}(e.ts) >= s.signup_us
+  GROUP BY e.user_id),
+gaps AS (
+  SELECT p.user_id, (purchase_us - signup_us) {div} 3600000000 AS gap_hours
+  FROM p JOIN s ON p.user_id = s.user_id)
+SELECT gap_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM gaps GROUP BY gap_hours
+"""
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle=_TTC_SQL.format(events="events", us="epoch_us", div="//"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's FIRST
+    signup to their first purchase at-or-after it, histogrammed by
+    whole hours — the latency profile behind the funnel counts
+    (`funnel_signup_view_purchase` says HOW MANY convert; this says
+    HOW FAST, which sets the attribution window and the nurture-email
+    timer). Conditional-min stage chaining (the funnel pattern), exact
+    integer microseconds bucketed by integer division — three
+    combinable aggregations, no window, no per-row ranking. Dialect
+    splits: epoch accessor and DIV."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("rb_ttc_events")
+    return spark.sql(
+        _TTC_SQL.format(events="rb_ttc_events", us="unix_micros", div="DIV")
+    )
