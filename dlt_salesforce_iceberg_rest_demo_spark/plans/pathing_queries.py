@@ -504,3 +504,91 @@ def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (new / retained / resurrected / churned per day).
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM {events}),
+flags AS (
+  SELECT d, user_id,
+         MIN(d) OVER (PARTITION BY user_id) AS first_day,
+         LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_active
+  FROM du),
+today AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN d = first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(SUM(CASE WHEN d > first_day
+                        AND prev_active = d - INTERVAL 1 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS retained_users,
+         CAST(SUM(CASE WHEN d > first_day
+                        AND (prev_active IS NULL
+                             OR prev_active < d - INTERVAL 1 DAY)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users
+  FROM flags GROUP BY d),
+churn AS (
+  SELECT f.d + INTERVAL 1 DAY AS d, CAST(COUNT(*) AS BIGINT) AS churned_users
+  FROM flags f
+  LEFT JOIN du nxt
+    ON nxt.user_id = f.user_id AND nxt.d = f.d + INTERVAL 1 DAY
+  WHERE nxt.user_id IS NULL
+  GROUP BY f.d)
+SELECT t.d AS day, t.new_users, t.retained_users, t.resurrected_users,
+       CAST(COALESCE(c.churned_users, 0) AS BIGINT) AS churned_users
+FROM today t LEFT JOIN churn c ON c.d = t.d
+"""
+
+
+@register("events_growth_accounting", oracle=_GROWTH_SQL.format(events="events"))
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the product-analytics ledger that
+    decomposes every day's active users into NEW (first day ever),
+    RETAINED (also active yesterday), RESURRECTED (active before, but
+    not yesterday), plus the users CHURNED out of each day (active
+    the previous day, absent today): new + retained + resurrected =
+    DAU, and DAU_t - DAU_{t-1} = new + resurrected - churned — the
+    identity behind every growth dashboard. One distinct (day, user)
+    pass feeds two per-user windows (first day, previous active day —
+    user-partitioned, bounded state) and a day-grain anti-join for
+    churn; everything else is calendar-sized. All counts exact."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("pa_ga_events")
+    return spark.sql(_GROWTH_SQL.format(events="pa_ga_events"))
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency checker (A -> B violation profiling).
+# ---------------------------------------------------------------------------
+
+_FD_SQL = """
+WITH rhs AS (
+  SELECT l_partkey AS lhs,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_rhs,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM {lineitem} GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_lhs,
+       CAST(MAX(n_rhs) AS BIGINT) AS max_distinct_rhs,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_in_violation
+FROM rhs
+"""
+
+
+@register("dq_functional_dependency", oracle=_FD_SQL.format(lineitem="lineitem"))
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profile for the candidate FD
+    l_partkey -> l_suppkey: how many left-hand values map to more than
+    one right-hand value, the worst fan-out, and the row mass inside
+    violations — the schema-discovery / data-quality probe that tells
+    you whether a column pair is really a lookup (violations == 0 ->
+    safe to normalize into a dimension; here parts ship from MANY
+    suppliers, so the FD fails loudly and measurably). Extends
+    `dq_check_orders`' declared expectations with DISCOVERED
+    structure. Two combinable aggregations, LHS-domain-sized."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pa_fd_lineitem")
+    return spark.sql(_FD_SQL.format(lineitem="pa_fd_lineitem"))
