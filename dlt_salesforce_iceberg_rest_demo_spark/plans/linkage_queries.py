@@ -498,3 +498,53 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_border"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss over the supplier co-occurrence graph (rows-only).
+# ---------------------------------------------------------------------------
+
+
+@register("graph_k_truss_suppliers")
+def graph_k_truss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the supplier co-occurrence graph (`graph.k_truss`):
+    the maximal subgraph where every surviving edge closes at least
+    one triangle WITH OTHER SURVIVORS — edge-level cohesion one rung
+    above `graph_k_core_customers_parts` (trusses nest inside cores;
+    a hub-and-spoke star has high core numbers but no truss at all).
+    Same md5-sparsified edge list as `graph_triangle_count_suppliers`
+    so density is controlled at every SF; per-round support uses the
+    degree-oriented O(m^1.5) wedge join. Iterative peel -> rows-only
+    at the gate; pytest pins clique survival, pendant-triangle peel,
+    and the cascading support recount on crafted graphs. Output:
+    per-support edge counts (support histogram of the truss)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import k_truss
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("#", F.col("a").cast("string"), F.col("b").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    edges = pairs.filter(bucket % 10 == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    truss = k_truss(edges, k=3)
+    return truss.groupBy("support").agg(
+        F.count("*").cast("bigint").alias("n_edges")
+    )

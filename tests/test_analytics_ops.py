@@ -801,3 +801,42 @@ class TestDbscan:
         assert lbl[11] == lbl[12] == lbl[13] == 11
         assert all(role[i] == "core" for i in (1, 2, 3, 11, 12, 13))
         assert role[99] == "noise"
+
+
+class TestKTruss:
+    """k-truss edge peeling: cliques survive, pendant triangles peel,
+    support recomputed within the truss."""
+
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+    def test_k5_survives_pendant_triangle_peels(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_truss
+
+        k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        pendant = [(5, 6), (5, 7), (6, 7)]  # triangle hanging off node 5
+        out = k_truss(self._edges(spark, k5 + pendant), k=4)
+        edges = {(r.a, r.b): r.support for r in out.collect()}
+        # 4-truss: every edge in >= 2 triangles. K5 edges sit in 3;
+        # pendant-triangle edges sit in exactly 1 -> peeled.
+        assert set(edges) == set(k5)
+        assert all(s == 3 for s in edges.values())
+
+    def test_triangle_is_3truss_not_4truss(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_truss
+
+        tri = [(1, 2), (2, 3), (1, 3)]
+        assert k_truss(self._edges(spark, tri), k=3).count() == 3
+        assert k_truss(self._edges(spark, tri), k=4).count() == 0
+
+    def test_cascading_support_recount(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_truss
+
+        # Two triangles sharing edge (1,2): each edge is in 1 triangle
+        # except the shared one (2). At k=4 (need >= 2) the outer edges
+        # peel first, which drops the shared edge's support to 0 -> all
+        # edges peel. A single no-recount pass would wrongly keep (1,2).
+        bowtie = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+        assert k_truss(self._edges(spark, bowtie), k=4).count() == 0
