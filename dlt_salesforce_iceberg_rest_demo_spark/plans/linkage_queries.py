@@ -548,3 +548,62 @@ def graph_k_truss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truss.groupBy("support").agg(
         F.count("*").cast("bigint").alias("n_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-based TF-IDF keywords per source (BERTopic-style c-TF-IDF).
+# ---------------------------------------------------------------------------
+
+_CTFIDF_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf_class
+  FROM tok GROUP BY source, term),
+cf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_classes_with
+  FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.source, tf.term, tf_class, n_classes_with,
+         tf_class * (1000000 // n_classes_with) AS score
+  FROM tf JOIN cf USING (term)),
+ranked AS (
+  SELECT source, term, tf_class, n_classes_with,
+         CAST(score AS BIGINT) AS score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, tf_class,
+       n_classes_with, score
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("text_ctfidf_source_keywords", oracle=_CTFIDF_SQL)
+def text_ctfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF keywords: the top-5 terms that CHARACTERIZE
+    each source, scored tf_in_class * (1e6 DIV classes_containing) —
+    the c-TF-IDF idea (class as pseudo-document; BERTopic's keyword
+    step) with the house integer rarity weight instead of ln. This is
+    the corpus-comparison view `text_tfidf_top_terms` (per document)
+    cannot give: a term every source uses scores ~0 no matter how
+    frequent. Class-grain count tables, a vocab-sized join, and a
+    per-class top-k with (score DESC, term) determinism. Shared SQL
+    template; dialect split is // vs DIV only."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("lk_ct_documents")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW lk_ct_tok AS
+        SELECT source, term
+        FROM lk_ct_documents
+        LATERAL VIEW explode(split(lower(text), ' ')) AS term
+        """
+    )
+    body = _CTFIDF_SQL.replace(
+        """WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),""",
+        "WITH tok AS (SELECT source, term FROM lk_ct_tok),",
+    ).replace("1000000 // n_classes_with", "1000000 DIV n_classes_with")
+    return spark.sql(body)
