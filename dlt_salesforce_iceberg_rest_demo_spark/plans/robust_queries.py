@@ -554,3 +554,119 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _TTC_SQL.format(events="rb_ttc_events", us="unix_micros", div="DIV")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud/data-entry screen).
+# ---------------------------------------------------------------------------
+
+# Benford probabilities log10(1+1/d) as exact rational constants
+# (numerators per 1e9) — no engine logarithm ever runs.
+_BENFORD_NUM = [301029996, 176091259, 124938737, 96910013, 79181246,
+                66946790, 57991947, 51152522, 45757491]
+
+_BENFORD_SQL = """
+WITH x AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS {str}),
+                        1, 1) AS BIGINT) AS d
+  FROM {orders} WHERE o_totalprice >= 1),
+obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY d),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs),
+bp AS (
+  SELECT * FROM (VALUES {bvalues}) AS t(d, p_num))
+SELECT bp.d AS digit,
+       CAST(COALESCE(obs.c, 0) AS BIGINT) AS n_observed,
+       CAST(bp.p_num AS DOUBLE) / 1000000000 AS benford_p,
+       CAST(COALESCE(obs.c, 0) AS DOUBLE) / MIN(tot.n) OVER () AS observed_p,
+       (CAST(COALESCE(obs.c, 0) AS DOUBLE)
+          - CAST(MIN(tot.n) OVER () AS DOUBLE) * bp.p_num / 1000000000)
+       * (CAST(COALESCE(obs.c, 0) AS DOUBLE)
+          - CAST(MIN(tot.n) OVER () AS DOUBLE) * bp.p_num / 1000000000)
+       / (CAST(MIN(tot.n) OVER () AS DOUBLE) * bp.p_num / 1000000000)
+         AS chi2_term
+FROM bp LEFT JOIN obs ON obs.d = bp.d CROSS JOIN tot
+"""
+
+
+def _benford_values() -> str:
+    return ", ".join(f"({d + 1}, {n})" for d, n in enumerate(_BENFORD_NUM))
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle=_BENFORD_SQL.format(
+        orders="orders", bvalues=_benford_values(), str="VARCHAR"
+    ),
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic fraud / fabricated-data detector (organic multiplicative
+    amounts follow P(d) = log10(1+1/d); invented numbers don't).
+    Digit extraction is pure string arithmetic on the integer part;
+    the expected probabilities are HARD-CODED exact rationals
+    (numerators per 1e9), so no engine logarithm ever runs, and each
+    chi-square term is one identical IEEE expression from exact
+    counts. Synthetic uniform fixtures FAIL Benford loudly — which is
+    itself the demonstration: the screen flags non-organic data.
+    Per-digit rows so the analyst sees where conformance breaks."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("rb_bf_orders")
+    return spark.sql(
+        _BENFORD_SQL.format(
+            orders="rb_bf_orders", bvalues=_benford_values(), str="STRING"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Business-day lead times (calendar arithmetic without DOW dialects).
+# ---------------------------------------------------------------------------
+
+# cumBus(n) = business days in epoch-days [0..n] (1970-01-01 = Thursday):
+# 5*((n+3) DIV 7) + LEAST((n+3)%7 + 1, 5) - 3 — pure integer arithmetic,
+# so no engine day-of-week convention (Sunday=0 vs 1 vs 7) ever applies.
+_BDAYS_SQL = """
+WITH d AS (
+  SELECT {days_order} AS d1, {days_ship} AS d2
+  FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey),
+b AS (
+  SELECT (5 * ((d2 + 3) {div} 7) + LEAST((d2 + 3) % 7 + 1, 5) - 3)
+       - (5 * ((d1 + 3) {div} 7) + LEAST((d1 + 3) % 7 + 1, 5) - 3)
+         AS lead_bdays
+  FROM d)
+SELECT CAST(lead_bdays AS BIGINT) AS lead_bdays,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM b GROUP BY lead_bdays
+"""
+
+
+@register(
+    "scalar_business_days_lead_time",
+    oracle=_BDAYS_SQL.format(
+        lineitem="lineitem",
+        orders="orders",
+        days_order="date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))",
+        days_ship="date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))",
+        div="//",
+    ),
+)
+def scalar_business_days_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead times in BUSINESS days, histogrammed — the
+    SLA metric calendar-day differences overstate by ~40% over
+    weekends. The weekday math never touches an engine day-of-week
+    function (Sunday is 0, 1 or 7 depending on the engine — the
+    `scalar_date_functions2` lesson): business-day counts come from a
+    closed-form integer prefix function over epoch days anchored at
+    1970-01-01 (a Thursday), so the only dialect splits are the
+    datediff argument order and DIV. Map-side arithmetic on a plain
+    FK join, one combinable histogram aggregate."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("rb_bd_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("rb_bd_orders")
+    return spark.sql(
+        _BDAYS_SQL.format(
+            lineitem="rb_bd_lineitem",
+            orders="rb_bd_orders",
+            days_order="datediff(CAST(o.o_orderdate AS DATE), DATE '1970-01-01')",
+            days_ship="datediff(CAST(l.l_shipdate AS DATE), DATE '1970-01-01')",
+            div="DIV",
+        )
+    )
