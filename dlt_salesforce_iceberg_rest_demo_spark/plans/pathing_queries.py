@@ -592,3 +592,45 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure. Two combinable aggregations, LHS-domain-sized."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("pa_fd_lineitem")
     return spark.sql(_FD_SQL.format(lineitem="pa_fd_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Weekly activity heatmap (weekday x hour grid, no DOW dialects).
+# ---------------------------------------------------------------------------
+
+_HEATMAP_SQL = """
+WITH x AS (
+  SELECT ({days} + 3) % 7 AS weekday,
+         CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+         value
+  FROM {events})
+SELECT CAST(weekday AS BIGINT) AS weekday, hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM x GROUP BY weekday, hod
+"""
+
+
+@register(
+    "events_weekly_heatmap",
+    oracle=_HEATMAP_SQL.format(
+        events="events",
+        days="date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+    ),
+)
+def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap (0 = Monday) — the load-shape
+    grid behind capacity planning and the input for weekday-aware
+    seasonal baselines (`events_seasonal_baseline` is hour-only). The
+    weekday comes from the same engine-neutral integer arithmetic as
+    `scalar_business_days_lead_time` ((epoch_days + 3) % 7 — no
+    engine DOW convention), hours from a shared EXTRACT; one
+    combinable aggregate onto the fixed 7 x 24 grid — tiny state at
+    any event volume."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("pa_hm_events")
+    return spark.sql(
+        _HEATMAP_SQL.format(
+            events="pa_hm_events",
+            days="datediff(CAST(ts AS DATE), DATE '1970-01-01')",
+        )
+    )
