@@ -670,3 +670,67 @@ def scalar_business_days_lead_time(spark: SparkSession, sf_dir: str) -> DataFram
             div="DIV",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proportional allocation (exact integer apportionment).
+# ---------------------------------------------------------------------------
+
+_ALLOC_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM {orders} o
+  JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+q AS (
+  SELECT nation, cents,
+         (10000 * cents) {div} t AS base,
+         (10000 * cents) % t AS remainder
+  FROM rev CROSS JOIN tot),
+d AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS deficit FROM q),
+r AS (
+  SELECT nation, cents, base, remainder,
+         ROW_NUMBER() OVER (ORDER BY remainder DESC, nation) AS rnk
+  FROM q)
+SELECT r.nation, r.cents AS revenue_cents,
+       CAST(r.base + (CASE WHEN r.rnk <= d.deficit THEN 1 ELSE 0 END)
+            AS BIGINT) AS allocated
+FROM r CROSS JOIN d
+"""
+
+
+@register(
+    "report_budget_allocation_largest_remainder",
+    oracle=_ALLOC_SQL.format(
+        orders="orders", customer="customer", nation="nation", div="//"
+    ),
+)
+def report_budget_allocation_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Allocate a 10,000-unit budget across nations proportional to
+    revenue with LARGEST-REMAINDER rounding (Hamilton apportionment):
+    integer floor shares first, then the leftover units go to the
+    largest fractional remainders (ties by nation name) — the only
+    rounding scheme where the allocations are integers AND sum to the
+    budget EXACTLY (independent per-group rounding drifts by the group
+    count). Everything is exact integer arithmetic — quotients and
+    remainders of 10000*cents against the grand total — so the
+    allocation is bit-identical in both engines; the ROW_NUMBER runs
+    over ~25 nation-grain rows. The quota/budget/sampling-allocation
+    primitive (also exactly how `mix_to_target`'s integer feasible
+    totals avoid drift)."""
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"rb_al_{name}")
+    return spark.sql(
+        _ALLOC_SQL.format(
+            orders="rb_al_orders",
+            customer="rb_al_customer",
+            nation="rb_al_nation",
+            div="DIV",
+        )
+    )
