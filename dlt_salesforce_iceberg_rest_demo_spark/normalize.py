@@ -261,3 +261,35 @@ def pseudonymize(
             ),
         )
     return out
+
+
+def schema_compat_report(
+    old: T.StructType, new: T.StructType
+) -> dict[str, object]:
+    """Data-contract compatibility check between two table schemas —
+    the gate a WAP audit or CI step runs before publishing a schema
+    change: classifies every difference and says whether the change
+    is BACKWARD-compatible for readers of the old schema.
+
+    - added:        columns only in ``new`` (additive; compatible —
+                    `evolve_schema` semantics: old files read as NULL);
+    - removed:      columns only in ``old`` (BREAKING for readers);
+    - type_changed: same name, different type after reference widening
+                    (int->long, float->double are therefore NOT flagged
+                    — the lake applies them on write anyway; BREAKING
+                    otherwise);
+    - compatible:   True iff nothing was removed or type-changed.
+    """
+    old_w = {f.name.lower(): f.dataType for f in widen_types(old).fields}
+    new_w = {f.name.lower(): f.dataType for f in widen_types(new).fields}
+    added = sorted(n for n in new_w if n not in old_w)
+    removed = sorted(n for n in old_w if n not in new_w)
+    type_changed = sorted(
+        n for n in old_w if n in new_w and old_w[n] != new_w[n]
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "type_changed": type_changed,
+        "compatible": not removed and not type_changed,
+    }

@@ -607,3 +607,84 @@ def text_ctfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH tok AS (SELECT source, term FROM lk_ct_tok),",
     ).replace("1000000 // n_classes_with", "1000000 DIV n_classes_with")
     return spark.sql(body)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: recall@5 / first-relevant rank per query.
+# ---------------------------------------------------------------------------
+
+_DDOT_LK = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15) "
+    "AS BIGINT))) AS DOUBLE)"
+)
+
+_RETR_EVAL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS clabel
+      FROM embeddings),
+scored AS (
+  SELECT query_id, qlabel, corpus_id, clabel,
+    {_DDOT_LK.format(a="qv", b="cv")}
+    / ( sqrt({_DDOT_LK.format(a="qv", b="qv")})
+      * sqrt({_DDOT_LK.format(a="cv", b="cv")}) ) AS cosine
+  FROM q JOIN c ON corpus_id <> query_id),
+ranked AS (
+  SELECT query_id, qlabel, corpus_id, clabel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored)
+SELECT query_id,
+       CAST(SUM(CASE WHEN rank <= 5 AND clabel = qlabel
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant_at_5,
+       MIN(CASE WHEN clabel = qlabel THEN rank END) AS first_relevant_rank
+FROM ranked WHERE rank <= 100
+GROUP BY query_id
+"""
+
+
+@register("eval_retrieval_recall_at_5", oracle=_RETR_EVAL_ORACLE)
+def eval_retrieval_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation per query: same-label hits in the exact
+    cosine top-5 and the first relevant rank (within a 100-deep list)
+    — recall@k and the MRR numerator, the scorecard every
+    ANN/embedding change must not regress (the pytest recall bounds
+    for LSH/IVF/PQ are THIS metric against brute force; here it is a
+    first-class oracle-checked query using labels as the relevance
+    judgment). Fixed-point cosine ranking with (cosine DESC,
+    corpus_id) determinism; counts are exact integers."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    top = cosine_topk(emb, queries, k=100, exact_decimal=True)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    joined = (
+        top.join(
+            labels.select(
+                F.col("vec_id").alias("corpus_id"), F.col("label").alias("clabel")
+            ),
+            "corpus_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+            ),
+            "query_id",
+        )
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum(
+            F.when((F.col("rank") <= 5) & (F.col("clabel") == F.col("qlabel")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_relevant_at_5"),
+        F.min(
+            F.when(F.col("clabel") == F.col("qlabel"), F.col("rank"))
+        ).alias("first_relevant_rank"),
+    )

@@ -164,3 +164,48 @@ class TestPseudonymize:
         assert out[0].k == out[2].k                # equal raws -> equal tokens
         assert out[0].name == out[2].name
         assert out[0].k != out[1].k
+
+
+class TestSchemaCompat:
+    def test_classification_and_widening_tolerance(self, spark):
+        from pyspark.sql import types as T
+
+        from dlt_salesforce_iceberg_rest_demo_spark.normalize import (
+            schema_compat_report,
+        )
+
+        old = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("v", T.FloatType()),
+                T.StructField("gone", T.StringType()),
+                T.StructField("flips", T.StringType()),
+            ]
+        )
+        new = T.StructType(
+            [
+                T.StructField("id", T.LongType()),      # widening only -> OK
+                T.StructField("v", T.DoubleType()),     # widening only -> OK
+                T.StructField("flips", T.LongType()),   # real type change
+                T.StructField("fresh", T.StringType()),  # additive
+            ]
+        )
+        rep = schema_compat_report(old, new)
+        assert rep["added"] == ["fresh"]
+        assert rep["removed"] == ["gone"]
+        assert rep["type_changed"] == ["flips"]
+        assert rep["compatible"] is False
+
+    def test_additive_only_is_compatible(self, spark):
+        from pyspark.sql import types as T
+
+        from dlt_salesforce_iceberg_rest_demo_spark.normalize import (
+            schema_compat_report,
+        )
+
+        old = T.StructType([T.StructField("id", T.LongType())])
+        new = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("x", T.StringType())]
+        )
+        rep = schema_compat_report(old, new)
+        assert rep["compatible"] is True and rep["added"] == ["x"]
