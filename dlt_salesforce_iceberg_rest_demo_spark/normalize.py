@@ -19,6 +19,7 @@ never per-row Python - the reference's `_process_record`
 
 from __future__ import annotations
 
+import logging
 import re
 import time
 import uuid
@@ -26,6 +27,8 @@ import uuid
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 # Canonical datetime format of the reference (records.py:38,45).
 CANONICAL_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
@@ -239,25 +242,37 @@ def explode_nested(
 
 
 def pseudonymize(
-    df: DataFrame, columns: list[str], salt: str = "dlt-salesforce-iceberg-rest-demo"
+    df: DataFrame, columns: list[str], salt: str | None = None
 ) -> DataFrame:
     """Deterministic salted pseudonymization of PII/key columns:
-    every listed column is replaced by ``md5(salt || '|' || value)``
+    every listed column is replaced by ``sha256(salt || '|' || value)``
     (NULL stays NULL) — the governance pass that makes a lake export
     shareable while PRESERVING JOINABILITY: equal raw values tokenize
     identically in every table of the export, so FK joins, group-bys
     and dedup all still work on the tokens (unlike random UUIDs), and
     without the salt the mapping cannot be replayed from public
-    values. Complements the pattern-based `text_redact_pii` scrubber
-    (free text) with exact column-level tokenization. Map-side only —
-    one projection, no shuffle, codegen'd md5."""
+    values. That un-replayability claim requires a SECRET caller-held
+    salt: calling without one falls back to a well-known default and
+    logs a loud warning, because low-entropy raws (keys, names, phone
+    numbers) are dictionary-replayable under any public salt.
+    Complements the pattern-based `text_redact_pii` scrubber (free
+    text) with exact column-level tokenization. Map-side only — one
+    projection, no shuffle, codegen'd sha2."""
+    if salt is None:
+        logger.warning(
+            "pseudonymize called without an explicit salt: tokens use a "
+            "PUBLIC default salt and are dictionary-replayable for "
+            "low-entropy values; pass a secret salt for real "
+            "de-identification"
+        )
+        salt = "dlt-salesforce-iceberg-rest-demo"
     out = df
     for c in columns:
         v = F.col(c).cast("string")
         out = out.withColumn(
             c,
             F.when(v.isNull(), F.lit(None).cast("string")).otherwise(
-                F.md5(F.concat(F.lit(salt), F.lit("|"), v))
+                F.sha2(F.concat(F.lit(salt), F.lit("|"), v), 256)
             ),
         )
     return out

@@ -842,35 +842,105 @@ def containment_pairs(
     dominated by the big doc). This is the quote / excerpt / partial-
     copy detector of a corpus pipeline.
 
-    Same exact inverted-index shape as ``jaccard_pairs`` (distinct
-    shingles, shingle-keyed self-join, intersection counts) but the
-    pair is ordered — (contained, container), both directions emitted
-    when both exceed the bar. The threshold applies as an ALL-INTEGER
-    comparison (1000 * n_inter >= threshold_permil * |A|) so the kept
-    pair set is engine-exact; the reported score is one final IEEE
-    division. The scale path reuses the prefix-filter machinery
-    (`prefix_jaccard_pairs`) with prefix length |A| - ceil(t*|A|) + 1.
+    The pair is ordered — (contained, container), both directions
+    emitted when both exceed the bar. The threshold applies as an
+    ALL-INTEGER comparison (1000 * n_inter >= threshold_permil * |A|)
+    so the kept pair set is engine-exact; the reported score is one
+    final IEEE division.
+
+    Scale design — ASYMMETRIC prefix filter (the containment-join
+    variant of the AllPairs/PPJoin machinery in
+    :func:`prefix_jaccard_pairs`), LOSSLESS vs the naive all-shingle
+    self-join:
+
+    - the CONTAINED side A needs overlap >= ceil(t*|A|), so under a
+      global rarity order only A's first |A| - ceil(t*|A|) + 1
+      shingles (its rarest) can be the order-minimal shared shingle —
+      A indexes just that prefix;
+    - the CONTAINER side B has no lower bound on |A∩B|/|B|, so B must
+      index every shingle — but the join fan-out per shingle is now
+      df_prefix(s) * df(s) instead of df(s)^2, and ascending-df
+      ordering keeps hot (stopword) shingles OUT of prefixes: the
+      k^2 candidate blowup a df-k stop-shingle caused before becomes
+      ~0 * k;
+    - positional filter during the join: a match at rarity positions
+      (pa, pb) bounds the reachable overlap by min(|A|-pa, |B|-pb),
+      which must reach ceil(t*|A|) (valid for the order-minimal
+      shared shingle — the row that keeps a true pair alive);
+    - size filter: |B| >= ceil(t*|A|) in pure integers.
+
+    Shingles are dictionary-encoded to dense ints in (df, shingle)
+    order, so join keys are ints and the verify intersects sorted int
+    arrays (same design as `prefix_jaccard_pairs`).
     """
-    sh = (
+    num, den = threshold_permil, 1000
+
+    d = (
         spread(docs)
-        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
-        .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("s"))
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk0"))
+        .select("doc", shingles_tokens(F.col("tk0"), n).alias("sh0"))
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    tok = d.select("doc", F.explode("sh0").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    sid = dfreq.withColumn(
+        "sid", F.row_number().over(Window.orderBy("df", "s")).cast("long")
     )
-    sa = sizes.alias("sa")
+    # Materialized once: feeds the A-prefix explode, the B full
+    # inverted index, and both sides of the verify join.
+    ranked = (
+        tok.join(sid, "s")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sh"))
+        .select("doc", "sh", F.size("sh").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    # ceil(t*m) in integers; rem = m - position = reachable overlap
+    # through this row's shingle (inclusive).
+    a = (
+        ranked.withColumn(
+            "prefix",
+            F.expr(f"slice(sh, 1, m - ((({num} * m) + {den} - 1) DIV {den}) + 1)"),
+        )
+        .select("doc", "m", F.posexplode("prefix").alias("p0", "s"))
+        .select(
+            F.col("doc").alias("doc_a"),
+            F.col("m").alias("ma"),
+            "s",
+            (F.col("m") - F.col("p0")).alias("rem_a"),
+        )
+    )
+    b = ranked.select("doc", "m", F.posexplode("sh").alias("p0", "s")).select(
+        F.col("doc").alias("doc_b"),
+        F.col("m").alias("mb"),
+        "s",
+        (F.col("m") - F.col("p0")).alias("rem_b"),
+    )
+    alpha = f"((({num} * ma) + {den} - 1) DIV {den})"  # ceil(t * |A|)
+    cand = (
+        a.join(
+            b,
+            (a["s"] == b["s"])
+            & (F.col("doc_a") != F.col("doc_b"))
+            # size filter: |B| >= ceil(t*|A|)  <=>  den*|B| >= num*|A|
+            & (den * F.col("mb") >= num * F.col("ma"))
+            # positional filter: reachable overlap >= ceil(t*|A|)
+            & F.expr(f"least(rem_a, rem_b) >= {alpha}"),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = ranked.select(
+        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("m").alias("ma")
+    )
+    tb = ranked.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .filter(1000 * F.col("n_inter") >= threshold_permil * F.col("sa.n_sh"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(den * F.col("n_inter") >= num * F.col("ma"))
         .select(
             "doc_a",
             "doc_b",
-            (F.col("n_inter").cast("double") / F.col("sa.n_sh")).alias("containment"),
+            (F.col("n_inter").cast("double") / F.col("ma")).alias("containment"),
         )
     )

@@ -408,6 +408,15 @@ def k_truss(
         .localCheckpoint(eager=True)
     )
     need = max(k - 2, 0)
+    # k <= 2 => need = 0: every edge trivially satisfies support >= 0,
+    # including triangle-free edges that _edge_support never emits (it
+    # only lists edges in >= 1 triangle) — the peel's left_semi would
+    # wrongly drop them, so short-circuit: the 2-truss is the whole graph.
+    if need == 0:
+        final_sup = _edge_support(e)
+        return e.join(final_sup, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+        )
     for _ in range(max_iter):
         sup = _edge_support(e)
         keep = sup.filter(F.col("support") >= need).select("a", "b")

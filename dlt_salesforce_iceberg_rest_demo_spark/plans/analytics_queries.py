@@ -1205,9 +1205,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph inside a 100x larger doc has high containment, tiny
     Jaccard). Ordered (contained, container) pairs; all-integer
     threshold keeps the pair SET engine-exact; score is one final IEEE
-    division. Inverted-index self-join like `dedup_ngram_jaccard`; the
-    scale path reuses the prefix filter with containment's shorter
-    prefix length."""
+    division. Candidates come from the LOSSLESS asymmetric prefix
+    filter (contained side indexes only its |A|-ceil(t|A|)+1 rarest
+    shingles; container side keeps its full inverted index) with
+    positional + size pruning inside the join — the oracle is the
+    naive all-shingle self-join, so the hash match proves the filter
+    drops nothing."""
     return dedup.containment_pairs(t(spark, sf_dir, "documents"))
 
 

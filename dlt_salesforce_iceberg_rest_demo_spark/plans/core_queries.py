@@ -175,13 +175,21 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join == NOT EXISTS: customers with zero orders."""
+    """Left-anti join == NOT EXISTS: customers with no HIGH-VALUE
+    (>300k) order. The anti-join runs against a filtered order subset
+    (every fixture customer has at least one order, so a bare
+    no-orders predicate would be vacuously empty — the filter keeps
+    the result non-trivial at every scale while exercising the same
+    left_anti plan, with the totalprice filter pushed below the
+    join)."""
     customer = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -403,16 +411,28 @@ def setop_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except_nation_keys",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -800
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
     """,
 )
 def setop_except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set difference): nations with customers but no
-    suppliers."""
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    """EXCEPT (distinct set difference): nations with deeply-negative
+    customers but no negative-balance supplier. (The unfiltered
+    customer-vs-supplier difference is vacuously empty — every fixture
+    nation has both — so both sides carry a filter to keep the set
+    difference non-trivial at every scale while exercising the same
+    EXCEPT plan.)"""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -800)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
@@ -1191,7 +1211,7 @@ def zscore_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except_all_suppkeys",
     oracle="""
-    SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+    SELECT l_suppkey FROM lineitem WHERE l_quantity < 25
     EXCEPT ALL
     SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
     """,
@@ -1199,9 +1219,12 @@ def zscore_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except_all_suppkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL - multiset difference (per-key multiplicities
     subtract, unlike the distinct EXCEPT already covered). Spark plans
-    it as an aggregate on counts, one shuffle keyed by the value."""
+    it as an aggregate on counts, one shuffle keyed by the value.
+    (Quantity threshold 25, not 10: the smaller side's multiplicities
+    were everywhere dominated by the 'R' side on the fixtures, making
+    the result vacuously empty.)"""
     li = t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_quantity") < 10).select("l_suppkey").exceptAll(
+    return li.filter(F.col("l_quantity") < 25).select("l_suppkey").exceptAll(
         li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
     )
 

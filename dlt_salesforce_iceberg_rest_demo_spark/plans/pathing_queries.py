@@ -355,12 +355,12 @@ def events_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFr
 
 _PSEUDO_ORACLE = """
 WITH c AS (
-  SELECT md5('dlt-salesforce-iceberg-rest-demo|' || CAST(c_custkey AS VARCHAR)) AS ckey_token,
-         md5('dlt-salesforce-iceberg-rest-demo|' || c_name) AS name_token,
+  SELECT sha256('fixture-salt|' || CAST(c_custkey AS VARCHAR)) AS ckey_token,
+         sha256('fixture-salt|' || c_name) AS name_token,
          c_mktsegment
   FROM customer),
 o AS (
-  SELECT md5('dlt-salesforce-iceberg-rest-demo|' || CAST(o_custkey AS VARCHAR)) AS ckey_token
+  SELECT sha256('fixture-salt|' || CAST(o_custkey AS VARCHAR)) AS ckey_token
   FROM orders)
 SELECT c.c_mktsegment AS mktsegment,
        CAST(COUNT(DISTINCT c.ckey_token) AS BIGINT) AS n_customers,
@@ -395,10 +395,12 @@ def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         ),
         ["ckey_token", "name_token"],
+        salt="fixture-salt",
     )
     o = pseudonymize(
         t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ckey_token")),
         ["ckey_token"],
+        salt="fixture-salt",
     )
     return (
         c.join(o, "ckey_token", "left")

@@ -655,14 +655,17 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_name LIKE '%2%'
+    WHERE p.p_name LIKE '%widget%'
     GROUP BY n.n_name, year(o.o_orderdate)
     """,
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted: no partsupp table, so supply cost is proxied
     as 60% of p_retailprice): profit on parts whose name contains
-    '2', per supplier nation and order year.
+    'widget' (a token actually present in the fixture generator's
+    part-name vocabulary — Q9's classic '%green%' has no fixture
+    analog and a digit pattern matches nothing), per supplier nation
+    and order year.
 
     Four dimension hops broadcast around a single lineitem->orders
     shuffle; the LIKE filter prunes part BEFORE the broadcast, so the
@@ -672,7 +675,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturb the sum.
     """
     l = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%2%"))
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")

@@ -349,6 +349,22 @@ class ParquetLake:
         data = json.loads((self.root / table / f"_MANIFEST.{v}.json").read_text())
         return data.get("parent") if isinstance(data, dict) else None
 
+    def _main_ancestry(self, table: str, limit: int | None = None) -> list[int]:
+        """Versions along MAIN's parent chain, newest first, starting at
+        the current pointer. The chain is the published lineage — branch
+        heads and orphaned WAP staging manifests are never on it (until
+        a fast_forward publishes them). Stops cleanly at the root, at a
+        legacy manifest with no recorded parent, or at lineage `vacuum`
+        already expired; ``limit`` caps the walk length."""
+        chain: list[int] = []
+        v: int | None = self._current_version(table)
+        while v is not None and (limit is None or len(chain) < limit):
+            if not (self.root / table / f"_MANIFEST.{v}.json").exists():
+                break
+            chain.append(v)
+            v = self._manifest_parent(table, v)
+        return chain
+
     def fast_forward(self, table: str, branch: str) -> int:
         """PUBLISH: advance main to the branch head — atomic and
         metadata-only (the data dirs were already written by the branch
@@ -361,7 +377,13 @@ class ParquetLake:
         current = self._current_version(table)
         v: int | None = head
         while v is not None and v > current:
-            v = self._manifest_parent(table, v)
+            try:
+                v = self._manifest_parent(table, v)
+            except FileNotFoundError:
+                # Interior branch lineage expired by vacuum: the walk can
+                # no longer prove ancestry — same clean refusal as a
+                # genuinely diverged main, never an unhandled IO error.
+                v = None
         if v != current:
             raise ValueError(
                 f"main of {table} (v{current}) is not an ancestor of "
@@ -375,26 +397,28 @@ class ParquetLake:
 
     def version_as_of(self, table: str, as_of) -> int:
         """Resolve the snapshot current AS OF a wall-clock instant
-        (Iceberg `TIMESTAMP AS OF` / `snapshot_id_as_of`): the highest
-        version whose commit time <= ``as_of`` (datetime or epoch
-        micros). Pre-timestamp legacy manifests (and the empty
-        manifest 0, written by create_table without a timestamp) only
-        resolve by explicit version number."""
+        (Iceberg `TIMESTAMP AS OF` / `snapshot_id_as_of`): the newest
+        MAIN-lineage ancestor whose commit time <= ``as_of`` (datetime
+        or epoch micros). Resolution walks the current pointer's parent
+        chain — branch commits and dropped (audit-failed) WAP staging
+        manifests are invisible, matching Iceberg's contract that
+        timestamp travel follows the main branch history only.
+        Pre-timestamp legacy manifests (and the empty manifest 0,
+        written by create_table without a timestamp) only resolve by
+        explicit version number."""
         import datetime as _dt
 
         if isinstance(as_of, _dt.datetime):
             as_of = int(as_of.timestamp() * 1_000_000)
-        best = None
-        for m in (self.root / table).glob("_MANIFEST.*.json"):
-            v = int(m.name.split(".")[1])
+        # Commit times are monotone along the parent chain (child commits
+        # after parent), so the first qualifying ancestor is the answer.
+        for v in self._main_ancestry(table):
             _, ts = self._manifest_info(table, v)
-            if ts is not None and ts <= as_of and (best is None or v > best):
-                best = v
-        if best is None:
-            raise ValueError(
-                f"no snapshot of {table} committed at or before {as_of}"
-            )
-        return best
+            if ts is not None and ts <= as_of:
+                return v
+        raise ValueError(
+            f"no snapshot of {table} committed at or before {as_of}"
+        )
 
     def partition_columns(self, table: str) -> list[str]:
         spec = self.table_properties(table).get("partition-by", "")
@@ -746,16 +770,20 @@ class ParquetLake:
         return WriteReport(table, "compact_small", rows)
 
     def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
-        """Expire old snapshots: keep the last ``keep_last`` manifests,
-        delete older manifests and any data dir no kept manifest
-        references. Time travel shortens to the kept window; the
-        current snapshot is never touched. Returns the deleted data
-        dirs (relative names) for audit logging."""
+        """Expire old snapshots: keep the last ``keep_last`` snapshots of
+        MAIN's lineage (walking the current pointer's parent chain, not
+        a numeric version range — versions are allocated globally across
+        branches, so a numeric window would retain rejected WAP staging
+        manifests while expiring real main history), delete older
+        manifests and any data dir no kept manifest references. Orphaned
+        branch manifests (dropped after a failed audit) are reclaimed
+        here. Time travel shortens to the kept window; the current
+        snapshot is never touched. Returns the deleted data dirs
+        (relative names) for audit logging."""
         import shutil
 
         tdir = self.root / table
-        current = self._current_version(table)
-        keep = set(range(max(0, current - keep_last + 1), current + 1))
+        keep = set(self._main_ancestry(table, limit=keep_last))
         # Tagged snapshots and branch HEADS are retention roots (Iceberg
         # expire_snapshots contract): their manifests and data dirs
         # never expire. (Interior branch lineage may expire — a later

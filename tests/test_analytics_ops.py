@@ -831,6 +831,19 @@ class TestKTruss:
         assert k_truss(self._edges(spark, tri), k=3).count() == 3
         assert k_truss(self._edges(spark, tri), k=4).count() == 0
 
+    def test_2truss_is_whole_graph_including_triangle_free_edges(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_truss
+
+        # Triangle plus a dangling path edge: k<=2 (need=0) must keep
+        # EVERY edge — including the support-0 edge (3,4) that the
+        # support relation never lists (it only emits edges in >=1
+        # triangle).
+        g = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        out = {(r.a, r.b): r.support for r in k_truss(self._edges(spark, g), k=2).collect()}
+        assert set(out) == set(g)
+        assert out[(3, 4)] == 0
+        assert out[(1, 2)] == 1
+
     def test_cascading_support_recount(self, spark):
         from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_truss
 

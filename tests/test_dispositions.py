@@ -530,6 +530,78 @@ class TestBranchesWap:
         lake.fast_forward("t", "stage")
         assert lake.count("t") == 3
 
+    def test_as_of_ignores_dropped_branch_staging(self, spark, tmp_path):
+        """TIMESTAMP AS OF resolves along MAIN's lineage only: a staged
+        WAP batch whose audit failed (branch dropped) must never be
+        returned as if it were published history."""
+        import datetime as dt
+        import time
+
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="good")]), "t")
+        main_v = lake.current_version("t")
+        lake.write_to_branch(
+            df_of(spark, [Row(id=2, v="rejected")]), "t", "append", branch="audit"
+        )
+        lake.drop_branch("t", "audit")
+        time.sleep(0.01)
+        v = lake.version_as_of("t", dt.datetime.now())
+        assert v == main_v
+        assert {r.v for r in lake.read("t", v).collect()} == {"good"}
+
+    def test_as_of_skips_live_branch_commits(self, spark, tmp_path):
+        """Even while a branch is live, as-of never resolves to its
+        (newer, globally-numbered) staging snapshots."""
+        import datetime as dt
+        import time
+
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1)]), "t")
+        main_v = lake.current_version("t")
+        lake.create_branch("t", "stage")
+        lake.append_to_branch(df_of(spark, [Row(id=2)]), "t", "stage")
+        time.sleep(0.01)
+        assert lake.version_as_of("t", dt.datetime.now()) == main_v
+
+    def test_vacuum_walks_main_lineage_not_numeric_range(self, spark, tmp_path):
+        """vacuum(keep_last=N) must keep the last N MAIN snapshots even
+        when orphaned branch manifests occupy interior version numbers,
+        and must reclaim the orphaned (audit-rejected) staging data."""
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="m1")]), "t")
+        v1 = lake.current_version("t")
+        lake.write_to_branch(
+            df_of(spark, [Row(id=2, v="rejected")]), "t", "append", branch="audit"
+        )
+        v2 = lake.branches("t")["audit"]
+        lake.drop_branch("t", "audit")
+        lake.append(df_of(spark, [Row(id=3, v="m2")]), "t")
+        v3 = lake.current_version("t")
+        assert v1 < v2 < v3  # branch manifest sits inside the numeric window
+        lake.vacuum("t", keep_last=2)
+        # both real main snapshots still resolve...
+        assert {r.v for r in lake.read("t", v1).collect()} == {"m1"}
+        assert {r.v for r in lake.read("t", v3).collect()} == {"m1", "m2"}
+        # ...and the rejected staging snapshot is expired, not retained
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="does not exist"):
+            lake.read("t", v2)
+
+    def test_fast_forward_expired_lineage_raises_value_error(self, spark, tmp_path):
+        """If vacuum expired interior branch lineage, fast_forward must
+        refuse with the documented ValueError, not FileNotFoundError."""
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1)]), "t")
+        lake.create_branch("t", "stage")
+        lake.append_to_branch(df_of(spark, [Row(id=2)]), "t", "stage")
+        lake.append_to_branch(df_of(spark, [Row(id=3)]), "t", "stage")
+        lake.vacuum("t", keep_last=1)  # keeps main head + branch HEAD only
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not an ancestor"):
+            lake.fast_forward("t", "stage")
+
     def test_vacuum_keeps_branch_head(self, spark, tmp_path):
         lake = make_lake(spark, tmp_path)
         lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")

@@ -158,12 +158,25 @@ class TestPseudonymize:
             [Row(k=1, name="alice"), Row(k=2, name=None), Row(k=1, name="alice")]
         )
         out = pseudonymize(df, ["k", "name"], salt="s").collect()
-        want_k1 = hashlib.md5(b"s|1").hexdigest()
+        want_k1 = hashlib.sha256(b"s|1").hexdigest()
         assert out[0].k == want_k1
         assert out[1].name is None                 # NULL passes through
         assert out[0].k == out[2].k                # equal raws -> equal tokens
         assert out[0].name == out[2].name
         assert out[0].k != out[1].k
+
+    def test_default_salt_warns(self, spark, caplog):
+        import logging
+
+        from dlt_salesforce_iceberg_rest_demo_spark.normalize import pseudonymize
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(k=1)])
+        with caplog.at_level(
+            logging.WARNING, logger="dlt_salesforce_iceberg_rest_demo_spark.normalize"
+        ):
+            pseudonymize(df, ["k"])
+        assert any("salt" in r.message for r in caplog.records)
 
 
 class TestSchemaCompat:

@@ -22,12 +22,25 @@ def _all_names():
     return sorted(query_fns().keys())
 
 
+# Oracle queries that may legitimately return zero rows at sf0.001.
+# Keep EMPTY unless a query's semantics genuinely require it: a 0-row
+# result matches its oracle vacuously (schema-only evidence), which is
+# how three round-1 gate queries silently proved nothing.
+NONEMPTY_EXEMPT: set[str] = set()
+
+
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
     spark_df = q.spark(spark, SF_DIR)
     oracle_pdf = duck.execute(q.oracle).df()
     assert_frames_match(spark_df, oracle_pdf, name)
+    if name not in NONEMPTY_EXEMPT:
+        assert len(oracle_pdf) > 0, (
+            f"{name} is VACUOUS at sf0.001 (0 rows in both engines): "
+            "reshape its predicates so the hash match proves values, "
+            "or add it to NONEMPTY_EXEMPT with a justification"
+        )
 
 
 @pytest.mark.parametrize("name", [n for n in _all_names() if n not in _oracle_names()])
