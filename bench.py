@@ -144,17 +144,24 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": round(total, 3),
+            "unit": "sec",
+            # ms precision keeps the one-line payload well under 4 kB
+            # so line-buffered capture can't truncate it mid-JSON.
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    # Belt and braces: the authoritative line on stdout AND a file copy
+    # (round 1's driver captured only the tail of the stdout line).
+    Path(__file__).resolve().parent.joinpath("BENCH.json").write_text(
+        payload + "\n"
+    )
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -834,6 +836,8 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 2,
     threshold_permil: int = 800,
+    df_cap: int | None = None,
+    cold_work_per_token: int = 512,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs: C(A->B) = |A∩B| / |A| >=
     threshold — the asymmetric cousin of :func:`jaccard_pairs` that
@@ -848,99 +852,251 @@ def containment_pairs(
     so the kept pair set is engine-exact; the reported score is one
     final IEEE division.
 
-    Scale design — ASYMMETRIC prefix filter (the containment-join
-    variant of the AllPairs/PPJoin machinery in
-    :func:`prefix_jaccard_pairs`), LOSSLESS vs the naive all-shingle
-    self-join:
+    Scale design — LOSSLESS frequency-split exact join. The naive
+    shingle-keyed self-join is the cheapest way to count ALL pair
+    intersections (each co-occurrence row IS one intersection unit, so
+    total join work = sum over shingles of df^2), but a single hot
+    stop-shingle with df=k contributes k^2 rows — the corpus-scale
+    killer. Split the inverted index at ``df_cap``:
 
-    - the CONTAINED side A needs overlap >= ceil(t*|A|), so under a
-      global rarity order only A's first |A| - ceil(t*|A|) + 1
-      shingles (its rarest) can be the order-minimal shared shingle —
-      A indexes just that prefix;
-    - the CONTAINER side B has no lower bound on |A∩B|/|B|, so B must
-      index every shingle — but the join fan-out per shingle is now
-      df_prefix(s) * df(s) instead of df(s)^2, and ascending-df
-      ordering keeps hot (stopword) shingles OUT of prefixes: the
-      k^2 candidate blowup a df-k stop-shingle caused before becomes
-      ~0 * k;
-    - positional filter during the join: a match at rarity positions
-      (pa, pb) bounds the reachable overlap by min(|A|-pa, |B|-pb),
-      which must reach ceil(t*|A|) (valid for the order-minimal
-      shared shingle — the row that keeps a true pair alive);
-    - size filter: |B| >= ceil(t*|A|) in pure integers.
+    - COLD shingles (df <= df_cap): the naive join, now with bounded
+      fan-out (<= df_cap per shingle, total <= df_cap * |tokens|).
+      One groupBy computes each pair's exact cold-intersection count,
+      then a lossless bound prunes before anything else moves:
+      overlap <= cnt_cold + min(|hot(A)|, |hot(B)|).
+    - HOT shingles (df > df_cap): by construction a SMALL vocabulary
+      (at most |tokens| / df_cap values — with df_cap a fraction of
+      the corpus doc count this bound is corpus-size-independent).
+      Each doc carries its hot-shingle set as a FIXED-WIDTH BITMAP
+      (ceil(n_hot/64) longs); surviving candidates get their exact
+      hot intersection as popcount(bitmap_a AND bitmap_b) in one
+      Arrow-batched numpy kernel (mapInPandas — HOF folds never enter
+      codegen, and 64 set-memberships per AND-word beat any per-
+      element intersect). The quadratic co-occurrence enumeration
+      never happens for hot shingles.
+    - Pairs sharing NO cold shingle (possible only when >= t*|A| of A
+      is hot, i.e. stopword-dominated docs) are recovered by a prefix
+      filter WITHIN the hot ids (pigeonhole over hot(A) in global
+      ascending-df order, positional + size pruning — the
+      :func:`prefix_jaccard_pairs` machinery restricted to the tiny
+      hot vocabulary). On corpora with no hot shingles this path is
+      skipped entirely (one metadata-sized count decides).
 
-    Shingles are dictionary-encoded to dense ints in (df, shingle)
-    order, so join keys are ints and the verify intersects sorted int
-    arrays (same design as `prefix_jaccard_pairs`).
+    Every filter is an upper-bound prune or a pigeonhole-complete
+    candidate rule, so the result is bit-identical to the naive join
+    (the DuckDB oracle) at any ``df_cap``.
+
+    ``df_cap=None`` (default) picks the split COST-BASED: a
+    log2-bucketed df histogram (<= 64 rows collected) yields each
+    band's exact cold-join work sum(df^2); the cap is the largest df
+    band whose cumulative work fits ``cold_work_per_token * n_tokens``
+    — i.e. cold work is held LINEAR in corpus size by construction
+    (an average fan-out of <=512 co-occurrences per token occurrence
+    stays comfortably inside one shuffle, while a genuine Zipf head —
+    a stop-shingle with df a few percent of the corpus — blows the
+    budget by orders of magnitude and is split out).
+    On a saturated-vocabulary corpus where no shingle dominates, that
+    admits everything cold (the bounded naive join is genuinely the
+    cheapest exact plan there); on Zipfian text the head goes hot and
+    the bitmap/prefix path takes over. Either way: same exact result.
     """
+    import pandas as pd
+
     num, den = threshold_permil, 1000
 
-    d = (
+    tok = (
         spread(docs)
-        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk0"))
-        .select("doc", shingles_tokens(F.col("tk0"), n).alias("sh0"))
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
+        .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("s"))
     )
-    tok = d.select("doc", F.explode("sh0").alias("s"))
-    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
-    sid = dfreq.withColumn(
-        "sid", F.row_number().over(Window.orderBy("df", "s")).cast("long")
-    )
-    # Materialized once: feeds the A-prefix explode, the B full
-    # inverted index, and both sides of the verify join.
-    ranked = (
-        tok.join(sid, "s")
-        .groupBy("doc")
-        .agg(F.sort_array(F.collect_list("sid")).alias("sh"))
-        .select("doc", "sh", F.size("sh").alias("m"))
+    # Vocabulary-sized (distinct shingles): checkpoint once — it feeds
+    # the cost histogram AND the hot split, and left lazy each consumer
+    # re-runs the whole tokenize/explode/count pipeline.
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint(eager=True)
+    if df_cap is None:
+        hist = (
+            dfreq.groupBy(F.floor(F.log2("df")).alias("band"))
+            .agg(
+                F.sum((F.col("df") * F.col("df")).cast("double")).alias("work"),
+                F.sum("df").alias("tokens"),
+                F.max("df").alias("mx"),
+            )
+            .collect()
+        )
+        n_tokens = sum(r["tokens"] for r in hist)
+        budget = float(cold_work_per_token) * n_tokens
+        cum, cap = 0.0, 1
+        for r in sorted(hist, key=lambda r: r["band"]):
+            if cum + r["work"] > budget:
+                break
+            cum += r["work"]
+            cap = r["mx"]
+        df_cap = cap
+    # Hot vocabulary: tiny by construction, so it broadcasts; rank
+    # gives the ascending-rarity order the hot-prefix path needs.
+    hot_vocab = (
+        dfreq.filter(F.col("df") > df_cap)
+        .withColumn("hid", F.row_number().over(Window.orderBy("df", "s")).cast("long"))
+        .select("s", "hid")
         .localCheckpoint(eager=True)
     )
-    # ceil(t*m) in integers; rem = m - position = reachable overlap
-    # through this row's shingle (inclusive).
-    a = (
-        ranked.withColumn(
-            "prefix",
-            F.expr(f"slice(sh, 1, m - ((({num} * m) + {den} - 1) DIV {den}) + 1)"),
+    n_hot = hot_vocab.count()
+    width = (n_hot + 63) // 64  # bitmap words per doc
+
+    tok_cold = tok.join(F.broadcast(hot_vocab), "s", "left_anti")
+    sizes = tok.groupBy("doc").agg(F.count("*").alias("m"))
+    if n_hot:
+        # Per-doc sorted hot-id list (drives the hot-prefix candidates)
+        # and its bitmap twin (drives the exact popcount verify).
+        bitmap = F.expr(
+            f"transform(sequence(0, {width - 1}), w -> "
+            f"aggregate(filter(hot, h -> CAST((h - 1) DIV 64 AS INT) = w), "
+            f"CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc | shiftleft(CAST(1 AS BIGINT), CAST((h - 1) % 64 AS INT))))"
         )
-        .select("doc", "m", F.posexplode("prefix").alias("p0", "s"))
-        .select(
-            F.col("doc").alias("doc_a"),
-            F.col("m").alias("ma"),
-            "s",
-            (F.col("m") - F.col("p0")).alias("rem_a"),
+        hotagg = (
+            tok.join(F.broadcast(hot_vocab), "s")
+            .groupBy("doc")
+            .agg(F.sort_array(F.collect_list("hid")).alias("hot"))
         )
-    )
-    b = ranked.select("doc", "m", F.posexplode("sh").alias("p0", "s")).select(
-        F.col("doc").alias("doc_b"),
-        F.col("m").alias("mb"),
-        "s",
-        (F.col("m") - F.col("p0")).alias("rem_b"),
-    )
-    alpha = f"((({num} * ma) + {den} - 1) DIV {den})"  # ceil(t * |A|)
-    cand = (
-        a.join(
-            b,
-            (a["s"] == b["s"])
-            & (F.col("doc_a") != F.col("doc_b"))
-            # size filter: |B| >= ceil(t*|A|)  <=>  den*|B| >= num*|A|
-            & (den * F.col("mb") >= num * F.col("ma"))
-            # positional filter: reachable overlap >= ceil(t*|A|)
-            & F.expr(f"least(rem_a, rem_b) >= {alpha}"),
+        docinfo = (
+            sizes.join(hotagg, "doc", "left")
+            .select(
+                "doc",
+                "m",
+                F.coalesce("hot", F.array().cast("array<long>")).alias("hot"),
+            )
+            .withColumn("nh", F.size("hot").cast("long"))
+            .withColumn("hbm", bitmap)
+            .localCheckpoint(eager=True)
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+    else:
+        docinfo = sizes.select(
+            "doc",
+            "m",
+            F.array().cast("array<long>").alias("hot"),
+            F.lit(0).cast("long").alias("nh"),
+            F.array().cast("array<long>").alias("hbm"),
+        ).localCheckpoint(eager=True)
+
+    # Cold path: bounded naive join over bare (doc, s) rows — the
+    # narrowest possible shuffle payload; per-doc stats attach AFTER
+    # the groupBy, onto the (already df_cap^2-bounded) pair table,
+    # where AQE broadcasts the checkpointed doc-stats side. Then the
+    # lossless bound prunes before anything wide moves:
+    # overlap <= cnt_cold + min(|hot(A)|, |hot(B)|).
+    a = tok_cold.alias("a")
+    b = tok_cold.alias("b")
+    inter_cold = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("cnt_cold"))
     )
-    ta = ranked.select(
-        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("m").alias("ma")
+    stats_a = docinfo.select(
+        F.col("doc").alias("doc_a"), F.col("m").alias("ma"), F.col("nh").alias("nh_a")
     )
-    tb = ranked.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .filter(den * F.col("n_inter") >= num * F.col("ma"))
-        .select(
+    pairs_cold = (
+        inter_cold.join(stats_a, "doc_a")
+        # nh_a alone keeps the bound lossless (overlap <= cnt + nh_a);
+        # adding nh_b would buy a slightly tighter prune at the cost of
+        # a second stats join before the already-cheap bitmap verify.
+        .filter(den * (F.col("cnt_cold") + F.col("nh_a")) >= num * F.col("ma"))
+        .select("doc_a", "doc_b", "cnt_cold", "ma")
+    )
+
+    if n_hot:
+        # Hot-only path: pairs whose entire qualifying overlap could sit
+        # in hot shingles. Contained side A must have nh >= ceil(t*m)
+        # (<=> den*nh >= num*m); its hot-prefix (rarest
+        # nh - ceil(t*m) + 1 hot ids) must contain the hot-order-minimal
+        # shared shingle. Positional filter: reachable shared-hot count
+        # min(nh_a - pa, nh_b - pb) >= ceil(t*ma).
+        ap = (
+            docinfo.filter(den * F.col("nh") >= num * F.col("m"))
+            .withColumn(
+                "hpref",
+                F.expr(f"slice(hot, 1, nh - ((({num} * m) + {den} - 1) DIV {den}) + 1)"),
+            )
+            .select("doc", "m", "nh", F.posexplode("hpref").alias("p0", "hid"))
+            .select(
+                F.col("doc").alias("doc_a"),
+                F.col("m").alias("ma"),
+                "hid",
+                (F.col("nh") - F.col("p0")).alias("rem_a"),
+            )
+        )
+        bp = (
+            docinfo.filter(F.col("nh") > 0)
+            .select("doc", "m", "nh", F.posexplode("hot").alias("p0", "hid"))
+            .select(
+                F.col("doc").alias("doc_b"),
+                F.col("m").alias("mb"),
+                "hid",
+                (F.col("nh") - F.col("p0")).alias("rem_b"),
+            )
+        )
+        alpha = f"((({num} * ma) + {den} - 1) DIV {den})"
+        pairs_hot = (
+            ap.join(
+                bp,
+                (ap["hid"] == bp["hid"])
+                & (F.col("doc_a") != F.col("doc_b"))
+                & (den * F.col("mb") >= num * F.col("ma"))
+                & F.expr(f"least(rem_a, rem_b) >= {alpha}"),
+            )
+            .select("doc_a", "doc_b", "ma")
+            .distinct()
+            # pairs already found via a shared cold shingle carry their
+            # exact cold count in pairs_cold; keep only the truly
+            # cold-disjoint ones here (their cold count is exactly 0 OR
+            # they were ub-pruned there — and an understated count can
+            # only reject pairs the lossless prune already proved false).
+            .join(pairs_cold.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+            .withColumn("cnt_cold", F.lit(0).cast("long"))
+            .select("doc_a", "doc_b", "cnt_cold", "ma")
+        )
+        cand = pairs_cold.unionByName(pairs_hot)
+    else:
+        cand = pairs_cold
+
+    if not n_hot:
+        # No hot vocabulary: cnt_cold IS the exact overlap.
+        return cand.filter(den * F.col("cnt_cold") >= num * F.col("ma")).select(
             "doc_a",
             "doc_b",
-            (F.col("n_inter").cast("double") / F.col("ma")).alias("containment"),
+            (F.col("cnt_cold").cast("double") / F.col("ma")).alias("containment"),
         )
+
+    ha = docinfo.select(F.col("doc").alias("doc_a"), F.col("hbm").alias("hbm_a"))
+    hb = docinfo.select(F.col("doc").alias("doc_b"), F.col("hbm").alias("hbm_b"))
+    staged = cand.join(ha, "doc_a").join(hb, "doc_b")
+    id_type = staged.schema["doc_a"].dataType.simpleString()
+    out_schema = (
+        f"doc_a {id_type}, doc_b {id_type}, containment double"
     )
+
+    def _verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"],
+                     "containment": pd.Series([], dtype="float64")}
+                )
+                continue
+            A = np.array(pdf["hbm_a"].tolist(), dtype=np.int64).view(np.uint64)
+            B = np.array(pdf["hbm_b"].tolist(), dtype=np.int64).view(np.uint64)
+            words = (A & B).view(np.uint8)
+            pc = np.unpackbits(words.reshape(len(pdf), -1), axis=1).sum(axis=1)
+            n_inter = pdf["cnt_cold"].to_numpy() + pc
+            ma = pdf["ma"].to_numpy()
+            keep = den * n_inter >= num * ma
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].to_numpy()[keep],
+                    "doc_b": pdf["doc_b"].to_numpy()[keep],
+                    # integer/float64 division matches the JVM double op
+                    "containment": n_inter[keep].astype("float64") / ma[keep],
+                }
+            )
+
+    return staged.mapInPandas(_verify, schema=out_schema)

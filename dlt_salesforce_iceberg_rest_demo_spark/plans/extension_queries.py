@@ -712,10 +712,14 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard self-join anywhere); rows-only because the pair set
     depends on engine hashes - pytest pins recall 1.0 vs exact pairs
     at threshold 0.5, and the exact-pairs twin
-    ``dedup_connected_components`` is the oracle-checked closure."""
+    ``dedup_connected_components`` is the oracle-checked closure.
+    Closure runs the large-star/small-star CC (O(log^2 n) rounds,
+    Kiveris et al.) rather than min-label propagation, whose round
+    count — and bench variance — follows component DIAMETER: chained
+    near-dup clusters at corpus scale make diameter the tail risk."""
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
-    cc = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    cc = dedup.connected_components_star(pairs, src="doc_a", dst="doc_b")
     return (
         cc.groupBy("cluster_id")
         .agg(F.count("*").alias("n_members"))

@@ -69,6 +69,52 @@ class TestPrefixJaccard:
         assert len(got) == 1 and abs(got[0]["jaccard"] - 1 / 3) < 1e-15
 
 
+class TestContainmentFrequencySplit:
+    """containment_pairs is exact at ANY df_cap: the cold/hot split is
+    a physical-plan choice, never a semantic one."""
+
+    def _docs(self, spark):
+        # "the end" is a hot bigram shared by all docs; each doc also
+        # has rarer content. doc 2 is a near-subset of doc 1.
+        rows = [
+            (1, "alpha beta gamma delta the end"),
+            (2, "alpha beta gamma the end"),
+            (3, "omega psi chi the end"),
+            (4, "the end"),  # all-hot doc: exercises the hot-only path
+            (5, "the end"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_same_result_across_caps(self, spark):
+        docs = self._docs(spark)
+        def run(**kw):
+            return {
+                (r["doc_a"], r["doc_b"]): round(r["containment"], 12)
+                for r in dedup.containment_pairs(docs, threshold_permil=800, **kw).collect()
+            }
+        pure_cold = run(df_cap=10**9)   # everything cold: naive-equivalent
+        split = run(df_cap=1)           # everything with df>1 hot
+        auto = run()                    # cost-based cap
+        assert pure_cold, "fixture should produce containment pairs"
+        assert split == pure_cold
+        assert auto == pure_cold
+        # the all-hot identical docs must find each other (hot-only path)
+        assert (4, 5) in pure_cold and (5, 4) in pure_cold
+
+    def test_matches_fixture_oracle_any_cap(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        base = {
+            (r["doc_a"], r["doc_b"]): round(r["containment"], 12)
+            for r in dedup.containment_pairs(docs, df_cap=10**9).collect()
+        }
+        forced_split = {
+            (r["doc_a"], r["doc_b"]): round(r["containment"], 12)
+            for r in dedup.containment_pairs(docs, df_cap=2).collect()
+        }
+        assert base == forced_split
+        assert base, "fixture should contain containment pairs"
+
+
 class TestRandomProjection:
     def test_matches_numpy(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
