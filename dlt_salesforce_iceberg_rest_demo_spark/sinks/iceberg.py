@@ -6,8 +6,16 @@ catalog destination (/root/reference/salesforce_pipeline.py:42-49,
 snappy). It requires ``iceberg-spark-runtime`` on the classpath and a
 configured catalog (``session.get_spark(enable_iceberg=True)``); the
 environment here ships no Iceberg jar, so every entry point guards with
-:func:`is_available` and the test suite skips - the parquet lake
-(``sinks.dispositions``) provides identical semantics for CI.
+:func:`is_available` and the runtime round-trip tests skip - the parquet
+lake (``sinks.dispositions``) provides identical semantics for CI.
+
+What IS executed without the jar (tests/test_iceberg_contract.py): the
+SQL text generation (:func:`merge_into_sql`), identifier handling
+(:func:`qualified_ident`), the keep-last source dedupe
+(:func:`dedupe_keep_last`), the auto-create property set
+(:func:`create_table_properties`), and the full disposition dispatch
+driven through a recording session - so the only never-run code is the
+thin writeTo/sql invocation layer whose strings those tests pin.
 
 Semantic upgrades over the reference, all from the Iceberg Spark runtime
 (SURVEY §2.4):
@@ -25,9 +33,11 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .dispositions import WriteReport
+from .dispositions import DEFAULT_TABLE_PROPERTIES, WriteReport
 
 logger = logging.getLogger(__name__)
+
+MERGE_SOURCE_VIEW = "__merge_source"
 
 
 def is_available(spark: SparkSession) -> bool:
@@ -44,6 +54,52 @@ def is_available(spark: SparkSession) -> bool:
         return False
 
 
+def qualified_ident(catalog: str, namespace: str, table: str) -> str:
+    """``catalog.namespace.table`` with each part backtick-quoted, so
+    Salesforce-ish names with odd characters can't break the SQL."""
+    return ".".join(f"`{p}`" for p in (catalog, namespace, table))
+
+
+def create_table_properties() -> dict[str, str]:
+    """W5 auto-create table properties - verbatim the reference's
+    (salesforce_pipeline.py:146-149)."""
+    return dict(DEFAULT_TABLE_PROPERTIES)
+
+
+def merge_into_sql(ident: str, primary_key: list[str]) -> str:
+    """The W3 MERGE INTO statement: match on every PK column, update all
+    columns on match, insert all otherwise - Iceberg's row-level upsert
+    replacing the reference's delete(Or-of-And)-then-append
+    (salesforce_pipeline.py:83-130)."""
+    on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in primary_key)
+    return (
+        f"MERGE INTO {ident} t\n"
+        f"USING {MERGE_SOURCE_VIEW} s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET *\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def dedupe_keep_last(df: DataFrame, primary_key: list[str]) -> DataFrame:
+    """MERGE INTO rejects multiple source matches per target row, so the
+    source batch is deduped keep-last first (the documented divergence
+    from the reference's duplicate-preserving delete-then-insert -
+    SURVEY §7 "What's hard"). Deterministic: rows ordered by all
+    non-PK columns descending, exactly like ParquetLake.merge's
+    ``dedupe_batch`` option."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(c).desc() for c in df.columns if c not in primary_key]
+    w = Window.partitionBy(*primary_key).orderBy(*(order or [F.lit(1)]))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 class IcebergWriter:
     """Disposition writer against ``catalog.namespace.table`` idents."""
 
@@ -57,10 +113,12 @@ class IcebergWriter:
         self.spark = spark
         self.catalog = catalog
         self.namespace = namespace
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS `{catalog}`.`{namespace}`"
+        )
 
     def _ident(self, table: str) -> str:
-        return f"{self.catalog}.{self.namespace}.{table}"
+        return qualified_ident(self.catalog, self.namespace, table)
 
     def exists(self, table: str) -> bool:
         return self.spark.catalog.tableExists(self._ident(table))
@@ -68,13 +126,10 @@ class IcebergWriter:
     def _create(self, df: DataFrame, table: str) -> None:
         """W5 auto-create with the reference's table properties
         (salesforce_pipeline.py:146-149)."""
-        (
-            df.writeTo(self._ident(table))
-            .using("iceberg")
-            .tableProperty("write.format.default", "parquet")
-            .tableProperty("write.parquet.compression-codec", "snappy")
-            .create()
-        )
+        writer = df.writeTo(self._ident(table)).using("iceberg")
+        for key, value in create_table_properties().items():
+            writer = writer.tableProperty(key, value)
+        writer.create()
 
     def append(self, df: DataFrame, table: str) -> WriteReport:
         if not self.exists(table):
@@ -101,28 +156,24 @@ class IcebergWriter:
             logger.warning("merge on %s lacks usable PKs; appending", table)
             rep = self.append(df, table)
             return WriteReport(table, "merge", rep.rows_written, fallback_append=True)
-        # MERGE INTO rejects multiple source matches per target row, so the
-        # source is deduped keep-last first (the documented divergence from
-        # the reference's duplicate-preserving delete-then-insert).
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        order = [F.col(c).desc() for c in df.columns if c not in pk]
-        w = Window.partitionBy(*pk).orderBy(*(order or [F.lit(1)]))
-        deduped = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        deduped.createOrReplaceTempView("__merge_source")
-        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in pk)
-        self.spark.sql(
-            f"""
-            MERGE INTO {self._ident(table)} t
-            USING __merge_source s
-            ON {on}
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        deduped = dedupe_keep_last(df, pk)
+        deduped.createOrReplaceTempView(MERGE_SOURCE_VIEW)
+        self.spark.sql(merge_into_sql(self._ident(table), pk))
         return WriteReport(table, "merge", deduped.count())
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        disposition: str,
+        primary_key: tuple[str, ...] | list[str] = (),
+    ) -> WriteReport:
+        """Disposition dispatch - same entry-point contract as
+        ``ParquetLake.write`` (salesforce_pipeline.py:62-176)."""
+        if disposition == "append":
+            return self.append(df, table)
+        if disposition == "replace":
+            return self.replace(df, table)
+        if disposition == "merge":
+            return self.merge(df, table, primary_key)
+        raise ValueError(f"unknown write disposition: {disposition}")
