@@ -448,6 +448,62 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(mm)
 
 
+_BINFILE_ORACLE = """
+WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+per AS (
+  SELECT doc_id,
+    list_aggregate(list_transform(generate_series(1, least(length(text), 256)),
+                   i -> ord(substr(text, CAST(i AS INT), 1))), 'sum') AS png_sum,
+    list_aggregate(list_transform(generate_series(1, least(length(text), 64)),
+                   i -> ord(substr(text, CAST(i AS INT), 1))), 'sum') AS wav_sum,
+    least(length(text), 64) AS wav_n
+  FROM sel)
+SELECT 'audio' AS modality, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(wav_n) AS BIGINT) AS n_values,
+       CAST(SUM(wav_sum) AS BIGINT) AS val_sum
+FROM per
+UNION ALL
+SELECT 'image', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) * 256 AS BIGINT),
+       CAST(SUM(png_sum) AS BIGINT)
+FROM per
+"""
+
+
+@register("multimodal_binaryfile_ingest", oracle=_BINFILE_ORACLE)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary ingestion end-to-end: genuine PNG and WAV files
+    (written by the pure-python public-format codecs from every 20th
+    doc's text bytes) are read back via ``spark.read.format
+    ("binaryFile")``, metadata parsed JVM-side from the magic bytes,
+    payloads DECODED (zlib inflate + filter strip for PNG, RIFF frame
+    read for WAV) in one Arrow-batched mapInPandas, then aggregated
+    per modality. The DuckDB oracle recomputes the same pixel/sample
+    sums from the source text — so the whole
+    encode -> file -> binaryFile -> parse -> decode loop is
+    hash-verified against an independent path. The file-writing step
+    is the capped fixture generator (production data already exists as
+    objects; `multimodal.ingest_binary_dir` is the scale path)."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    docs = t(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = str(Path(tempfile.gettempdir()) / f"spark_graft_binfix_{key}")
+    multimodal.write_binary_fixtures(docs, out_dir)
+    mm = multimodal.ingest_binary_dir(spark, out_dir)
+    return (
+        multimodal.decode_binary_stats(mm)
+        .groupBy("modality")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("n_values").cast("bigint").alias("n_values"),
+            F.sum("val_sum").cast("bigint").alias("val_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal.
 # ---------------------------------------------------------------------------

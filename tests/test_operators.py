@@ -1115,3 +1115,71 @@ class TestAsofJoinForward:
             tie_col="event_id",
         ).collect()[0]
         assert row.event_id_next is None
+
+
+class TestBinaryCodecs:
+    """Pure-python PNG/WAV codecs + real binaryFile ingestion."""
+
+    def test_png_roundtrip(self):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes(range(256))
+        data = mm.encode_png_gray(pix, 16, 16)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, out = mm.decode_png_gray(data)
+        assert (w, h, out) == (16, 16, pix)
+
+    def test_wav_roundtrip(self):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        samples = bytes([0, 127, 255, 64] * 16)
+        data = mm.encode_wav_pcm8(samples, rate=8000)
+        rate, out = mm.decode_wav_pcm8(data)
+        assert rate == 8000 and out == samples
+
+    def test_ingest_parses_meta_jvm_side(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        (tmp_path / "a.png").write_bytes(mm.encode_png_gray(bytes(64), 8, 8))
+        (tmp_path / "b.wav").write_bytes(mm.encode_wav_pcm8(bytes(32), rate=44100))
+        rows = {
+            r.file_name: r.meta.asDict()
+            for r in mm.ingest_binary_dir(spark, str(tmp_path)).collect()
+        }
+        assert rows["a.png"]["format"] == "png"
+        assert rows["a.png"]["modality"] == "image"
+        assert (rows["a.png"]["width"], rows["a.png"]["height"]) == (8, 8)
+        assert rows["a.png"]["sample_rate"] is None
+        assert rows["b.wav"]["format"] == "wav"
+        assert rows["b.wav"]["modality"] == "audio"
+        assert rows["b.wav"]["sample_rate"] == 44100
+        assert rows["b.wav"]["width"] is None
+
+    def test_decode_stats_match_known_values(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes([1] * 256)
+        (tmp_path / "x.png").write_bytes(mm.encode_png_gray(pix, 16, 16))
+        (tmp_path / "y.wav").write_bytes(mm.encode_wav_pcm8(bytes([2] * 10)))
+        stats = {
+            r.file_name: (r.modality, r.n_values, r.val_sum)
+            for r in mm.decode_binary_stats(
+                mm.ingest_binary_dir(spark, str(tmp_path))
+            ).collect()
+        }
+        assert stats["x.png"] == ("image", 256, 256)
+        assert stats["y.wav"] == ("audio", 10, 20)
+
+    def test_fixture_writer_idempotent(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=0, text="hello world"), Row(doc_id=20, text="abc"),
+             Row(doc_id=7, text="skipped")]
+        )
+        n1 = mm.write_binary_fixtures(docs, str(tmp_path / "fx"))
+        n2 = mm.write_binary_fixtures(docs, str(tmp_path / "fx"))
+        assert n1 == n2 == 2
+        names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
+        assert names == ["doc_0.png", "doc_0.wav", "doc_20.png", "doc_20.wav"]
