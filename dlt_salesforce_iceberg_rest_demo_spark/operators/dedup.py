@@ -319,11 +319,14 @@ def minhash_signatures(
     generated whole-stage-codegen unit and signature width halve;
     the 64-perm variant measured ~10s of one-time Janino compilation).
 
-    Shape: explode distinct shingles -> murmur3 hash to 32 bits ->
-    ``num_perm`` universal-hash permutations ((a*h+b) mod 2^31-1,
-    no 64-bit overflow) -> per-doc min of each. The mins are
-    ``num_perm`` ordinary partial-aggregated MIN columns: one shuffle
-    of (doc, 64 ints), O(corpus) work, no pairwise anything.
+    Shape: explode distinct shingles -> PORTABLE 32-bit base hash (the
+    first 8 hex chars of md5, not an engine-private murmur3, so an
+    independent engine can rebuild bit-identical signatures - the same
+    portability choice as the count-min sketch oracle) -> ``num_perm``
+    universal-hash permutations ((a*h+b) mod 2^31-1, a*h < 2^63, no
+    overflow) -> per-doc min of each. The mins are ``num_perm``
+    ordinary partial-aggregated MIN columns: one shuffle of
+    (doc, 64 ints), O(corpus) work, no pairwise anything.
     """
     consts = _permutation_constants(num_perm, seed)
     sh = (
@@ -331,7 +334,7 @@ def minhash_signatures(
         .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
         .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("s"))
     )
-    h = F.hash("s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     proj = sh.select(
         "doc",
         *[
@@ -453,21 +456,35 @@ def simhash_signatures(
 
     Features are n-gram shingles (same unit as the Jaccard/MinHash
     operators - unigram bags are too coarse when documents share a
-    small vocabulary); each shingle hashes to 64 bits (xxhash64) and
-    per bit position the corpus-side work is a SUM of ±1 contributions:
-    64 partial-aggregated sums, one shuffle of (doc, 64 ints). Chunked
-    layout feeds the pigeonhole join directly.
+    small vocabulary); each shingle hashes to 64 PORTABLE bits (two
+    32-bit halves from the md5 hex digest, not engine-private
+    xxhash64, so an independent engine rebuilds identical signatures)
+    and per bit position the corpus-side work is a SUM of ±1
+    contributions: 64 partial-aggregated sums, one shuffle of
+    (doc, 64 ints). Chunked layout feeds the pigeonhole join directly.
     """
     tok = (
         spread(docs)
         .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
         .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("t"))
+        .select(
+            "doc",
+            F.conv(F.substring(F.md5("t"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h_lo"),
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h_hi"),
+        )
     )
-    h = F.xxhash64("t")
     bit_sums = tok.groupBy("doc").agg(
         *[
             F.sum(
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftrightunsigned(
+                    F.col("h_lo") if i < 32 else F.col("h_hi"), i % 32
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
             ).alias(f"b{i}")
             for i in range(64)
         ]

@@ -382,11 +382,24 @@ def ewma(
     schema = T.StructType(out_fields + [T.StructField("ewma", T.DoubleType())])
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-        # pandas ewm(adjust=False) computes exactly this recursion
-        pdf["ewma"] = (
-            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
-        )
+        # Explicit recursion with a PINNED float-op sequence
+        # (acc = alpha*x + (1-alpha)*acc): every engine that replays
+        # these exact IEEE ops — e.g. a SQL recursive CTE — reproduces
+        # the result bit-for-bit, which pandas' ewm C kernel (its own
+        # weighted-average state updates) does not guarantee.
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty_like(vals)
+        if len(vals):
+            acc = vals[0]
+            out[0] = acc
+            one_minus = 1.0 - alpha
+            for i in range(1, len(vals)):
+                acc = alpha * vals[i] + one_minus * acc
+                out[i] = acc
+        pdf["ewma"] = out
         return pdf[[key_col, ts_col, value_col, "ewma"]]
 
     return (

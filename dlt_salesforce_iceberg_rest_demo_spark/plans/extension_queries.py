@@ -68,21 +68,115 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")
+def _minhash_perm_values() -> str:
+    from ..operators.dedup import _permutation_constants
+
+    return ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(_permutation_constants(32, seed=42))
+    )
+
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk)-1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS s
+  FROM toks WHERE len(tk) >= 2)
+"""
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(s), 1, 8)) AS UBIGINT) AS h
+  FROM sh),
+perms(i, a, b) AS (VALUES {{perms}}),
+proj AS (
+  SELECT doc_id, i,
+         CAST((CAST(a AS HUGEINT) * h + b) % 2147483647 AS BIGINT) AS hv
+  FROM hashed CROSS JOIN perms),
+sig AS (SELECT doc_id, i, MIN(hv) AS m FROM proj GROUP BY 1, 2),
+sigarr AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, band,
+         array_to_string(sig[4*band+1 : 4*band+4], ',') AS bk, sig
+  FROM sigarr CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.sig AS sa, y.sig AS sb
+  FROM keyed x JOIN keyed y
+    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(generate_series(1, 32),
+            i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+         AS est_jaccard
+FROM pairs
+WHERE CAST(list_sum(list_transform(generate_series(1, 32),
+           i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 >= 0.5
+""".format(perms=_minhash_perm_values())
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 perms) + LSH(8 bands, r=4) near-dup pairs - the O(corpus)
-    scale path. Engine-hash internals -> rows-only here; pytest asserts
-    recall == 1.0 against the exact Jaccard pairs on the fixtures."""
+    """MinHash(32 perms) + LSH(8 bands, r=4) near-dup pairs - the
+    O(corpus) scale path. Signatures use PORTABLE md5-derived base
+    hashes + seeded universal-hash permutations, so DuckDB rebuilds
+    the identical signature matrix, bands on the raw 4-tuples (Spark's
+    xxhash64 band bucket is equality-preserving over them) and the
+    pair set + agreement-fraction estimates hash-match exactly. pytest
+    additionally pins recall == 1.0 against the exact Jaccard pairs on
+    the fixtures."""
     return dedup.minhash_dedup_pairs(
         t(spark, sf_dir, "documents"), threshold=0.5
     )
 
 
-@register("dedup_simhash")
+_SIMHASH_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(s), 9, 8)) AS UBIGINT) AS h_lo,
+         CAST(('0x' || substring(md5(s), 1, 8)) AS UBIGINT) AS h_hi
+  FROM sh),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((CASE WHEN i < 32 THEN h_lo ELSE h_hi END
+                         >> (i % 32)) & 1) = 1 THEN 1 ELSE -1 END) AS bsum
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+  GROUP BY 1, 2),
+chunks AS (
+  SELECT doc_id, i // 16 AS ci,
+         CAST(SUM(CASE WHEN bsum > 0
+                       THEN (CAST(1 AS BIGINT) << (i % 16)) ELSE 0 END)
+              AS BIGINT) AS cv
+  FROM bits GROUP BY 1, 2),
+carr AS (SELECT doc_id, list(cv ORDER BY ci) AS chunks FROM chunks GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, ci, chunks[ci+1] AS cv, chunks
+  FROM carr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ci)),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.chunks AS ca, y.chunks AS cb
+  FROM keyed x JOIN keyed y
+    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(generate_series(1, 4),
+            k -> bit_count(xor(ca[k], cb[k])))) AS BIGINT) AS hamming
+FROM pairs
+WHERE list_sum(list_transform(generate_series(1, 4),
+      k -> bit_count(xor(ca[k], cb[k])))) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within Hamming distance 3 via 4x16-bit
-    pigeonhole banding. Rows-only (engine hashes); pytest checks the
-    planted duplicates are found."""
+    pigeonhole banding. Signature bits come from PORTABLE md5-derived
+    halves, so DuckDB rebuilds identical chunk vectors and the
+    candidate + verify pipeline hash-matches exactly; pytest keeps the
+    planted-duplicate recall check."""
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -1189,14 +1283,33 @@ def profile_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("timeseries_ewma_user_values")
+_EWMA_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, ts, value, rn, CAST(value AS DOUBLE) AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.ts, s.value, s.rn,
+         0.3 * CAST(s.value AS DOUBLE) + 0.7 * r.ewma
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, ts, value, ewma FROM rec
+"""
+
+
+@register("timeseries_ewma_user_values", oracle=_EWMA_ORACLE)
 def timeseries_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values over time (alpha=0.3). The
     recursion y_t = a*x_t + (1-a)*y_{t-1} is a sequential fold - not a
     window aggregate - so it runs as one shuffle + Arrow-batched
-    per-group pandas fold. Rows-only gate (SQL can only express the
-    fold via recursive CTE whose float op order differs); pytest
-    checks the recursion exactly against a Python loop."""
+    per-group fold with a PINNED float-op sequence. The oracle replays
+    the identical recursion as a SQL recursive CTE: same multiplicands
+    (1-0.3 == 0.7 exactly in float64), commutative-exact addition, and
+    (user_id, ts) is unique in the fixtures so the fold order is fully
+    determined — the results hash-match bit-for-bit. pytest also
+    checks the recursion against a plain Python loop."""
     ev = t(spark, sf_dir, "events")
     return temporal.ewma(ev, "user_id", "ts", "value", alpha=0.3)
 

@@ -78,7 +78,11 @@ class TestDedup:
         }
         recall = len(exact & sh) / len(exact)
         precision = len(exact & sh) / max(1, len(sh))
-        assert recall >= 0.6  # measured 0.679: simhash trades recall for O(n)
+        # measured 0.5 with the portable md5-derived bits (0.679 with
+        # xxhash64): simhash trades recall for O(n); the exact pair set
+        # is pinned by the dedup_simhash DuckDB oracle, this guards the
+        # statistical floor only.
+        assert recall >= 0.4
         assert precision == 1.0
 
     def test_exact_dedup_representative_deterministic(self, spark, docs):
