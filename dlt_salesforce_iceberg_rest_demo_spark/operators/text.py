@@ -146,22 +146,28 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 
     - ``content_md5``: exact content address (oracle-comparable);
-    - ``xxh64``: 64-bit engine-side hash (xxhash64, shuffle-friendly);
+    - ``h60``: 60-bit PORTABLE content hash (hex digits 2-16 of the
+      md5 digest - fits a signed 64-bit lane, shuffle-friendly, and
+      reproducible by any engine with md5, unlike xxhash64);
     - ``winnow_min``: min rolling k-gram hash - the winnowing
       fingerprint primitive (k=8 char shingles via transform/sequence,
-      no explode, no Python).
+      no explode, no Python), over the same portable 60-bit hash.
     """
     c = F.col(text_col)
     k = 8
+
+    def h60(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 2, 15), 16, 10).cast("long")
+
     n_shingles = F.greatest(F.length(c) - (k - 1), F.lit(1))
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), n_shingles),
-        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+        lambda i: h60(c.substr(i, F.lit(k))),
     )
     return docs.select(
         "doc_id",
         F.md5(c.cast("binary")).alias("content_md5"),
-        F.xxhash64(c).alias("xxh64"),
+        h60(c).alias("h60"),
         F.array_min(shingle_hashes).alias("winnow_min"),
     )
 

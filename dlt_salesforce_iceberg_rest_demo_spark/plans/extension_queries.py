@@ -436,13 +436,26 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_fingerprint_engine")
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       CAST(('0x' || substring(md5(text), 2, 15)) AS BIGINT) AS h60,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - 7, 1)),
+         i -> CAST(('0x' || substring(md5(substr(text, CAST(i AS INT), 8)), 2, 15))
+                   AS BIGINT))) AS winnow_min
+FROM documents
+"""
+
+
+@register("text_fingerprint_engine", oracle=_FINGERPRINT_ORACLE)
 def text_fingerprint_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 + winnowing min-shingle-hash fingerprints (engine hash
-    functions -> rows-only; pytest checks determinism + near-dup
-    collision behavior)."""
+    """Portable 60-bit content hash + winnowing min-shingle-hash
+    fingerprints. Both hashes derive from md5 hex digits (not
+    engine-private xxhash64), so DuckDB recomputes them bit-identically
+    and the whole fingerprint table hash-matches; pytest keeps the
+    determinism + near-dup collision checks."""
     return text.fingerprint(t(spark, sf_dir, "documents")).select(
-        "doc_id", "xxh64", "winnow_min"
+        "doc_id", "h60", "winnow_min"
     )
 
 
@@ -1056,15 +1069,51 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_incremental_batch")
+_INCR_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(s), 1, 8)) AS UBIGINT) AS h
+  FROM sh),
+perms(i, a, b) AS (VALUES {{perms}}),
+proj AS (
+  SELECT doc_id, i,
+         CAST((CAST(a AS HUGEINT) * h + b) % 2147483647 AS BIGINT) AS hv
+  FROM hashed CROSS JOIN perms),
+sig AS (SELECT doc_id, i, MIN(hv) AS m FROM proj GROUP BY 1, 2),
+sigarr AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_new, list(m ORDER BY i) AS sig
+  FROM sig GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, is_new, band,
+         array_to_string(sig[4*band+1 : 4*band+4], ',') AS bk, sig
+  FROM sigarr CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_match,
+         x.sig AS sa, y.sig AS sb
+  FROM keyed x JOIN keyed y
+    ON x.band = y.band AND x.bk = y.bk
+  WHERE x.is_new AND ((NOT y.is_new) OR y.doc_id < x.doc_id))
+SELECT doc_new, doc_match,
+       CAST(list_sum(list_transform(generate_series(1, 32),
+            i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+         AS est_jaccard
+FROM pairs
+WHERE CAST(list_sum(list_transform(generate_series(1, 32),
+           i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 >= 0.5
+""".format(perms=_minhash_perm_values())
+
+
+@register("dedup_incremental_batch", oracle=_INCR_ORACLE)
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup gate: docs with doc_id % 10 == 0 play the NEW
     ingest batch, the rest are the existing corpus whose persisted
     MinHash signature table is all the batch ever touches (corpus text
     is never re-read - the shape that keeps per-ingest cost O(batch)
-    instead of O(lake) at 100 TB). Rows-only (engine hashes);
-    TestIncrementalDedup pins planted corpus-dup and intra-batch-dup
-    detection."""
+    instead of O(lake) at 100 TB). Portable md5-derived signatures let
+    DuckDB rebuild the identical batch-vs-corpus candidate set and
+    estimates (hash-exact); TestIncrementalDedup pins planted
+    corpus-dup and intra-batch-dup detection."""
     docs = t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     base = docs.filter(F.col("doc_id") % 10 != 0)

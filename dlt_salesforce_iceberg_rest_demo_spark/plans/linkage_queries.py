@@ -468,7 +468,58 @@ def graph_k_core_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("embedding_dbscan_clusters")
+_DBSCAN_DDOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15) "
+    "AS BIGINT))) AS DOUBLE)"
+)
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_DBSCAN_DDOT.format(a="a.embedding", b="b.embedding")}
+        / ( sqrt({_DBSCAN_DDOT.format(a="a.embedding", b="a.embedding")})
+          * sqrt({_DBSCAN_DDOT.format(a="b.embedding", b="b.embedding")}) )
+        >= 0.4),
+nb AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+deg AS (SELECT id_a, COUNT(*) AS n FROM nb GROUP BY 1),
+core AS (SELECT id_a AS cid FROM deg WHERE n >= 3),
+core_edges AS (
+  SELECT n.id_a AS u, n.id_b AS v FROM nb n
+  JOIN core c1 ON c1.cid = n.id_a
+  JOIN core c2 ON c2.cid = n.id_b),
+reach(node, label) AS (
+  SELECT cid, cid FROM core
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN core_edges e ON e.u = r.node),
+core_lbl AS (
+  SELECT node AS id, CAST(MIN(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node),
+border AS (
+  SELECT n.id_a AS id, MIN(cl.cluster_id) AS cluster_id
+  FROM nb n
+  JOIN core c ON c.cid = n.id_b
+  JOIN core_lbl cl ON cl.id = n.id_b
+  WHERE n.id_a NOT IN (SELECT cid FROM core)
+  GROUP BY 1),
+labeled AS (
+  SELECT id, cluster_id, 'core' AS role FROM core_lbl
+  UNION ALL SELECT id, cluster_id, 'border' FROM border),
+allrows AS (
+  SELECT e.vec_id AS id, l.cluster_id, COALESCE(l.role, 'noise') AS role
+  FROM embeddings e LEFT JOIN labeled l ON l.id = e.vec_id)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_border
+FROM allrows GROUP BY cluster_id
+"""
+
+
+@register("embedding_dbscan_clusters", oracle=_DBSCAN_ORACLE)
 def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the embedding corpus (`similarity.dbscan`, eps =
     cosine 0.4, minPts 3): density clusters with explicit noise — the
@@ -478,8 +529,10 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     epsilon pairs (LSH candidates at scale), core marking by degree,
     `connected_components` over core-core edges, min-id border
     attachment. Output: per-cluster core/border counts, plus the
-    noise row (cluster NULL). Iterative CC -> rows-only at the gate;
-    pytest pins roles and labels on planted geometry."""
+    noise row (cluster NULL). Every step is deterministic (fixed-point
+    cosines, min-id labels/attachment), so a recursive-CTE DuckDB
+    oracle replays the whole pipeline hash-exactly; pytest pins roles
+    and labels on planted geometry."""
     from pyspark.sql import functions as F
 
     from ..operators import similarity

@@ -149,8 +149,8 @@ class TestText:
         assert all(0.0 <= r.quality <= 1.0 for r in rows)
 
     def test_fingerprint_deterministic_and_content_addressed(self, spark, docs):
-        f1 = {r.doc_id: (r.xxh64, r.winnow_min) for r in text.fingerprint(docs).collect()}
-        f2 = {r.doc_id: (r.xxh64, r.winnow_min) for r in text.fingerprint(docs).collect()}
+        f1 = {r.doc_id: (r.h60, r.winnow_min) for r in text.fingerprint(docs).collect()}
+        f2 = {r.doc_id: (r.h60, r.winnow_min) for r in text.fingerprint(docs).collect()}
         assert f1 == f2
         df = spark.createDataFrame(
             [Row(doc_id=1, text="same text"), Row(doc_id=2, text="same text")]
