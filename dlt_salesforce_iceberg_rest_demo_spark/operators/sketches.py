@@ -161,3 +161,101 @@ def count_min_lookup(
         .groupBy(col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — md5-derived, engine-exact.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers (precision p = 6)
+HLL_HASH_BITS = 60  # md5 hex digits 2-16 -> fits a signed 64-bit lane
+# alpha_m for m = 64: 0.7213 / (1 + 1.079/m) (Flajolet et al., Fig. 3)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_RHO_MAX = HLL_HASH_BITS - 6 + 1  # first-one position in the 54 payload bits + 1
+
+
+def hll_table(df: DataFrame, col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HyperLogLog register TABLE (group_cols, j, register) —
+    a first-class MERGEABLE summary like `count_min_table`: sketches of
+    two partitions/days union by (group, j) MAX, so distinct counts
+    re-aggregate without touching raw rows again (the property
+    approx_count_distinct's scalar output cannot offer).
+
+    Unlike the DataSketches binary sketches, every bit here is
+    PORTABLE: the hash is md5-derived (60 bits), register index = the
+    top 6 bits, rho = position of the first 1 in the remaining 54 bits
+    — any engine with md5 rebuilds the identical register table, so
+    the estimates are hash-exact across engines (the same portability
+    discipline as `count_min_table`).
+
+    Work: one map-side projection + one (group, j) MAX aggregation —
+    partial-aggregated, reduce fan-in is |groups| * 64 regardless of
+    corpus size.
+    """
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 2, 15), 16, 10).cast(
+        "long"
+    )
+    j = F.shiftrightunsigned(h, HLL_HASH_BITS - 6).cast("int")
+    payload = h.bitwiseAND(F.lit((1 << (HLL_HASH_BITS - 6)) - 1))
+    # rho = (payload bit width) - bit_length(payload) + 1 — the
+    # first-one position from the top, 1-indexed; RHO_MAX for the
+    # all-zero tail. bit_length computed EXACTLY as the base-2 digit
+    # count (length of conv(x, 10, 2)) — floating log2 can misround at
+    # powers of two and is not bit-portable across engines.
+    rho = (
+        F.when(payload == 0, F.lit(_RHO_MAX))
+        .otherwise(
+            F.lit(HLL_HASH_BITS - 6 + 1) - F.length(F.conv(payload, 10, 2))
+        )
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def _linear_counting_constants() -> list[float]:
+    """m * ln(m/V) for V = 1..m, precomputed once: the small-range
+    (linear counting) correction needs a natural log, which is NOT
+    bit-portable across engines — but V has only m possible values, so
+    both engines index the same 64 double constants instead of calling
+    their own libm."""
+    import math
+
+    return [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def hll_estimate(table: DataFrame, group_cols: list[str]) -> DataFrame:
+    """HLL estimate per group from a register table, engine-exact:
+
+    - the harmonic sum is held in FIXED POINT (sum of 2^(RHO_MAX -
+      register) over the m registers; absent rows contribute
+      2^RHO_MAX) — an exact integer;
+    - the raw estimate is one IEEE division
+      alpha * m^2 * 2^RHO_MAX / int_sum;
+    - the standard small-range correction (Flajolet et al.: when
+      E_raw <= 2.5m and zero registers exist, use linear counting
+      m * ln(m/V)) applies via the precomputed constant table above,
+      so the branch condition and the corrected value are the same
+      doubles in every engine."""
+    n_present = F.count("*")
+    present_sum = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_MAX} - register)")
+    )
+    # absent registers (never touched) contribute 2^RHO_MAX each
+    int_sum = present_sum + (F.lit(HLL_M) - n_present) * F.lit(1 << _RHO_MAX)
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << _RHO_MAX))
+        / int_sum.cast("double")
+    )
+    v_zero = (F.lit(HLL_M) - n_present).cast("int")
+    lc = F.element_at(
+        F.array(*[F.lit(c) for c in _linear_counting_constants()]), v_zero
+    )
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0), lc).otherwise(raw)
+    return table.groupBy(*group_cols).agg(
+        int_sum.cast("bigint").alias("harmonic_fixed"),
+        est.alias("estimate"),
+    )

@@ -1478,6 +1478,84 @@ def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_lookup(sketch, ev, "user_id", depth=4, width=64)
 
 
+def _hll_oracle() -> str:
+    from ..operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        _RHO_MAX,
+        _linear_counting_constants,
+    )
+
+    const = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << _RHO_MAX))
+    mask = (1 << 54) - 1
+    # explicit CAST per element: a bare numeric list literal infers
+    # DECIMAL in DuckDB and silently rounds the constants off
+    lc = (
+        "["
+        + ", ".join(
+            f"CAST({c!r} AS DOUBLE)" for c in _linear_counting_constants()
+        )
+        + "]"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 15))
+              AS BIGINT) AS h
+  FROM events),
+jr AS (
+  SELECT event_type, CAST(h >> 54 AS INT) AS j,
+         CASE WHEN (h & {mask}) = 0 THEN {_RHO_MAX}
+              ELSE {_RHO_MAX} - length(to_base(h & {mask}, 2))
+         END AS rho
+  FROM h),
+regs AS (SELECT event_type, j, MAX(rho) AS register FROM jr GROUP BY 1, 2),
+regs2 AS (
+  SELECT event_type, j, register FROM regs
+  UNION ALL
+  SELECT '__ALL__', j, MAX(register) FROM regs GROUP BY 2),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_RHO_MAX} - register))
+              + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_RHO_MAX})
+              AS BIGINT) AS harmonic_fixed,
+         CAST({HLL_M} - COUNT(*) AS INT) AS v_zero
+  FROM regs2 GROUP BY event_type)
+SELECT event_type, harmonic_fixed,
+       CASE WHEN ({const} / CAST(harmonic_fixed AS DOUBLE)) <= {2.5 * HLL_M}
+                 AND v_zero > 0
+            THEN ({lc})[v_zero]
+            ELSE {const} / CAST(harmonic_fixed AS DOUBLE)
+       END AS estimate
+FROM agg
+"""
+
+
+@register("sketch_hll_portable_users", oracle=_hll_oracle())
+def sketch_hll_portable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-user estimates per event_type PLUS
+    the '__ALL__' row obtained by MERGING the per-type register tables
+    (per-(group, j) MAX — the re-aggregation property that makes HLL
+    the 100 TB distinct-count story: sketch per day/partition, union
+    forever). Every bit is md5-derived and the harmonic sum is held in
+    fixed point, so DuckDB rebuilds the identical registers and the
+    estimates hash-match exactly — the engine-exact complement of the
+    DataSketches-backed `sketch_hll_distinct_users` (whose binary
+    sketches stay rows-only); tests bound both against exact counts."""
+    from ..operators.sketches import hll_estimate, hll_table
+
+    ev = t(spark, sf_dir, "events")
+    tbl = hll_table(ev, "user_id", ["event_type"])
+    merged = (
+        tbl.groupBy("j")
+        .agg(F.max("register").alias("register"))
+        .withColumn("event_type", F.lit("__ALL__"))
+    )
+    return hll_estimate(tbl, ["event_type"]).unionByName(
+        hll_estimate(merged, ["event_type"])
+    )
+
+
 @register("sketch_hll_distinct_users")
 def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL per event_type: a MERGEABLE distinct-

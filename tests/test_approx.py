@@ -150,3 +150,50 @@ class TestKllQuantiles:
             for q, est in ((0.25, r.q25), (0.5, r.q50), (0.75, r.q75)):
                 true_rank = sum(1 for x in vals if x <= est) / n
                 assert abs(true_rank - q) <= 0.03, (r.o_orderstatus, q, true_rank)
+
+
+class TestPortableHll:
+    def test_estimates_within_hll_band_and_merge_exact(self, spark, duck):
+        """Portable HLL: per-type estimates within the standard-error
+        band (1.04/sqrt(64) ~ 13%; 3x headroom), and the merged
+        '__ALL__' register table must equal the whole-table sketch
+        EXACTLY (mergeability is a bit-level identity, not an
+        approximation)."""
+        from pyspark.sql import functions as F
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.sketches import (
+            hll_table,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.plans import REGISTRY
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        from .conftest import SF_DIR
+
+        rows = {
+            r.event_type: r.estimate
+            for r in REGISTRY["sketch_hll_portable_users"].spark(spark, SF_DIR).collect()
+        }
+        exact = {
+            r[0]: r[1]
+            for r in duck.execute(
+                "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+            ).fetchall()
+        }
+        exact["__ALL__"] = duck.execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events"
+        ).fetchone()[0]
+        assert set(rows) == set(exact)
+        for et, est in rows.items():
+            assert abs(est - exact[et]) / exact[et] <= 0.40, (et, est, exact[et])
+
+        ev = load_table(spark, SF_DIR, "events")
+        merged = (
+            hll_table(ev, "user_id", ["event_type"])
+            .groupBy("j")
+            .agg(F.max("register").alias("register"))
+        )
+        whole = ev.withColumn("g", F.lit("x"))
+        whole_tbl = hll_table(whole, "user_id", ["g"]).select("j", "register")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole_tbl.collect())
+        )
