@@ -116,3 +116,138 @@ class TestCheckTables:
         assert len(acct["sample"]) <= 3
         assert len(acct["sample_columns"]) <= 5
         assert acct["location"].endswith("account")
+
+
+class _FakeAirflowModule:
+    """Minimal stand-in for airflow.decorators: @task returns the bare
+    function (TaskFlow calls execute eagerly), @dag records its kwargs
+    and returns a callable that runs the wired flow. Executing the real
+    build_airflow_dag through this exercises the exact task bodies and
+    dependency chain the Airflow scheduler would run."""
+
+    def __init__(self):
+        self.dag_kwargs = None
+
+    def dag(self, **kwargs):
+        self.dag_kwargs = kwargs
+
+        def deco(fn):
+            def build():
+                fn()
+                return {"dag_id": kwargs.get("dag_id"), "flow": fn.__name__}
+
+            return build
+
+        return deco
+
+    def task(self, fn):
+        return fn
+
+
+class TestBuildAirflowDag:
+    def test_dag_builds_and_executes_flow(self, spark, tmp_path, monkeypatch, capsys):
+        import sys
+        import types
+
+        fake = _FakeAirflowModule()
+        mod_decorators = types.ModuleType("airflow.decorators")
+        mod_decorators.dag = fake.dag
+        mod_decorators.task = fake.task
+        mod_airflow = types.ModuleType("airflow")
+        mod_airflow.decorators = mod_decorators
+        monkeypatch.setitem(sys.modules, "airflow", mod_airflow)
+        monkeypatch.setitem(sys.modules, "airflow.decorators", mod_decorators)
+        for k, v in FULL_CONFIG.items():
+            monkeypatch.setenv(k, v)
+        monkeypatch.setenv("SALESFORCE_RESOURCES", "account,contact")
+
+        pipeline = make_pipeline(spark, tmp_path)
+        dag = orch.build_airflow_dag(lambda: pipeline)
+
+        # DAG metadata mirrors the reference
+        # (airflow/dags/salesforce_iceberg_dag.py:17-25)
+        assert fake.dag_kwargs["dag_id"] == "salesforce_iceberg_pipeline"
+        assert fake.dag_kwargs["default_args"]["retries"] == 1
+        assert "salesforce" in fake.dag_kwargs["tags"]
+        assert dag["dag_id"] == "salesforce_iceberg_pipeline"
+        # the eager flow really loaded the lake and printed the rollup
+        assert set(pipeline.lake.list_tables()) >= {"account", "contact"}
+        out = capsys.readouterr().out
+        assert "tables verified" in out
+
+    def test_dag_flow_fails_on_missing_config(self, spark, tmp_path, monkeypatch):
+        import sys
+        import types
+
+        fake = _FakeAirflowModule()
+        mod_decorators = types.ModuleType("airflow.decorators")
+        mod_decorators.dag = fake.dag
+        mod_decorators.task = fake.task
+        mod_airflow = types.ModuleType("airflow")
+        mod_airflow.decorators = mod_decorators
+        monkeypatch.setitem(sys.modules, "airflow", mod_airflow)
+        monkeypatch.setitem(sys.modules, "airflow.decorators", mod_decorators)
+        for var in orch.REQUIRED_VARS:
+            monkeypatch.delenv(var, raising=False)
+        with pytest.raises(ValueError, match="Missing required variables"):
+            orch.build_airflow_dag(lambda: make_pipeline(spark, tmp_path))
+
+
+class TestBuildDagsterAssets:
+    def test_multi_asset_yields_reference_metadata(self, spark, tmp_path, monkeypatch):
+        import sys
+        import types
+
+        recorded = {}
+
+        class AssetOut:
+            def __init__(self, key_prefix=None):
+                self.key_prefix = key_prefix
+
+        class Output:
+            def __init__(self, value, output_name, metadata):
+                self.value = value
+                self.output_name = output_name
+                self.metadata = metadata
+
+        def multi_asset(**kwargs):
+            recorded.update(kwargs)
+
+            def deco(fn):
+                return fn
+
+            return deco
+
+        mod = types.ModuleType("dagster")
+        mod.multi_asset = multi_asset
+        mod.AssetOut = AssetOut
+        mod.Output = Output
+        monkeypatch.setitem(sys.modules, "dagster", mod)
+        for k, v in FULL_CONFIG.items():
+            monkeypatch.setenv(k, v)
+        monkeypatch.setenv("SALESFORCE_RESOURCES", "account,contact")
+
+        pipeline = make_pipeline(spark, tmp_path)
+        (asset_fn,) = orch.build_dagster_assets(lambda: pipeline)
+        outputs = list(asset_fn())
+
+        # outs declared per default resource with the salesforce prefix
+        # (dagster/.../dlt_salesforce.py:41-46)
+        from dlt_salesforce_iceberg_rest_demo_spark.config import DEFAULT_RESOURCES
+
+        assert set(recorded["outs"]) == set(DEFAULT_RESOURCES)
+        assert all(o.key_prefix == "salesforce" for o in recorded["outs"].values())
+        # one Output per resource with the reference's metadata surface
+        # (rows_loaded, write_disposition, load_ids — :90-127)
+        assert {o.output_name for o in outputs} == set(DEFAULT_RESOURCES)
+        for o in outputs:
+            assert set(o.metadata) >= {
+                "rows_loaded",
+                "write_disposition",
+                "load_ids",
+            }
+            assert o.metadata["rows_loaded"] >= 0
+        loaded = {
+            o.output_name: o.metadata["rows_loaded"] for o in outputs
+        }
+        assert loaded["account"] > 0  # the mock org really loaded
