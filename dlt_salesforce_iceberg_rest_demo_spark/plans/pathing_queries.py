@@ -636,3 +636,64 @@ def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             days="datediff(CAST(ts AS DATE), DATE '1970-01-01')",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Regex funnel: MATCH_RECOGNIZE-shaped sequence pattern matching.
+# ---------------------------------------------------------------------------
+
+_REGEX_FUNNEL_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT)
+         AS n_funnels
+FROM seqs
+WHERE len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) > 0
+"""
+
+
+@register("events_regex_funnel", oracle=_REGEX_FUNNEL_ORACLE)
+def events_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped funnel via regex over event-type
+    sequences: each user's time-ordered events collapse to a string of
+    single-letter symbols (event types have distinct initials in the
+    fixture vocabulary), and the funnel 'view, then click, then
+    purchase, with no intervening purchase' is the regex
+    ``v[^p]*c[^p]*p`` counted non-overlapping left-to-right — exactly
+    a MATCH_RECOGNIZE PATTERN (V X* C Y* P) with DEFINE X/Y AS type <>
+    'purchase', expressed with primitives both engines share (Flink/
+    Trino expose the SQL:2016 syntax; the plan is identical: per-key
+    sort + NFA scan). Spark shape: one shuffle to
+    (user, sorted symbol string) via array_sort(collect_list(struct)),
+    then a map-side regexp_count; at 100 TB the sequence build is the
+    same shuffle every sessionization already pays, and per-user
+    sequences are entity-bounded."""
+    from pyspark.sql import functions as F
+
+    ev = t(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.substring("event_type", 1, 1).alias("sym")).alias(
+                "e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda x: x["sym"]),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.regexp_count("seq", F.lit(r"v[^p]*c[^p]*p")).cast("bigint").alias(
+            "n_funnels"
+        ),
+    ).filter(F.col("n_funnels") > 0)
