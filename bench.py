@@ -105,6 +105,9 @@ EXTENSION_HEADLINE = [
     "stats_correlation_matrix_lineitem",
     "multimodal_ahash_dedup",
     "timeseries_twap_user",
+    "sketch_hll_portable_users",
+    "multimodal_binaryfile_ingest",
+    "events_regex_funnel",
 ]
 
 

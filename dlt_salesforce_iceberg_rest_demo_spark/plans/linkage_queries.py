@@ -437,15 +437,42 @@ def embedding_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("graph_k_core_customers_parts")
+_KCORE_ORACLE = """
+WITH RECURSIVE raw AS (
+  SELECT CAST(o.o_custkey + 10000000 AS BIGINT) AS u,
+         CAST(l.l_partkey AS BIGINT) AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+base AS (
+  SELECT u, v FROM raw WHERE u <> v
+  UNION
+  SELECT v, u FROM raw WHERE u <> v),
+peel(iter, u, v) AS (
+  SELECT 0, u, v FROM base
+  UNION ALL
+  SELECT iter + 1, u, v FROM (
+    SELECT iter, u, v,
+           COUNT(*) OVER (PARTITION BY iter, u) AS du,
+           COUNT(*) OVER (PARTITION BY iter, v) AS dv
+    FROM peel)
+  WHERE iter < 30 AND du >= 20 AND dv >= 20)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM peel WHERE iter = 30 GROUP BY u
+"""
+
+
+@register("graph_k_core_customers_parts", oracle=_KCORE_ORACLE)
 def graph_k_core_customers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-core of the customer-part purchase graph (`graph.k_core`):
     iterative peel of nodes with degree < 20 until the unique fixed
     point — the dense-substructure filter for community cores and
-    ring detection. Data-dependent round count -> rows-only at the
-    driver gate; pytest pins the peel against a reference
-    implementation on crafted graphs (clique + tail) and checks the
-    degree invariant here."""
+    ring detection. The fixed point is ORDER-INDEPENDENT (the k-core
+    is unique), so a DuckDB recursive CTE that peels with
+    window-function degrees for a fixed 30 iterations (>= Spark's
+    max_iter; iterations past convergence are no-ops) reproduces the
+    exact (node, degree) set — the oracle for an iterative graph
+    algorithm. pytest additionally pins the peel against a reference
+    implementation on crafted graphs (clique + tail)."""
     from pyspark.sql import functions as F
 
     from ..operators.graph import k_core
