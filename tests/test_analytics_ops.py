@@ -337,6 +337,104 @@ class TestBpeTrainer:
         assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
 
 
+def _ref_bpe_batched(texts, n_merges, batch_size):
+    """Pure-Python batch-greedy BPE mirroring
+    text.bpe_train_merges_batched's batch rule exactly."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    while len(merges) < n_merges:
+        pc = Counter()
+        for w, freq in words.items():
+            arr = vocab[w]
+            for a, b in zip(arr, arr[1:]):
+                pc[(a, b)] += freq
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        used, adopted = set(), []
+        for (l, r), cnt in ranked:
+            if len(adopted) >= min(batch_size, n_merges - len(merges)):
+                break
+            if l in used or r in used:
+                continue
+            adopted.append((l, r, cnt))
+            used.update((l, r, l + r))
+        if not adopted:
+            break
+        for l, r, cnt in adopted:
+            merges.append((len(merges) + 1, l, r, cnt))
+        for l, r, _ in adopted:
+            for w, arr in vocab.items():
+                out, i = [], 0
+                while i < len(arr):
+                    if i < len(arr) - 1 and arr[i] == l and arr[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(arr[i])
+                        i += 1
+                vocab[w] = out
+    return merges
+
+
+class TestBpeTrainerBatched:
+    def test_batch_size_one_equals_sequential(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        seq = [
+            tuple(r)
+            for r in t_ops.bpe_train_merges(docs, n_merges=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        b1 = [
+            tuple(r)
+            for r in t_ops.bpe_train_merges_batched(docs, n_merges=3, batch_size=1)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert b1 == seq
+
+    def test_matches_batched_reference(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        texts = [r["text"] for r in docs.select("text").collect()]
+        want = _ref_bpe_batched(texts, 6, 3)
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+            for r in t_ops.bpe_train_merges_batched(docs, n_merges=6, batch_size=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want
+
+    def test_disjointness_within_each_batch(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        # 'ab' dominates; the second-best pair shares 'b' -> must be
+        # deferred to the next batch, not adopted alongside.
+        docs = spark.createDataFrame(
+            [(1, "ab ab ab bc bc")], "doc_id long, text string"
+        )
+        got = [
+            (r["left"], r["right"])
+            for r in t_ops.bpe_train_merges_batched(docs, n_merges=2, batch_size=2)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got[0] == ("a", "b")
+        assert got[1] == ("b", "c")  # adopted in round 2, post-recount
+
+
 class TestIncrementalJoinDelta:
     def test_delta_formula_equals_recompute(self, spark):
         from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
