@@ -867,15 +867,55 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang", "source")
 
 
-@register("dedup_clusters_minhash")
+_CLUSTERS_MINHASH_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(s), 1, 8)) AS UBIGINT) AS h
+  FROM sh),
+perms(i, a, b) AS (VALUES {{perms}}),
+proj AS (
+  SELECT doc_id, i,
+         CAST((CAST(a AS HUGEINT) * h + b) % 2147483647 AS BIGINT) AS hv
+  FROM hashed CROSS JOIN perms),
+sig AS (SELECT doc_id, i, MIN(hv) AS m FROM proj GROUP BY 1, 2),
+sigarr AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, band,
+         array_to_string(sig[4*band+1 : 4*band+4], ',') AS bk, sig
+  FROM sigarr CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)),
+prs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keyed x JOIN keyed y
+    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, 32),
+        i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+        >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+          UNION ALL SELECT doc_b, doc_a FROM prs),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+lbl AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lbl GROUP BY cluster_id
+HAVING COUNT(*) >= 2
+""".format(perms=_minhash_perm_values())
+
+
+@register("dedup_clusters_minhash", oracle=_CLUSTERS_MINHASH_ORACLE)
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup pipeline end-to-end: MinHash signatures -> LSH
     banding -> candidate pairs -> connected components -> per-cluster
     summary (cluster id, member count). Linear in corpus size (no
-    exact-Jaccard self-join anywhere); rows-only because the pair set
-    depends on engine hashes - pytest pins recall 1.0 vs exact pairs
-    at threshold 0.5, and the exact-pairs twin
-    ``dedup_connected_components`` is the oracle-checked closure.
+    exact-Jaccard self-join anywhere). With the portable md5-derived
+    signatures the WHOLE pipeline is now oracle-checked: DuckDB
+    rebuilds the identical signature matrix and candidate pairs, then
+    closes them with a recursive-CTE reachability whose min-id labels
+    equal the engine's star CC output (components are unique
+    regardless of algorithm). pytest additionally pins recall 1.0 vs
+    exact pairs at threshold 0.5.
     Closure runs the large-star/small-star CC (O(log^2 n) rounds,
     Kiveris et al.) rather than min-label propagation, whose round
     count — and bench variance — follows component DIAMETER: chained
