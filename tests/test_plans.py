@@ -303,6 +303,20 @@ class TestAnalyticsPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_containment_no_cartesian_either_path(self, spark):
+        """The frequency-split containment join must stay key-equi-
+        joined on both the cold (shingle-keyed) and hot (hid-keyed)
+        paths — a cartesian anywhere defeats the whole design."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        docs = load_table(spark, SF_DIR, "documents")
+        for cap in (10**9, 1):  # pure-cold plan and hot-dominated plan
+            plan = plan_of(dedup.containment_pairs(docs, df_cap=cap))
+            assert "CartesianProduct" not in plan, cap
+            assert "BroadcastNestedLoopJoin" not in plan, cap
+        # hot-dominated plan runs the Arrow popcount verify
+        assert "mapInPandas" in plan or "MapInPandas" in plan
+
 
 class TestTimeseriesPlans:
     """Plan audits for the time-series / CDC tranche: the scale claims
