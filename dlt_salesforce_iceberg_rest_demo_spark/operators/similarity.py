@@ -1014,11 +1014,21 @@ def mmr_topk(
     first maximum, so exact score ties break toward higher relevance
     then smaller id.
 
+    Every similarity in the loop — the relevance shortlist AND the
+    candidate-candidate redundancy sims — uses the house FIXED-POINT
+    cosine (per-element floor(a*b*1e15) summed as int64, then
+    sqrt/divide on identical doubles), so the whole greedy trajectory
+    is bit-reproducible by any engine replaying the same arithmetic:
+    the driver-gate oracle unrolls the k selection stages in SQL and
+    hash-matches exactly.
+
     Returns (query_id, corpus_id, mmr_rank, relevance, mmr_score);
-    rows-only at the driver gate (greedy selection is not
-    SQL-expressible), pinned in pytest against a pure-Python reference.
+    pinned in pytest against a pure-Python reference.
     """
-    short = cosine_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    short = cosine_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col,
+        exact_decimal=True,
+    )
     cand = short.join(
         corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")),
         "corpus_id",
@@ -1035,9 +1045,12 @@ def mmr_topk(
 
         pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
         vecs = np.stack(pdf["cvec"].map(np.asarray).values).astype("float64")
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0.0] = 1.0
-        unit = vecs / norms[:, None]
+        # fixed-point norms (sqrt of the exact int64 self-dot, as a
+        # double): identical to the SQL sqrt(DDOT(v,v)) the oracle runs
+        fnorm = np.sqrt(
+            np.floor(vecs * vecs * 1e15).astype(np.int64).sum(axis=1).astype("float64")
+        )
+        fnorm[fnorm == 0.0] = 1.0
         rel = pdf["cosine"].to_numpy()
         n = len(pdf)
         chosen: list[int] = []
@@ -1051,7 +1064,13 @@ def mmr_topk(
             chosen.append(i)
             scores.append(float(mmr[i]))
             alive[i] = False
-            sim_to_i = unit @ unit[i]
+            dots = (
+                np.floor(vecs * vecs[i] * 1e15)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype("float64")
+            )
+            sim_to_i = dots / (fnorm * fnorm[i])
             penalty = np.maximum(penalty, sim_to_i)
         return pd.DataFrame(
             {

@@ -277,14 +277,92 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("similarity_mmr_topk")
+def _mmr_oracle(k: int = 5, shortlist: int = 50, lam: float = 0.7) -> str:
+    """Unrolled SQL replay of the greedy MMR trajectory: k selection
+    stages, each an argmax window over the shortlist with the
+    penalty recomputed as MAX fixed-point sim to the selected-so-far
+    set. Every float op mirrors the kernel (same lam and 1-lam
+    doubles, same clamp), so the result hash-matches bit-for-bit."""
+    D = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15) "
+        "AS BIGINT))) AS DOUBLE)"
+    )
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"{D.format(a=a, b=b)} / (sqrt({D.format(a=a, b=a)})"
+            f" * sqrt({D.format(a=b, b=b)}))"
+        )
+
+    lam_r, oneml_r = repr(lam), repr(1.0 - lam)
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id, cv, {sim('qv', 'cv')} AS rel
+  FROM q JOIN c ON corpus_id <> query_id),
+sl AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, corpus_id) AS rnk
+  FROM scored),
+short AS (SELECT * FROM sl WHERE rnk <= {shortlist}),
+m1 AS (SELECT query_id, corpus_id, cv, rel, rnk, {lam_r} * rel AS mmr FROM short),
+s1 AS (
+  SELECT query_id, corpus_id, cv, rel, mmr, 1 AS mmr_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, rnk) AS pickr
+    FROM m1) WHERE pickr = 1),
+selu1 AS (SELECT query_id, corpus_id, cv FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+pen{i} AS (
+  SELECT t.query_id, t.corpus_id, MAX({sim('t.cv', 's.cv')}) AS p
+  FROM short t JOIN selu{i - 1} s ON s.query_id = t.query_id
+  GROUP BY t.query_id, t.corpus_id),
+m{i} AS (
+  SELECT t.query_id, t.corpus_id, t.cv, t.rel, t.rnk,
+         {lam_r} * t.rel - {oneml_r} * greatest(p.p, 0) AS mmr
+  FROM short t
+  JOIN pen{i} p ON p.query_id = t.query_id AND p.corpus_id = t.corpus_id
+  LEFT JOIN selu{i - 1} sd
+    ON sd.query_id = t.query_id AND sd.corpus_id = t.corpus_id
+  WHERE sd.corpus_id IS NULL),
+s{i} AS (
+  SELECT query_id, corpus_id, cv, rel, mmr, {i} AS mmr_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, rnk) AS pickr
+    FROM m{i}) WHERE pickr = 1),
+selu{i} AS (SELECT query_id, corpus_id, cv FROM selu{i - 1}
+            UNION ALL SELECT query_id, corpus_id, cv FROM s{i})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, corpus_id, mmr_rank, rel, mmr FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT query_id, corpus_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       rel AS relevance, mmr AS mmr_score
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@register("similarity_mmr_topk", oracle=_mmr_oracle())
 def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-5 per query (`similarity.mmr_topk`,
     lambda=0.7 over an exact cosine shortlist of 50): the re-rank that
     trades relevance against redundancy before a context window fills
-    with near-copies. Greedy selection is inherently sequential ->
-    rows-only at the driver gate; pytest pins the selection against a
-    pure-Python reference and a planted diversity scenario."""
+    with near-copies. The greedy loop is sequential, but its ARITHMETIC
+    is the house fixed-point cosine throughout, so the oracle unrolls
+    the five selection stages in SQL (argmax window per stage, penalty
+    = MAX sim to the selected set) and hash-matches the whole
+    trajectory bit-for-bit; pytest additionally pins the selection
+    against a pure-Python reference and a planted diversity scenario."""
     from ..operators import similarity
 
     emb = t(spark, sf_dir, "embeddings")
