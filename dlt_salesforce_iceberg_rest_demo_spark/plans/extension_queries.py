@@ -222,13 +222,42 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_bruteforce")
+_BRUTE_DDOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15) "
+    "AS BIGINT))) AS DOUBLE)"
+)
+
+_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id,
+         {_BRUTE_DDOT.format(a="qv", b="cv")}
+         / ( sqrt({_BRUTE_DDOT.format(a="qv", b="qv")})
+           * sqrt({_BRUTE_DDOT.format(a="cv", b="cv")}) ) AS cosine
+  FROM q JOIN c ON corpus_id <> query_id)
+SELECT query_id, corpus_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@register("similarity_topk_bruteforce", oracle=_BRUTE_ORACLE)
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production brute-force cosine top-5 (double fold, fastest exact
-    path). Rows-only; pytest asserts rank-agreement with the
-    fixed-point variant."""
+    """Brute-force exact cosine top-5, fixed-point accumulation — the
+    baseline every ANN variant is measured against, now hash-proof
+    end-to-end (scores AND ranks match DuckDB bit-for-bit). The
+    double-fold production variant (same ranking, fastest JVM path)
+    stays pinned in pytest via
+    test_bruteforce_matches_fixed_point_ranking."""
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, exact_decimal=True
+    )
 
 
 @register("similarity_ann_lsh")
