@@ -166,8 +166,22 @@ def _table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         m, valid = _stack_valid(vecs, planes.shape[1])
-        bits = (m @ planes.T) > 0  # (n, T*P)
-        per_table = bits.reshape(len(m), n_tables, n_planes)
+        # Sign bits from FIXED-POINT projections (per-element
+        # floor(v*w*1e15) summed exactly as int64), not a float matmul:
+        # pairwise-summed matmul dots can flip sign in the last ulp
+        # near zero, and the sign pattern here must be reproducible by
+        # the SQL oracle replaying the same arithmetic. Chunked per
+        # plane-block to keep the (n, P, dim) intermediate bounded.
+        n = len(m)
+        bits = np.empty((n, planes.shape[0]), dtype=bool)
+        # one plane at a time: the (n, dim) temporaries stay cache-
+        # sized (a 3D (n, planes, dim) tensor measured 4x slower from
+        # memory traffic alone)
+        for j in range(planes.shape[0]):
+            # association order pinned to the SQL form (v * w) * 1e15
+            d = np.floor(m * planes[j] * 1e15).astype(np.int64).sum(axis=1)
+            bits[:, j] = d > 0
+        per_table = bits.reshape(n, n_tables, n_planes)
         ids = (per_table * powers).sum(axis=2)  # (n, T)
         out = [ids[i] if valid[i] else None for i in range(len(valid))]
         return pd.Series(out)
@@ -234,8 +248,12 @@ def ann_lsh_topk(
     q = qb.select(
         "query_id", "qvec", "tbl", F.explode(probes).alias("bucket")
     )
-    cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    # fixed-point re-rank: with the bucket bits already bit-portable,
+    # this makes the WHOLE ANN result (candidates + scores + ranks)
+    # reproducible by the SQL oracle
+    cos = _dot_fixed(F.col("qvec"), F.col("cvec")).cast("double") / (
+        F.sqrt(_dot_fixed(F.col("qvec"), F.col("qvec")).cast("double"))
+        * F.sqrt(_dot_fixed(F.col("cvec"), F.col("cvec")).cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id")

@@ -260,11 +260,70 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_lsh")
+def _ann_oracle(n_planes: int = 8, n_tables: int = 16, dim: int = 64, k: int = 5) -> str:
+    """Replay of the full ANN pipeline: the 128 hyperplanes as DOUBLE-
+    cast list literals, fixed-point sign projections -> per-table
+    buckets, multiprobe r=1 bucket set, candidate join, fixed-point
+    rerank. Bit-exact because every float op (plane coefficients,
+    floored products, sqrt/divide) is identical in both engines."""
+    from ..operators.similarity import _hyperplanes
+
+    rows = []
+    for t_ in range(n_tables):
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, 42 + 1000 * t_)):
+            arr = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane)
+            rows.append(f"({t_}, {p}, [{arr}])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(t, p, warr) AS (VALUES {values}),
+vecs AS (SELECT vec_id, embedding FROM embeddings),
+proj AS (
+  SELECT vec_id, t, p,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * warr[i] * 1e15)
+                     AS BIGINT))) AS dp
+  FROM vecs CROSS JOIN planes),
+bk AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2),
+qprobe AS (
+  SELECT vec_id AS query_id, t,
+         unnest([bucket] || list_transform(generate_series(0, {n_planes - 1}),
+                j -> xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INT))))
+           AS bucket
+  FROM bk WHERE vec_id < 8),
+cand AS (
+  SELECT DISTINCT qp.query_id, b.vec_id AS corpus_id
+  FROM qprobe qp JOIN bk b ON b.t = qp.t AND b.bucket = qp.bucket
+  WHERE b.vec_id <> qp.query_id),
+scored AS (
+  SELECT c.query_id, c.corpus_id,
+         {_BRUTE_DDOT.format(a="q.embedding", b="d.embedding")}
+         / ( sqrt({_BRUTE_DDOT.format(a="q.embedding", b="q.embedding")})
+           * sqrt({_BRUTE_DDOT.format(a="d.embedding", b="d.embedding")}) )
+           AS cosine
+  FROM cand c
+  JOIN vecs q ON q.vec_id = c.query_id
+  JOIN vecs d ON d.vec_id = c.corpus_id)
+SELECT query_id, corpus_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@register("similarity_ann_lsh", oracle=_ann_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 (8-bit buckets x 16 tables,
     multiprobe r=1 -> measured recall@5 ~0.9 on the fixtures).
-    Rows-only; pytest measures recall@5 against brute force."""
+    Bucket sign bits come from FIXED-POINT projections and the rerank
+    uses the fixed-point cosine, so the DuckDB oracle replays the
+    entire pipeline — plane projections, buckets, multiprobe set,
+    candidate join, rerank — and hash-matches exactly; pytest keeps
+    the recall@5 bound against brute force."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, n_planes=8, n_tables=16
