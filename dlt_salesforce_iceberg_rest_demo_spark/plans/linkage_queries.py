@@ -663,7 +663,50 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("graph_k_truss_suppliers")
+def _ktruss_oracle(rounds: int = 6) -> str:
+    """Unrolled 3-truss peel: each stage keeps edges with >= 1 common
+    neighbor inside the previous stage's edge set. The truss fixed
+    point is unique and the fixture peel converges in 2 rounds
+    (probed; 6 unrolled stages give 3x margin — extra stages are
+    no-ops at the fixed point, exactly like Spark's early-exit loop)."""
+    parts = [
+        """WITH pairs AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey),
+e0 AS MATERIALIZED (
+  SELECT a, b FROM pairs
+  WHERE CAST(('0x' || substring(md5(CAST(a AS VARCHAR) || '#' ||
+        CAST(b AS VARCHAR)), 1, 8)) AS UBIGINT) % 10 = 0)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+nb{r} AS MATERIALIZED (SELECT a AS u, b AS v FROM e{r}
+                       UNION ALL SELECT b, a FROM e{r}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN nb{r} n1 ON n1.u = e.a
+  JOIN nb{r} n2 ON n2.u = e.b AND n2.v = n1.v
+  GROUP BY e.a, e.b)"""
+        )
+    parts.append(
+        f""",
+nbf AS (SELECT a AS u, b AS v FROM e{rounds}
+        UNION ALL SELECT b, a FROM e{rounds}),
+sup AS (
+  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e{rounds} e
+  JOIN nbf n1 ON n1.u = e.a
+  JOIN nbf n2 ON n2.u = e.b AND n2.v = n1.v
+  GROUP BY e.a, e.b)
+SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM sup GROUP BY support"""
+    )
+    return "".join(parts)
+
+
+@register("graph_k_truss_suppliers", oracle=_ktruss_oracle())
 def graph_k_truss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the supplier co-occurrence graph (`graph.k_truss`):
     the maximal subgraph where every surviving edge closes at least
@@ -672,10 +715,13 @@ def graph_k_truss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hub-and-spoke star has high core numbers but no truss at all).
     Same md5-sparsified edge list as `graph_triangle_count_suppliers`
     so density is controlled at every SF; per-round support uses the
-    degree-oriented O(m^1.5) wedge join. Iterative peel -> rows-only
-    at the gate; pytest pins clique survival, pendant-triangle peel,
-    and the cascading support recount on crafted graphs. Output:
-    per-support edge counts (support histogram of the truss)."""
+    degree-oriented O(m^1.5) wedge join. The truss fixed point is
+    unique and order-independent, so an UNROLLED common-neighbor peel
+    in DuckDB (6 stages >= the fixture's 2-round convergence)
+    reproduces the exact support histogram; pytest pins clique
+    survival, pendant-triangle peel, and the cascading support recount
+    on crafted graphs. Output: per-support edge counts (support
+    histogram of the truss)."""
     from pyspark.sql import functions as F
 
     from ..operators.graph import k_truss

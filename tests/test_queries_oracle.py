@@ -33,6 +33,9 @@ NONEMPTY_EXEMPT: set[str] = {
     # driver's sf0.01 correctness gate (194 triangles) and at sf0.1
     # (124k), so its hash match proves values where it counts.
     "graph_triangle_count_suppliers",
+    # Same sparsified graph: the 3-truss is empty at sf0.001 (no
+    # triangles exist); 343 edges at the sf0.01 driver gate.
+    "graph_k_truss_suppliers",
 }
 
 
