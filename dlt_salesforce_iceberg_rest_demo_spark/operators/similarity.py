@@ -275,25 +275,41 @@ def _centroid_literal(centroids: "list[list[float]]") -> Column:
     )
 
 
+KMEANS_SCALE = 10**6
+
+
 def kmeans_fit(
     corpus: DataFrame,
     n_centroids: int = 16,
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[list[float]]:
-    """Lloyd's k-means over DataFrames, centroids driver-side.
+) -> list[list[int]]:
+    """Lloyd's k-means over DataFrames, centroids driver-side — in
+    QUANTIZED INTEGER space: vectors quantize once to
+    floor(x * 1e6) int64, distances are exact integer sums of squared
+    diffs, and the mean update is an exact integer floor-mean
+    (SUM // COUNT). Every decision in the fit (assignments, updates,
+    tie-breaks) is therefore order-free and engine-portable: a SQL
+    engine replaying the same arithmetic reproduces the identical
+    centroid trajectory, which is what lets the IVF driver-gate query
+    be oracle-checked instead of rows-only. Quantization error (1e-6
+    per element; embeddings are unit-scale) is far below cluster
+    geometry at any realistic scale.
 
     Init = the ``n_centroids`` lowest-id vectors (deterministic).
-    Per iteration: one assignment pass (Arrow-batched numpy argmin over
-    the centroid matrix, `_assign_cluster_udf`) and one mean-update
-    (posexplode -> (cluster, dim) partial avg - a shuffle of k x dim
-    cells, independent of corpus size). The collected centroid matrix
-    is k x dim doubles - always driver-safe. Rows with NULL/malformed
-    vectors assign to a NULL cluster and are excluded from the update.
+    Per iteration: one assignment pass (Arrow-batched numpy integer
+    argmin, `_assign_cluster_udf`) and one mean-update (posexplode ->
+    (cluster, dim) exact integer sums - a shuffle of k x dim cells,
+    independent of corpus size). The collected centroid matrix is
+    k x dim ints - always driver-safe. Rows with NULL/malformed
+    vectors assign to a NULL cluster and are excluded from the update;
+    empty clusters keep their previous centroid.
     """
+    import math
+
     centroids = [
-        [float(x) for x in r[vec_col]]
+        [int(math.floor(float(x) * KMEANS_SCALE)) for x in r[vec_col]]
         for r in corpus.orderBy(id_col).limit(n_centroids).collect()
     ]
     for _ in range(iters):
@@ -301,41 +317,62 @@ def kmeans_fit(
             F.col(vec_col).alias("v"),
             _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
         ).filter(F.col("cluster").isNotNull())
+        qx = F.floor(F.col("x").cast("double") * KMEANS_SCALE).cast("long")
         cells = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(F.sum(qx).alias("s"), F.count("*").alias("n"))
             .collect()
         )
         new = [list(c) for c in centroids]
         for r in cells:
-            new[r["cluster"]][r["dim"]] = r["m"]
+            # exact integer floor-mean; |s| < 2^53 so the SQL twin
+            # FLOOR(CAST(s AS DOUBLE)/n) lands on the same integer
+            new[r["cluster"]][r["dim"]] = r["s"] // r["n"]
         centroids = new
     return centroids
 
 
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """floor(x * 1e6) as int64 — the kmeans quantization, identical to
+    the SQL FLOOR(CAST(x AS DOUBLE) * 1000000.0)."""
+    return np.floor(m * KMEANS_SCALE).astype(np.int64)
+
+
 def _centroid_distances(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    """Squared L2 distances (n, k) via the expanded form. Used by BOTH
-    corpus assignment and query probe ranking so near-tie decisions
-    agree between the two sides (a corpus vector on a cluster boundary
-    is probed by the same list it was assigned to)."""
+    """Float squared-L2 distances (n, k) via the expanded form — the
+    fast matmul path kept for the PQ sub-quantizers, whose codebooks
+    stay in float space (PQ is rows-only by design; the IVF/SemDeDup
+    path uses the exact integer variant above)."""
     cents_sq = (cents * cents).sum(axis=1)
     # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
     return cents_sq[None, :] - 2.0 * (m @ cents.T)
 
 
-def _assign_cluster_udf(centroids: "list[list[float]]"):
-    """Pandas UDF: nearest-centroid index for a vector batch in one
-    numpy distance computation (ties -> lowest index via argmin;
-    NULL/wrong-length vectors -> NULL). Same rationale as
-    _table_buckets_udf: per-element HOF folds are interpreted; the
-    matmul is two orders faster."""
-    cents = np.array(centroids, dtype=np.float64)  # (k, dim)
+def _centroid_distances_int(mq: np.ndarray, cents_q: np.ndarray) -> np.ndarray:
+    """Exact integer squared L2 distances (n, k), one centroid at a
+    time (cache-sized temporaries; diffs <= 2e6 so squares sum well
+    inside int64). Used by BOTH corpus assignment and query probe
+    ranking so near-tie decisions agree between the two sides (a
+    corpus vector on a cluster boundary is probed by the same list it
+    was assigned to)."""
+    out = np.empty((len(mq), len(cents_q)), dtype=np.int64)
+    for j in range(len(cents_q)):
+        d = mq - cents_q[j]
+        out[:, j] = (d * d).sum(axis=1)
+    return out
+
+
+def _assign_cluster_udf(centroids: "list[list[int]]"):
+    """Pandas UDF: nearest-centroid index for a vector batch via exact
+    integer distances (ties -> lowest index via argmin;
+    NULL/wrong-length vectors -> NULL)."""
+    cents = np.asarray(centroids, dtype=np.int64)  # (k, dim)
 
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         m, valid = _stack_valid(vecs, cents.shape[1])
-        idx = _centroid_distances(m, cents).argmin(axis=1)
+        idx = _centroid_distances_int(_quantize(m), cents).argmin(axis=1)
         return pd.Series(
             [int(idx[i]) if valid[i] else None for i in range(len(valid))],
             dtype="Int32",
@@ -344,22 +381,25 @@ def _assign_cluster_udf(centroids: "list[list[float]]"):
     return assign
 
 
-def _probe_clusters_udf(centroids: "list[list[float]]", n_probe: int):
+def _probe_clusters_udf(centroids: "list[list[int]]", n_probe: int):
     """Pandas UDF: the ``n_probe`` nearest centroid indices per query
-    vector, same distance formulation as assignment."""
-    cents = np.array(centroids, dtype=np.float64)
+    vector, same integer distance formulation as assignment
+    (ties -> lower cluster id via stable argsort)."""
+    cents = np.asarray(centroids, dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probes(vecs: pd.Series) -> pd.Series:
         m, valid = _stack_valid(vecs, cents.shape[1])
-        order = np.argsort(_centroid_distances(m, cents), axis=1, kind="stable")
+        order = np.argsort(
+            _centroid_distances_int(_quantize(m), cents), axis=1, kind="stable"
+        )
         top = order[:, :n_probe].astype("int32")
         return pd.Series([top[i] if valid[i] else None for i in range(len(valid))])
 
     return probes
 
 
-def _assign_cluster(vec: Column, centroids: "list[list[float]]") -> Column:
+def _assign_cluster(vec: Column, centroids: "list[list[int]]") -> Column:
     """Index of the nearest centroid for one vector column."""
     return _assign_cluster_udf(centroids)(vec)
 
@@ -404,15 +444,18 @@ def _ivf_search(
     (corpus_id, cvec, cluster) — used by the build-and-query-in-one
     :func:`ivf_topk` and the persisted-index :func:`ivf_query` path.
 
-    Probe ranking shares _centroid_distances with assignment, so a
-    boundary corpus vector is probed by the list it was assigned to."""
+    Probe ranking shares the integer distance formulation with
+    assignment, so a boundary corpus vector is probed by the list it
+    was assigned to; the rerank is the fixed-point cosine, making the
+    whole probe+rerank result engine-portable."""
     probes = _probe_clusters_udf(centroids, n_probe)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .select("query_id", "qvec", F.explode(probes(F.col("qvec"))).alias("cluster"))
     )
-    cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    cos = _dot_fixed(F.col("qvec"), F.col("cvec")).cast("double") / (
+        F.sqrt(_dot_fixed(F.col("qvec"), F.col("qvec")).cast("double"))
+        * F.sqrt(_dot_fixed(F.col("cvec"), F.col("cvec")).cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id")

@@ -330,12 +330,109 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf_topk")
+def _ivf_oracle(
+    n_centroids: int = 16, iters: int = 2, n_probe: int = 8, k: int = 5, dim: int = 64
+) -> str:
+    """Full replay of the quantized-integer IVF pipeline: vector
+    quantization, lowest-id init, ``iters`` Lloyd rounds (integer
+    argmin assignment with lowest-cluster tie-break; exact floor-mean
+    update; empty clusters keep their centroid), final assignment,
+    integer probe ranking, fixed-point cosine rerank. Every decision
+    is integer or an identical IEEE expression, so the result
+    hash-matches the engine bit-for-bit. All reused CTEs MATERIALIZED
+    (DuckDB inlines plain CTEs per reference)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (v.q[i] - c.cent[i]) * (v.q[i] - c.cent[i])))"
+    ).format(d=dim)
+    parts = [
+        f"""WITH qt AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(generate_series(1, {dim}),
+           i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                     AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cluster, q AS cent FROM (
+    SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM qt)
+  WHERE rn <= {n_centroids})"""
+    ]
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS pick
+    FROM qt v CROSS JOIN {prev} c) WHERE pick = 1),
+u{r} AS MATERIALIZED (
+  SELECT a.cluster, dims.i,
+         CAST(FLOOR(CAST(SUM(v.q[dims.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS cent_i
+  FROM a{r} a JOIN qt v USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) dims
+  GROUP BY a.cluster, dims.i),
+c{r} AS MATERIALIZED (
+  SELECT p.cluster, COALESCE(u.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster, list(cent_i ORDER BY i) AS cent FROM u{r}
+    GROUP BY cluster) u USING (cluster))"""
+        )
+    final = f"c{iters}"
+    ddot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15) "
+        "AS BIGINT))) AS DOUBLE)"
+    )
+    parts.append(
+        f""",
+af AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS pick
+    FROM qt v CROSS JOIN {final} c) WHERE pick = 1),
+probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT v.vec_id AS query_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS pick
+    FROM qt v CROSS JOIN {final} c WHERE v.vec_id < 8)
+  WHERE pick <= {n_probe}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS corpus_id
+  FROM probe p JOIN af a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT cd.query_id, cd.corpus_id,
+         {ddot.format(a="qv.embedding", b="cv.embedding")}
+         / ( sqrt({ddot.format(a="qv.embedding", b="qv.embedding")})
+           * sqrt({ddot.format(a="cv.embedding", b="cv.embedding")}) )
+           AS cosine
+  FROM cand cd
+  JOIN qt qv ON qv.vec_id = cd.query_id
+  JOIN qt cv ON cv.vec_id = cd.corpus_id)
+SELECT query_id, corpus_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+@register("similarity_ivf_topk", oracle=_ivf_oracle())
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-5 (16-list k-means quantizer, 2 Lloyd
-    iterations, probe 8 -> measured recall@5 ~0.93). Rows-only
-    (centroids are engine-computed floats); pytest measures recall
-    against brute force."""
+    iterations, probe 8 -> measured recall@5 ~0.93). The quantizer
+    runs in QUANTIZED INTEGER space (`similarity.kmeans_fit`), so the
+    whole pipeline — init, assignments, floor-mean updates, probe
+    ranking, fixed-point rerank — replays in DuckDB and hash-matches
+    exactly; pytest additionally measures recall against brute
+    force."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=8
