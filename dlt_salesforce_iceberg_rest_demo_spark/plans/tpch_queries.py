@@ -599,15 +599,17 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
     GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
     """,
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (adapted: no shipdate year window - the fixture span
-    is the window): bilateral trade volume between NATION_1 and
-    NATION_2 per direction and year.
+    is the window): bilateral trade volume between NATION_18 and
+    NATION_19 per direction and year — a pair chosen because it has
+    bilateral trade at EVERY fixture scale (NATION_1/NATION_2 had no
+    common orders at sf0.001, making the hash match vacuous).
 
     The nation dimension joins twice under different roles with a
     cross-role disjunction; expressing the pair filter AFTER both
@@ -627,8 +629,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
