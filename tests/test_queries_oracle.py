@@ -75,3 +75,14 @@ def test_every_query_has_doc():
     query_fns()
     for name, q in REGISTRY.items():
         assert q.doc.strip(), f"{name} missing docstring/parity note"
+
+
+def test_driver_contract_key_consistency():
+    """oracle_sql() keys must be a subset of queries() keys with
+    non-empty SQL — a dangling oracle would crash the driver gate."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
+    assert all(callable(f) for f in q.values())
