@@ -86,3 +86,41 @@ def test_driver_contract_key_consistency():
     assert set(o) <= set(q)
     assert all(isinstance(s, str) and s.strip() for s in o.values())
     assert all(callable(f) for f in q.values())
+
+
+def test_fixture_invariants_oracles_depend_on(duck):
+    """Several oracle equivalences lean on fixture properties; if the
+    driver's generator ever changes, fail HERE with a clear message
+    instead of as opaque hash mismatches:
+
+    - documents.text is pure ASCII (byte-level oracles equate ord(char)
+      with payload bytes);
+    - (user_id, ts) is unique in events (the EWMA fold order and the
+      regex-funnel sequence strings are fully determined);
+    - event types have distinct initials (the funnel symbol alphabet);
+    - embeddings are 64-dimensional with no NULLs (fixed-point dot
+      oracles and the k-means replay index positions 1..64).
+    """
+    non_ascii = duck.execute(
+        "SELECT COUNT(*) FROM documents "
+        "WHERE octet_length(CAST(text AS BLOB)) <> length(text)"
+    ).fetchone()[0]
+    assert non_ascii == 0, "documents.text is no longer pure ASCII"
+
+    dup_ts = duck.execute(
+        "SELECT COUNT(*) FROM (SELECT user_id, ts FROM events "
+        "GROUP BY 1, 2 HAVING COUNT(*) > 1)"
+    ).fetchone()[0]
+    assert dup_ts == 0, "(user_id, ts) no longer unique in events"
+
+    initials = duck.execute(
+        "SELECT COUNT(DISTINCT substr(event_type, 1, 1)), "
+        "COUNT(DISTINCT event_type) FROM events"
+    ).fetchone()
+    assert initials[0] == initials[1], "event-type initials collide"
+
+    emb = duck.execute(
+        "SELECT COUNT(*) FROM embeddings "
+        "WHERE embedding IS NULL OR len(embedding) <> 64"
+    ).fetchone()[0]
+    assert emb == 0, "embeddings are not uniformly 64-d"
