@@ -147,24 +147,53 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    payload = json.dumps(
+    full_payload, compact = build_payloads(timings, total, sf)
+    # Full per-query map goes to disk only: the driver's stdout capture
+    # window is ~2 kB from the END of the stream, so the 73-query map
+    # (~4.6 kB) got front-truncated in rounds 1 AND 2 ("parsed": null).
+    Path(__file__).resolve().parent.joinpath("BENCH.json").write_text(
+        full_payload + "\n"
+    )
+    # Stdout gets a compact line (<1.5 kB): headline metric plus the
+    # slowest 5 queries so the perf trend is still visible inline.
+    print(compact)
+
+
+def build_payloads(
+    timings: dict[str, float], total: float, sf: float
+) -> tuple[str, str]:
+    """Return (full_json, compact_json). The compact line must stay
+    under ~1.5 kB so the driver's tail-of-stdout capture never
+    truncates it mid-JSON."""
+    full_payload = json.dumps(
         {
             "metric": "headline_queries_total_wall_clock",
             "value": round(total, 3),
             "unit": "sec",
-            # ms precision keeps the one-line payload well under 4 kB
-            # so line-buffered capture can't truncate it mid-JSON.
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": sf,
         },
         separators=(",", ":"),
     )
-    # Belt and braces: the authoritative line on stdout AND a file copy
-    # (round 1's driver captured only the tail of the stdout line).
-    Path(__file__).resolve().parent.joinpath("BENCH.json").write_text(
-        payload + "\n"
+    slowest = dict(
+        sorted(
+            ((k, round(v, 3)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:5]
     )
-    print(payload)
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": slowest,
+            "details": "BENCH.json",
+        },
+        separators=(",", ":"),
+    )
+    return full_payload, compact
 
 
 if __name__ == "__main__":

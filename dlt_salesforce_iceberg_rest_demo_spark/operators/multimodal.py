@@ -468,6 +468,8 @@ def write_binary_fixtures(
     import os
     from pathlib import Path
 
+    import hashlib
+
     rows = (
         docs.filter((F.col(id_col) % modulus) == 0)
         .select(id_col, text_col)
@@ -475,7 +477,16 @@ def write_binary_fixtures(
     )
     out = Path(out_dir)
     done = out / "_FIXTURES_DONE"
-    if done.exists() and done.read_text() == str(len(rows)):
+    # Idempotence marker is a CONTENT digest, not a row count: equal
+    # counts with changed text must regenerate, or stale PNG/WAV bytes
+    # would surface downstream as an opaque oracle hash mismatch.
+    digest = hashlib.md5(
+        "\x1f".join(
+            f"{r[id_col]}\x1e{r[text_col]}"
+            for r in sorted(rows, key=lambda r: r[id_col])
+        ).encode("utf-8")
+    ).hexdigest()
+    if done.exists() and done.read_text() == digest:
         return len(rows)
     out.mkdir(parents=True, exist_ok=True)
     for r in rows:
@@ -486,7 +497,7 @@ def write_binary_fixtures(
             encode_wav_pcm8(raw[:WAV_SAMPLE_CAP], rate=8000)
         )
     tmp = out / "_FIXTURES_DONE.tmp"
-    tmp.write_text(str(len(rows)))
+    tmp.write_text(digest)
     os.replace(tmp, done)
     return len(rows)
 

@@ -169,8 +169,11 @@ def count_min_lookup(
 
 HLL_M = 64          # registers (precision p = 6)
 HLL_HASH_BITS = 60  # md5 hex digits 2-16 -> fits a signed 64-bit lane
-# alpha_m for m = 64: 0.7213 / (1 + 1.079/m) (Flajolet et al., Fig. 3)
-HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha_64 = 0.709 exactly: Flajolet et al. 2007 give per-m constants
+# for m < 128 (alpha_16, alpha_32, alpha_64) and prescribe the
+# 0.7213/(1+1.079/m) closed form only for m >= 128. The oracle plan
+# imports this constant, so engine and SQL stay in lockstep.
+HLL_ALPHA = 0.709
 _RHO_MAX = HLL_HASH_BITS - 6 + 1  # first-one position in the 54 payload bits + 1
 
 

@@ -931,8 +931,13 @@ def bpe_train_merges_batched(
     Scale shape identical to the sequential trainer: corpus collapses
     to the word-frequency table first; every round touches only
     vocabulary-sized data; the merge application is a Catalyst fold
-    per adopted pair. Per round only the top ``8 * batch_size``
-    candidate rows are collected (bounded).
+    per adopted pair. Per round the top ``8 * batch_size`` candidate
+    rows are collected first; if the window is exhausted before the
+    batch fills (every remaining pair shares a symbol with an adopted
+    one), the collect WIDENS (4x) until the batch fills or the window
+    covers the entire ranking — so the adopted set always equals
+    walking the full ranking, while the common-case collect stays
+    bounded.
 
     Returns (merge_rank, left, right, pair_count); pair_count is the
     count AT ADOPTION TIME (start of its batch's round).
@@ -958,26 +963,31 @@ def bpe_train_merges_batched(
                 )
             ).alias("p"),
         )
-        top = (
+        ranked = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("cnt"))
             .select(F.col("cnt"), F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(max(8 * batch_size, 8))
-            .collect()
         )
-        if not top:
-            break
-        used: set[str] = set()
-        adopted: list[tuple[str, str, int]] = []
-        for row in top:
-            if len(adopted) >= min(batch_size, n_merges - len(merges)):
+        want = min(batch_size, n_merges - len(merges))
+        limit = max(8 * batch_size, 8)
+        while True:
+            top = ranked.limit(limit).collect()
+            used: set[str] = set()
+            adopted: list[tuple[str, str, int]] = []
+            for row in top:
+                if len(adopted) >= want:
+                    break
+                if row["l"] in used or row["r"] in used:
+                    continue
+                adopted.append((row["l"], row["r"], int(row["cnt"])))
+                used.update((row["l"], row["r"], row["l"] + row["r"]))
+            # len(top) < limit means the window already covers the whole
+            # ranking: walking it IS the documented full-ranking rule.
+            if len(adopted) >= want or len(top) < limit:
                 break
-            if row["l"] in used or row["r"] in used:
-                continue
-            adopted.append((row["l"], row["r"], int(row["cnt"])))
-            used.update((row["l"], row["r"], row["l"] + row["r"]))
-        if not adopted:
+            limit *= 4
+        if not top or not adopted:
             break
         for left, right, cnt in adopted:
             merges.append((len(merges) + 1, left, right, cnt))

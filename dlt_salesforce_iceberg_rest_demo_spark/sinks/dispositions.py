@@ -353,16 +353,56 @@ class ParquetLake:
         """Versions along MAIN's parent chain, newest first, starting at
         the current pointer. The chain is the published lineage — branch
         heads and orphaned WAP staging manifests are never on it (until
-        a fast_forward publishes them). Stops cleanly at the root, at a
-        legacy manifest with no recorded parent, or at lineage `vacuum`
-        already expired; ``limit`` caps the walk length."""
+        a fast_forward publishes them). Stops cleanly at the root or at
+        lineage `vacuum` already expired; ``limit`` caps the walk.
+
+        LEGACY FALLBACK: if the chain breaks at a pre-lineage manifest
+        (no recorded parent, but numerically older manifests still on
+        disk), the walk extends with the descending numeric window and
+        warns — expiring real pre-lineage history (or refusing AS-OF
+        resolution past the break) would be a silent behavior change vs
+        the old numeric-window retention. The fallback may over-retain
+        orphaned branch manifests from before the break; that is the
+        safe direction."""
         chain: list[int] = []
         v: int | None = self._current_version(table)
+        expired = False
         while v is not None and (limit is None or len(chain) < limit):
             if not (self.root / table / f"_MANIFEST.{v}.json").exists():
+                expired = True  # vacuumed lineage: genuine end of history
                 break
             chain.append(v)
             v = self._manifest_parent(table, v)
+        if (
+            not expired
+            and v is None
+            and chain
+            and (limit is None or len(chain) < limit)
+        ):
+            older = sorted(
+                (
+                    w
+                    for w in (
+                        int(m.name.split(".")[1])
+                        for m in (self.root / table).glob("_MANIFEST.*.json")
+                    )
+                    if w < chain[-1] and w not in chain
+                ),
+                reverse=True,
+            )
+            if older:
+                logger.warning(
+                    "lineage of %s breaks at legacy manifest v%d (no "
+                    "recorded parent); falling back to the numeric "
+                    "version window over %d older manifest(s)",
+                    table,
+                    chain[-1],
+                    len(older),
+                )
+                for w in older:
+                    if limit is not None and len(chain) >= limit:
+                        break
+                    chain.append(w)
         return chain
 
     def fast_forward(self, table: str, branch: str) -> int:

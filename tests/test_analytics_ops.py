@@ -417,6 +417,34 @@ class TestBpeTrainerBatched:
         ]
         assert got == want
 
+    def test_window_widens_when_top_candidates_all_share_symbols(self, spark):
+        """The initial 8*batch_size collect window can be saturated by
+        pairs that all share a symbol with the first adoption; the
+        engine must WIDEN the collect (matching the documented
+        full-ranking walk and _ref_bpe_batched) rather than adopt a
+        short batch."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        # 17 pairs all containing 'a' (window 16 for batch_size=2 sees
+        # only these), plus a disjoint ('x','y') ranked 18th.
+        words = ["ab"] * 100
+        for i, c in enumerate("cdefghijklmnopqrs"[:16]):
+            words += [f"a{c}"] * 3
+        words += ["xy"] * 2
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        got = [
+            (r["left"], r["right"])
+            for r in t_ops.bpe_train_merges_batched(docs, n_merges=2, batch_size=2)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        texts = [" ".join(words)]
+        want = [(l, r) for _, l, r, _ in _ref_bpe_batched(texts, 2, 2)]
+        assert got == want
+        assert got[1] == ("x", "y")  # found beyond the initial window
+
     def test_disjointness_within_each_batch(self, spark):
         from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
 

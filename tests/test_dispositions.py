@@ -602,6 +602,38 @@ class TestBranchesWap:
         with _pytest.raises(ValueError, match="not an ancestor"):
             lake.fast_forward("t", "stage")
 
+    def test_vacuum_legacy_lineage_break_falls_back_to_numeric_window(
+        self, spark, tmp_path
+    ):
+        """A pre-lineage manifest (no recorded parent) mid-history must
+        NOT truncate retention/AS-OF there: the walk falls back to the
+        numeric version window so vacuum(keep_last=N) still retains N
+        real snapshots and version_as_of resolves past the break."""
+        import datetime as dt
+        import json as _json
+        import time
+
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="v1")]), "t")
+        v1 = lake.current_version("t")
+        time.sleep(0.01)
+        t_after_v1 = dt.datetime.now()
+        time.sleep(0.01)
+        lake.append(df_of(spark, [Row(id=2, v="v2")]), "t")
+        v2 = lake.current_version("t")
+        lake.append(df_of(spark, [Row(id=3, v="v3")]), "t")
+        lake.append(df_of(spark, [Row(id=4, v="v4")]), "t")
+        # Simulate a legacy pre-lineage manifest: strip v2's parent.
+        mpath = lake.root / "t" / f"_MANIFEST.{v2}.json"
+        data = _json.loads(mpath.read_text())
+        del data["parent"]
+        mpath.write_text(_json.dumps(data))
+        assert v1 in lake._main_ancestry("t")  # fallback window reaches v1
+        # AS-OF resolution crosses the break to the real older snapshot
+        assert lake.version_as_of("t", t_after_v1) == v1
+        lake.vacuum("t", keep_last=4)
+        assert {r.v for r in lake.read("t", v1).collect()} == {"v1"}
+
     def test_vacuum_keeps_branch_head(self, spark, tmp_path):
         lake = make_lake(spark, tmp_path)
         lake.replace(df_of(spark, [Row(id=1, v="a")]), "t")

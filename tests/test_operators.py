@@ -1187,3 +1187,21 @@ class TestBinaryCodecs:
         assert n1 == n2 == 2
         names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
         assert names == ["doc_0.png", "doc_0.wav", "doc_20.png", "doc_20.wav"]
+
+    def test_fixture_writer_regenerates_on_content_change(self, spark, tmp_path):
+        """Equal doc COUNT with changed text must regenerate: the
+        idempotence marker is a content digest, so stale PNG/WAV bytes
+        can't be silently served after a fixture-corpus change."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+        from pyspark.sql import Row
+
+        out = str(tmp_path / "fx")
+        mm.write_binary_fixtures(
+            spark.createDataFrame([Row(doc_id=0, text="before")]), out
+        )
+        png_v1 = (tmp_path / "fx" / "doc_0.png").read_bytes()
+        mm.write_binary_fixtures(
+            spark.createDataFrame([Row(doc_id=0, text="after!")]), out
+        )
+        png_v2 = (tmp_path / "fx" / "doc_0.png").read_bytes()
+        assert png_v1 != png_v2

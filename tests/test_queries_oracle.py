@@ -88,6 +88,27 @@ def test_driver_contract_key_consistency():
     assert all(callable(f) for f in q.values())
 
 
+def test_bench_stdout_line_fits_driver_capture():
+    """The driver captures only the tail ~2 kB of bench stdout; rounds
+    1 and 2 both recorded "parsed": null because the full 73-query map
+    (~4.6 kB) got front-truncated. The compact stdout line must stay
+    parseable and under 1.5 kB even as the headline set grows."""
+    import json
+
+    import bench
+
+    fake = {f"query_with_a_reasonably_long_name_{i:03d}": i * 0.123 for i in range(120)}
+    full, compact = bench.build_payloads(fake, sum(fake.values()), 0.1)
+    assert len(compact) < 1500, len(compact)
+    parsed = json.loads(compact)
+    assert parsed["metric"] == "headline_queries_total_wall_clock"
+    assert parsed["unit"] == "sec"
+    assert parsed["n_queries"] == 120
+    assert len(parsed["queries"]) == 5  # slowest-5 preview
+    # the full map still lands on disk, intact
+    assert len(json.loads(full)["queries"]) == 120
+
+
 def test_fixture_invariants_oracles_depend_on(duck):
     """Several oracle equivalences lean on fixture properties; if the
     driver's generator ever changes, fail HERE with a clear message
