@@ -339,14 +339,41 @@ def _quantize(m: np.ndarray) -> np.ndarray:
     return np.floor(m * KMEANS_SCALE).astype(np.int64)
 
 
-def _centroid_distances(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    """Float squared-L2 distances (n, k) via the expanded form — the
-    fast matmul path kept for the PQ sub-quantizers, whose codebooks
-    stay in float space (PQ is rows-only by design; the IVF/SemDeDup
-    path uses the exact integer variant above)."""
-    cents_sq = (cents * cents).sum(axis=1)
-    # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
-    return cents_sq[None, :] - 2.0 * (m @ cents.T)
+def _quantize_unit_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Quantized UNIT vectors, fully bit-portable: per-element
+    ``floor(x*x*1e15)`` (exact in float64 — x² ≤ 1 keeps the product
+    under 2^53), integer sum (order-free), ``norm =
+    sqrt(sum/1e15)``, then ``floor(x / norm * 1e6)`` as int64. Every
+    step is a single correctly-rounded IEEE op or integer arithmetic,
+    so numpy, Spark SQL (:func:`_quantized_unit`) and the DuckDB
+    oracle all land on the identical integers. Returns (uq int64
+    matrix, nonzero-norm mask); zero-norm rows are left as zeros and
+    masked out."""
+    fl = np.floor(mat * mat * FIXED_SCALE)
+    s = fl.astype(np.int64).sum(axis=1)
+    norms = np.sqrt(s.astype(np.float64) / FIXED_SCALE)
+    nz = norms > 0
+    unit = np.divide(mat, norms[:, None], where=nz[:, None])
+    uq = np.floor(unit * float(KMEANS_SCALE)).astype(np.int64)
+    uq[~nz] = 0
+    return uq, nz
+
+
+def _quantized_unit(vec: Column) -> Column:
+    """JVM twin of :func:`_quantize_unit_np`: array<long> of
+    ``floor(x_i / ‖x‖ * 1e6)`` with the portable fixed-point norm;
+    NULL for zero-norm vectors."""
+    n2 = _dot_fixed(vec, vec)
+    norm = F.sqrt(n2.cast("double") / F.lit(float(FIXED_SCALE)))
+    return F.when(
+        n2 > 0,
+        F.transform(
+            vec,
+            lambda x: F.floor(
+                x.cast("double") / norm * F.lit(float(KMEANS_SCALE))
+            ).cast("long"),
+        ),
+    )
 
 
 def _centroid_distances_int(mq: np.ndarray, cents_q: np.ndarray) -> np.ndarray:
@@ -729,7 +756,7 @@ def pq_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_fraction: float = 1.0,
-) -> "list[list[list[float]]]":
+) -> "list[list[list[int]]]":
     """Train ``m`` per-subspace codebooks (each ``n_codes`` centroids)
     with JOINT Lloyd iterations: one Arrow-batched assignment pass
     computes all ``m`` sub-codes per vector (`_pq_encode_udf`), and one
@@ -738,8 +765,15 @@ def pq_fit(
     naive composition was m*iters*2 jobs and dominated wall-clock).
     The update shuffle carries at most ``m * n_codes * dim/m`` cells
     regardless of corpus size. Init = the ``n_codes`` lowest-id
-    normalized vectors' slices (deterministic). Codebook matrix is
-    ``m * n_codes * (dim/m)`` doubles - always driver-safe.
+    vectors' QUANTIZED-UNIT slices (deterministic). Codebook matrix is
+    ``m * n_codes * (dim/m)`` int64 - always driver-safe.
+
+    Runs in QUANTIZED INTEGER space, the `kmeans_fit` discipline
+    applied per subspace: vectors quantize to unit-normalized
+    floor(u * 1e6) int64 (`_quantize_unit_np`), distances are exact
+    integer squared-L2 sums, centroid updates are exact integer
+    floor-means — so the whole Lloyd trajectory (and the downstream
+    ADC scoring) replays bit-exactly in a SQL oracle.
 
     ``train_fraction < 1`` trains on a DETERMINISTIC md5 sample of the
     corpus (reproducible across runs/cluster sizes, unlike df.sample's
@@ -761,6 +795,9 @@ def pq_fit(
         train = corpus.filter(bucket < keep)
     else:
         train = corpus
+    # Zero-norm vectors can neither seed nor train (their unit vector
+    # is undefined); the oracle filters the same rows.
+    train = train.filter(_dot_fixed(F.col(vec_col), F.col(vec_col)) > 0)
 
     dim = len(corpus.select(vec_col).first()[0])
     dsub = dim // m
@@ -768,24 +805,20 @@ def pq_fit(
     seeds = np.array(
         [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
     )
-    norms = np.sqrt((seeds * seeds).sum(axis=1, keepdims=True))
-    np.divide(seeds, norms, out=seeds, where=norms > 0)
+    sq, _ = _quantize_unit_np(seeds)
     books = [
-        [list(map(float, seeds[c, j * dsub : (j + 1) * dsub]))
+        [[int(x) for x in sq[c, j * dsub : (j + 1) * dsub]]
          for c in range(n_codes)]
         for j in range(m)
     ]
 
-    norm = _norm(F.col(vec_col))
-    unit = train.select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("u")
-    ).filter(norm > 0)
+    uq = train.select(_quantized_unit(F.col(vec_col)).alias("uq"))
     for _ in range(iters):
-        enc = _pq_encode_udf(books)
+        enc = _pq_encode_udf(books, pre_quantized=True)
         cells = (
-            unit.select(F.col("u"), enc(F.col("u")).alias("codes"))
+            uq.select(F.col("uq"), enc(F.col("uq")).alias("codes"))
             .filter(F.col("codes").isNotNull())
-            .select(F.posexplode("u").alias("dim", "x"), F.col("codes"))
+            .select(F.posexplode("uq").alias("dim", "x"), F.col("codes"))
             .select(
                 (F.col("dim") / dsub).cast("int").alias("j"),
                 F.element_at(
@@ -795,35 +828,42 @@ def pq_fit(
                 F.col("x"),
             )
             .groupBy("j", "code", "d")
-            .agg(F.avg("x").alias("mean"))
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .collect()
         )
         new = [[list(c) for c in book] for book in books]
         for r in cells:
-            new[r["j"]][r["code"]][r["d"]] = r["mean"]
+            # exact integer floor-mean; |s| < 2^53 so the SQL twin
+            # FLOOR(CAST(s AS DOUBLE)/n) lands on the same integer
+            new[r["j"]][r["code"]][r["d"]] = r["s"] // r["n"]
         books = new
     return books
 
 
-def _pq_encode_udf(books: "list[list[list[float]]]"):
+def _pq_encode_udf(books: "list[list[list[int]]]", pre_quantized: bool = False):
     """Pandas UDF: all ``m`` sub-codes for a vector batch in one numpy
-    pass (argmin against each subspace codebook); input is normalized
-    with the same op order as pq_fit's prep."""
-    mats = [np.array(b, dtype=np.float64) for b in books]
+    pass — exact integer squared-L2 argmin against each subspace's
+    int64 codebook (ties -> lowest code, matching the oracle's
+    ROW_NUMBER tie-break). ``pre_quantized`` skips the unit
+    quantization when the input column already holds
+    `_quantized_unit` arrays (the fit loop's case)."""
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
     m = len(mats)
     dsub = mats[0].shape[1]
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def encode(vecs: pd.Series) -> pd.Series:
         mat, valid = _stack_valid(vecs, m * dsub)
-        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-        np.divide(mat, norms, out=mat, where=norms > 0)
-        codes = np.empty((mat.shape[0], m), dtype="int32")
+        if pre_quantized:
+            uq, nz = mat.astype(np.int64), np.ones(len(mat), dtype=bool)
+        else:
+            uq, nz = _quantize_unit_np(mat)
+        codes = np.empty((uq.shape[0], m), dtype="int32")
         for j in range(m):
-            sub = mat[:, j * dsub : (j + 1) * dsub]
-            codes[:, j] = _centroid_distances(sub, mats[j]).argmin(axis=1)
+            sub = uq[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = _centroid_distances_int(sub, mats[j]).argmin(axis=1)
         return pd.Series(
-            [codes[i] if valid[i] and norms[i, 0] > 0 else None
+            [codes[i] if valid[i] and nz[i] else None
              for i in range(len(valid))]
         )
 
@@ -846,10 +886,13 @@ def pq_topk(
 
     The 100 TB memory path: each corpus vector is stored as ``m`` int8
     codes (16 bytes here vs 256+ for the float vector); scoring is
-    asymmetric distance computation (ADC) - the exact query sub-vectors
-    dotted against each subspace's codebook entry, i.e. ``score =
-    sum_j <q_j, codebook_j[code_j]>``, which on L2-normalized inputs
-    approximates cosine.
+    asymmetric distance computation (ADC) - the quantized query
+    sub-vectors dotted against each subspace's codebook entry, i.e.
+    ``score = sum_j <q_j, codebook_j[code_j]>``, which on
+    unit-normalized inputs approximates cosine. Codebooks, codes, LUT
+    entries and ADC sums are ALL exact integers (`pq_fit`'s quantized
+    discipline), so shortlist selection is order-free and replays
+    bit-exactly in a SQL oracle; the rerank is the fixed-point cosine.
 
     Plan shape: encode is map-only (Arrow-batched numpy); scoring
     cross-joins the (tiny, broadcast) query set against corpus codes
@@ -868,26 +911,27 @@ def pq_topk(
     ).filter(F.col("codes").isNotNull())
 
     # Per-query ADC lookup tables, computed driver-side from the query
-    # vectors (queries are the small side by construction).
+    # vectors (queries are the small side by construction). Quantized
+    # query units dotted against int64 codebooks -> exact int64 LUT
+    # cells (|cell| <= dsub * 1e6 * 1e6, well inside int64).
     qrows = queries.select(id_col, vec_col).collect()
-    mats = [np.array(b, dtype=np.float64) for b in books]
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
     dsub = mats[0].shape[1]
     qids, luts = [], []
     for r in qrows:
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        n = np.sqrt((v * v).sum())
-        if n == 0:
+        v = np.asarray([r[vec_col]], dtype=np.float64)
+        qq, nz = _quantize_unit_np(v)
+        if not nz[0]:
             continue
-        v = v / n
         qids.append(int(r[id_col]))
         luts.append(
-            [list(map(float, mats[j] @ v[j * dsub : (j + 1) * dsub]))
+            [[int(x) for x in mats[j] @ qq[0, j * dsub : (j + 1) * dsub]]
              for j in range(len(mats))]
         )
     # ONE nested Literal, not F.array-of-F.array-of-F.lit: per-element
     # construction adds n_q*m*n_codes analyzer nodes (2k+ here) and the
     # plan-time cost dwarfs execution (see functions/bloom.py note).
-    lut_lit = F.lit(luts).cast("array<array<array<double>>>")
+    lut_lit = F.lit(luts).cast("array<array<array<bigint>>>")
     qdf = F.broadcast(
         corpus.sparkSession.createDataFrame(
             [(q, i + 1) for i, q in enumerate(qids)], "query_id long, qpos int"
@@ -901,7 +945,7 @@ def pq_topk(
                 F.element_at(lut_q, j.cast("int") + 1), code + 1
             ),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -915,15 +959,17 @@ def pq_topk(
         .filter(F.col("adc_rank") <= shortlist * k)
         .drop("adc_rank")
     )
-    # Exact cosine rerank over the shortlist only.
+    # Exact cosine rerank over the shortlist only (fixed-point, so the
+    # final ranking is engine-portable like the IVF/brute-force paths).
     cvec = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
     )
     qvec = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     )
-    cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    cos = _dot_fixed(F.col("qvec"), F.col("cvec")).cast("double") / (
+        F.sqrt(_dot_fixed(F.col("qvec"), F.col("qvec")).cast("double"))
+        * F.sqrt(_dot_fixed(F.col("cvec"), F.col("cvec")).cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id")

@@ -322,14 +322,136 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import temporal as temporal_ops  # noqa: E402
 
 
-@register("similarity_pq_topk")
+def _pq_oracle(
+    m: int = 16,
+    n_codes: int = 16,
+    iters: int = 2,
+    shortlist: int = 10,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Full replay of the quantized-integer PQ pipeline
+    (`similarity.pq_fit`/`pq_topk`): portable unit quantization
+    (fixed-point norm, floor(u*1e6) int64), lowest-id codebook init,
+    ``iters`` joint Lloyd rounds per subspace (integer argmin with
+    lowest-code tie-break, exact floor-mean updates, empty cells keep
+    their centroid), final encoding, integer ADC lookup tables,
+    integer shortlist ranking, fixed-point cosine rerank. Every
+    decision is integer or an identical IEEE op sequence, so the
+    result hash-matches the engine bit-for-bit. Reused CTEs
+    MATERIALIZED (DuckDB inlines plain CTEs per reference)."""
+    dsub = dim // m
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        "i -> (v.q[c.j*{ds}+i] - c.cent[i]) * (v.q[c.j*{ds}+i] - c.cent[i])))"
+    ).format(ds=dsub)
+    parts = [
+        f"""WITH qt AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(generate_series(1, {dim}),
+           i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                           / sqrt(CAST(norm2 AS DOUBLE) / 1e15)
+                           * 1000000.0) AS BIGINT)) AS q
+  FROM (
+    SELECT vec_id, embedding,
+           list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE) * 1e15)
+                       AS BIGINT))) AS norm2
+    FROM embeddings)
+  WHERE norm2 > 0),
+subs AS MATERIALIZED (SELECT unnest(generate_series(0, {m - 1})) AS j),
+b0 AS MATERIALIZED (
+  SELECT s.j, CAST(t.rn - 1 AS INT) AS code,
+         list_transform(generate_series(1, {dsub}),
+           i -> t.q[s.j * {dsub} + i]) AS cent
+  FROM (SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM qt) t
+  CROSS JOIN subs s
+  WHERE t.rn <= {n_codes})"""
+    ]
+    for r in range(1, iters + 1):
+        prev = f"b{r - 1}"
+        parts.append(
+            f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, j, code FROM (
+    SELECT v.vec_id, c.j, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.j
+                              ORDER BY {dist}, c.code) AS pick
+    FROM qt v CROSS JOIN {prev} c) WHERE pick = 1),
+u{r} AS MATERIALIZED (
+  SELECT a.j, a.code, dims.i,
+         CAST(FLOOR(CAST(SUM(v.q[a.j * {dsub} + dims.i]) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS cent_i
+  FROM a{r} a JOIN qt v USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS i) dims
+  GROUP BY a.j, a.code, dims.i),
+b{r} AS MATERIALIZED (
+  SELECT p.j, p.code, COALESCE(u.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT j, code, list(cent_i ORDER BY i) AS cent FROM u{r}
+    GROUP BY j, code) u USING (j, code))"""
+        )
+    final = f"b{iters}"
+    ddot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15) "
+        "AS BIGINT))) AS DOUBLE)"
+    )
+    parts.append(
+        f""",
+enc AS MATERIALIZED (
+  SELECT vec_id, j, code FROM (
+    SELECT v.vec_id, c.j, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.j
+                              ORDER BY {dist}, c.code) AS pick
+    FROM qt v CROSS JOIN {final} c) WHERE pick = 1),
+lut AS MATERIALIZED (
+  SELECT v.vec_id AS query_id, c.j, c.code,
+         list_sum(list_transform(generate_series(1, {dsub}),
+           i -> v.q[c.j * {dsub} + i] * c.cent[i])) AS cell
+  FROM qt v CROSS JOIN {final} c WHERE v.vec_id < 8),
+adc AS MATERIALIZED (
+  SELECT l.query_id, e.vec_id AS corpus_id, SUM(l.cell) AS adc_score
+  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_score DESC, corpus_id) AS rnk
+    FROM adc) WHERE rnk <= {shortlist * k}),
+scored AS (
+  SELECT s.query_id, s.corpus_id,
+         {ddot.format(a="qv.embedding", b="cv.embedding")}
+         / ( sqrt({ddot.format(a="qv.embedding", b="qv.embedding")})
+           * sqrt({ddot.format(a="cv.embedding", b="cv.embedding")}) )
+           AS cosine
+  FROM short s
+  JOIN qt qv ON qv.vec_id = s.query_id
+  JOIN qt cv ON cv.vec_id = s.corpus_id)
+SELECT query_id, corpus_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+@register("similarity_pq_topk", oracle=_pq_oracle())
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (`similarity.pq_topk`): 16
     subspace codebooks compress each vector to 16 bytes; ADC scoring
-    runs as plan-literal lookup tables inside JVM codegen; exact
-    cosine reranks a 10x shortlist. Rows-only (k-means codebooks are
-    engine-internal); pytest asserts recall@5 >= 0.8 vs the exact
-    top-k on the fixtures."""
+    runs as plan-literal integer lookup tables inside JVM codegen;
+    fixed-point cosine reranks a 10x shortlist. The codebooks train in
+    QUANTIZED INTEGER space (the `kmeans_fit` discipline applied per
+    subspace), so the whole pipeline — unit quantization, Lloyd
+    trajectory, encoding, ADC, shortlist, rerank — replays in DuckDB
+    and hash-matches exactly; pytest keeps recall@5 >= 0.8 vs the
+    exact top-k."""
     from pyspark.sql import functions as F
 
     from ..operators import similarity
