@@ -268,6 +268,64 @@ def ann_lsh_topk(
     )
 
 
+def lsh_neighbor_pairs(
+    corpus: DataFrame,
+    eps_cosine: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Epsilon-neighborhood CANDIDATE pairs via LSH self-join — the
+    scale-path pair generator for :func:`dbscan` (and any other
+    pairwise consumer): corpus vectors sharing a bucket in ANY of the
+    ``n_tables`` hash tables pair up, then an exact fixed-point cosine
+    filter keeps pairs >= ``eps_cosine``. No all-pairs join ever
+    happens: per table the self-join keys on (table, bucket), so
+    shuffle volume tracks bucket occupancy — at 100 TB raise
+    ``n_planes`` so buckets stay bounded (2^n_planes buckets/table)
+    and the join stays linear-ish in corpus size.
+
+    Deterministic end to end (fixed seeded planes, fixed-point
+    projections and cosines), so a SQL oracle can replay bucket
+    assignment, the candidate join, and the filter bit-exactly.
+    Returns (id_a, id_b) with id_a < id_b, distinct. Approximate BY
+    DESIGN: pairs whose vectors collide in no table are missed —
+    recall is tuned by (n_planes, n_tables), and the exact all-pairs
+    path remains ``dbscan(pairs=None)``.
+    """
+    buckets = _table_buckets_udf(dim, n_planes, n_tables, seed)
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot_fixed(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(_dot_fixed(F.col("va"), F.col("va")).cast("double"))
+        * F.sqrt(_dot_fixed(F.col("vb"), F.col("vb")).cast("double"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cos >= F.lit(eps_cosine))
+        .select("id_a", "id_b")
+    )
+
+
 def _centroid_literal(centroids: "list[list[float]]") -> Column:
     """Centroid matrix as a plan-literal array<array<double>>."""
     return F.array(

@@ -579,15 +579,67 @@ _DBSCAN_DDOT = (
     "AS BIGINT))) AS DOUBLE)"
 )
 
-_DBSCAN_ORACLE = f"""
-WITH RECURSIVE
-p AS (
+_DBSCAN_COSINE = (
+    f"""{_DBSCAN_DDOT.format(a="a.embedding", b="b.embedding")}
+        / ( sqrt({_DBSCAN_DDOT.format(a="a.embedding", b="a.embedding")})
+          * sqrt({_DBSCAN_DDOT.format(a="b.embedding", b="b.embedding")}) )"""
+)
+
+# All-pairs epsilon-neighborhood CTE (the exact twin).
+_DBSCAN_EXACT_PAIRS = f"""p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE {_DBSCAN_DDOT.format(a="a.embedding", b="b.embedding")}
-        / ( sqrt({_DBSCAN_DDOT.format(a="a.embedding", b="a.embedding")})
-          * sqrt({_DBSCAN_DDOT.format(a="b.embedding", b="b.embedding")}) )
-        >= 0.4),
+  WHERE {_DBSCAN_COSINE} >= 0.4)"""
+
+
+def _dbscan_lsh_pairs_sql(
+    n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """LSH-candidate epsilon-pairs CTEs: replay of
+    `similarity.lsh_neighbor_pairs` — seeded hyperplanes as literals,
+    fixed-point sign projections -> per-table buckets, bucket
+    self-join candidates, exact fixed-point cosine filter."""
+    from ..operators.similarity import _hyperplanes
+
+    rows = []
+    for t_ in range(n_tables):
+        for p_, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t_)):
+            arr = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane)
+            rows.append(f"({t_}, {p_}, [{arr}])")
+    values = ",\n".join(rows)
+    return f"""planes(t, p, warr) AS (VALUES {values}),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * pl.warr[i] * 1e15)
+                     AS BIGINT))) AS dp
+  FROM embeddings e CROSS JOIN planes pl),
+bk AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bk x JOIN bk y
+    ON y.t = x.t AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+p AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+  WHERE {_DBSCAN_COSINE} >= 0.4)"""
+
+
+def _dbscan_oracle(pair_sql: str) -> str:
+    """DBSCAN closure over a pairs CTE ``p(id_a, id_b)``: symmetric
+    neighbor lists, degree core marking, recursive min-label
+    propagation over core-core edges, min-id border attachment, noise
+    fill, per-cluster rollup — shared by the exact and LSH-candidate
+    oracle twins."""
+    return f"""
+WITH RECURSIVE
+{pair_sql},
 nb AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
 deg AS (SELECT id_a, COUNT(*) AS n FROM nb GROUP BY 1),
 core AS (SELECT id_a AS cid FROM deg WHERE n >= 3),
@@ -624,7 +676,7 @@ FROM allrows GROUP BY cluster_id
 """
 
 
-@register("embedding_dbscan_clusters", oracle=_DBSCAN_ORACLE)
+@register("embedding_dbscan_clusters", oracle=_dbscan_oracle(_DBSCAN_EXACT_PAIRS))
 def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the embedding corpus (`similarity.dbscan`, eps =
     cosine 0.4, minPts 3): density clusters with explicit noise — the
@@ -644,6 +696,43 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     out = similarity.dbscan(emb, eps_cosine=0.4, min_pts=3)
+    return (
+        out.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_core"),
+            F.sum(F.when(F.col("role") == "border", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_border"),
+        )
+    )
+
+
+@register("embedding_dbscan_lsh_clusters", oracle=_dbscan_oracle(_dbscan_lsh_pairs_sql()))
+def embedding_dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN composed with the LSH candidate generator — the 100 TB
+    plan (`similarity.lsh_neighbor_pairs` -> `similarity.dbscan`):
+    epsilon pairs come from a bucket self-join over 8 seeded 4-bit
+    hash tables plus an exact fixed-point cosine filter, so NO
+    all-pairs join happens at any corpus size (shuffle keys on
+    (table, bucket); raise n_planes to keep buckets bounded as the
+    corpus grows). Approximate by design — non-colliding neighbor
+    pairs are missed — but fully deterministic, so the oracle replays
+    bucket assignment, the candidate join, the filter, and the whole
+    DBSCAN closure hash-exactly. The exact all-pairs twin stays
+    registered as `embedding_dbscan_clusters`; pytest asserts the two
+    paths agree on planted tight-cluster geometry."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_neighbor_pairs(
+        emb, eps_cosine=0.4, dim=64, n_planes=4, n_tables=8
+    )
+    out = similarity.dbscan(emb, eps_cosine=0.4, min_pts=3, pairs=pairs)
     return (
         out.groupBy("cluster_id")
         .agg(

@@ -974,6 +974,62 @@ class TestDbscan:
         assert all(role[i] == "core" for i in (1, 2, 3, 11, 12, 13))
         assert role[99] == "noise"
 
+    def test_lsh_candidate_path_agrees_with_exact_on_tight_clusters(self, spark):
+        """The composed scale path (lsh_neighbor_pairs -> dbscan) must
+        reproduce the exact all-pairs result when within-cluster
+        similarity is high enough that every eps-pair collides in at
+        least one table (16 tables x 2 planes on the planted blobs:
+        per-pair miss probability ~1e-26, and the seeded planes make
+        the outcome deterministic either way)."""
+        import math
+
+        def ang(d, axis=0):
+            c, s = math.cos(math.radians(d)), math.sin(math.radians(d))
+            return [c, s, 0.0] if axis == 0 else [0.0, c, s]
+
+        corpus = self._vecs(
+            spark,
+            [(1, ang(0)), (2, ang(2)), (3, ang(4)),
+             (11, ang(0, 1)), (12, ang(2, 1)), (13, ang(4, 1)),
+             (99, [0.577, 0.577, 0.578])],
+        )
+        exact = {
+            (r.vec_id, r.cluster_id, r.role)
+            for r in similarity.dbscan(corpus, eps_cosine=0.99, min_pts=2).collect()
+        }
+        pairs = similarity.lsh_neighbor_pairs(
+            corpus, eps_cosine=0.99, dim=3, n_planes=2, n_tables=16
+        )
+        composed = {
+            (r.vec_id, r.cluster_id, r.role)
+            for r in similarity.dbscan(
+                corpus, eps_cosine=0.99, min_pts=2, pairs=pairs
+            ).collect()
+        }
+        assert composed == exact
+
+    def test_lsh_pairs_are_subset_of_exact_eps_pairs(self, spark):
+        """lsh_neighbor_pairs may MISS eps-pairs (approximate recall)
+        but must never emit a pair below eps: the exact cosine filter
+        runs after candidate generation."""
+        import math
+
+        def ang(d):
+            return [math.cos(math.radians(d)), math.sin(math.radians(d)), 0.0]
+
+        corpus = self._vecs(
+            spark, [(i, ang(15 * i)) for i in range(8)]
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_neighbor_pairs(
+                corpus, eps_cosine=0.95, dim=3, n_planes=2, n_tables=8
+            ).collect()
+        }
+        # eps = 0.95 ~= cos(18.2deg): only adjacent 15-degree steps pass
+        exact = {(i, i + 1) for i in range(7)}
+        assert got <= exact
+
 
 class TestKTruss:
     """k-truss edge peeling: cliques survive, pendant triangles peel,
