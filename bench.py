@@ -108,6 +108,8 @@ EXTENSION_HEADLINE = [
     "sketch_hll_portable_users",
     "multimodal_binaryfile_ingest",
     "events_regex_funnel",
+    "similarity_pq_topk",
+    "embedding_dbscan_lsh_clusters",
 ]
 
 

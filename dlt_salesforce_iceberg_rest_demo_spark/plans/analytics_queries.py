@@ -646,15 +646,23 @@ def stats_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_bpe_merges")
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge-table training (4 rounds) on the fixture corpus — the
-    tokenizer-training step of an LLM data pipeline. Corpus collapses
-    to its word-frequency table in the first groupBy (all later rounds
-    are vocabulary-sized regardless of corpus size); pair counting,
-    argmax and the merge fold are pure Catalyst expressions — no
-    Python in any round. Rows-only: the iterative argmax/merge isn't
-    single-statement SQL; pytest pins the full merge sequence against
-    a pure-Python reference BPE (`TestBpeTrainer`)."""
-    return text.bpe_train_merges(t(spark, sf_dir, "documents"), n_merges=4)
+    """BPE merge-table training on the fixture corpus — the
+    tokenizer-training step of an LLM data pipeline, via the BATCHED
+    trainer (`text.bpe_train_merges_batched`, batch_size=2): each
+    corpus pass adopts up to 2 symbol-disjoint merges, halving the
+    driver round-trips vs one-merge-per-pass — the difference that
+    makes a 50k-merge production vocabulary tractable. Corpus
+    collapses to its word-frequency table in the first groupBy (all
+    later rounds are vocabulary-sized regardless of corpus size);
+    pair counting, ranking and the merge fold are pure Catalyst
+    expressions — no Python in any round. Rows-only: the iterative
+    rank/merge isn't single-statement SQL; pytest pins the batch rule
+    against a pure-Python batch-greedy reference
+    (`TestBpeTrainerBatched`) and the sequential trainer against
+    classic BPE (`TestBpeTrainer`)."""
+    return text.bpe_train_merges_batched(
+        t(spark, sf_dir, "documents"), n_merges=4, batch_size=2
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1122,20 +1130,23 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_bpe_encode")
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer ENCODE pass (`text.bpe_encode`): train 6 merges on the
-    corpus (`text.bpe_train_merges`, reference-pinned in pytest), then
-    apply them in rank order to every document — greedy left-to-right
-    non-overlapping, the trainer's own semantics. Distinct-word
-    vocabulary encodes once (Catalyst merge folds, no Python);
-    occurrences join back via broadcast. Rows-only at the driver (the
-    greedy fold is not expressible in one portable SQL statement);
-    pytest pins encode output against a pure-Python reference
-    tokenizer. Output: (doc_id, n_words, n_tokens)."""
-    from ..operators.text import bpe_encode, bpe_train_merges
+    corpus with the BATCHED trainer (`text.bpe_train_merges_batched`,
+    batch_size=3 — 2 corpus passes instead of 6; batch rule pinned in
+    pytest), then apply them in rank order to every document — greedy
+    left-to-right non-overlapping, the trainer's own semantics.
+    Distinct-word vocabulary encodes once (Catalyst merge folds, no
+    Python); occurrences join back via broadcast. Rows-only at the
+    driver (the greedy fold is not expressible in one portable SQL
+    statement); pytest pins encode output against a pure-Python
+    reference tokenizer. Output: (doc_id, n_words, n_tokens)."""
+    from ..operators.text import bpe_encode, bpe_train_merges_batched
 
     docs = t(spark, sf_dir, "documents")
     merges = [
         (r["left"], r["right"])
-        for r in bpe_train_merges(docs, n_merges=6).orderBy("merge_rank").collect()
+        for r in bpe_train_merges_batched(docs, n_merges=6, batch_size=3)
+        .orderBy("merge_rank")
+        .collect()
     ]
     return bpe_encode(docs, merges)
 

@@ -1,0 +1,93 @@
+"""Generate an sfN scale slice by replicating an existing fixture dir
+``factor`` times into DISJOINT key universes (keys offset by
+10M/copy; document tokens prefixed per copy so the dedup/text corpora
+stay disjoint and expected work grows linearly; nations/regions stay
+shared dims). The slice measures ENGINE scaling with per-copy
+statistics identical to the source — the saturated-vocabulary regime
+(df growing with corpus) is intentionally not reproduced here; sf0.1
+covers it (see STATE.md round-2 lessons).
+
+Usage: python scripts/make_scale_slice.py [--src /root/testdata/sf0.1]
+       [--dst /tmp/scale_sf1.0] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+from pathlib import Path
+
+import duckdb
+
+STEP = 10_000_000  # key offset per copy; far above any sf0.1 key
+
+
+def build(src: str, dst: str, factor: int) -> None:
+    out = Path(dst)
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW copies AS SELECT unnest(generate_series(0, {factor - 1})) AS c"
+    )
+
+    def rep(table: str, select: str) -> None:
+        con.execute(
+            f"COPY (SELECT {select} FROM '{src}/{table}.parquet' "
+            f"CROSS JOIN copies) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    rep(
+        "orders",
+        f"o_orderkey + c*{STEP} AS o_orderkey, "
+        f"o_custkey + c*{STEP} AS o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+    )
+    rep(
+        "lineitem",
+        f"l_orderkey + c*{STEP} AS l_orderkey, "
+        f"l_partkey + c*{STEP} AS l_partkey, "
+        f"l_suppkey + c*{STEP} AS l_suppkey, "
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        "l_returnflag, l_linestatus, l_shipdate",
+    )
+    rep(
+        "customer",
+        f"c_custkey + c*{STEP} AS c_custkey, "
+        "c_name, c_nationkey, c_acctbal, c_mktsegment",
+    )
+    rep("supplier", f"s_suppkey + c*{STEP} AS s_suppkey, s_name, s_nationkey, s_acctbal")
+    rep(
+        "part",
+        f"p_partkey + c*{STEP} AS p_partkey, "
+        "p_name, p_brand, p_type, p_size, p_retailprice",
+    )
+    # copy>0 documents get every token prefixed: within-copy statistics
+    # identical, zero cross-copy shingle collisions -> dedup output and
+    # candidate volume scale linearly with the corpus.
+    rep(
+        "documents",
+        f"doc_id + c*{STEP} AS doc_id, "
+        "CASE WHEN c = 0 THEN text ELSE array_to_string("
+        "  list_transform(str_split(text, ' '), t -> concat('u', c, t)), ' ') "
+        "END AS text, "
+        "lang, source, "
+        "CASE WHEN c = 0 THEN n_chars ELSE length(array_to_string("
+        "  list_transform(str_split(text, ' '), t -> concat('u', c, t)), ' ')) "
+        "END AS n_chars",
+    )
+    rep("embeddings", f"vec_id + c*{STEP} AS vec_id, embedding, label")
+    # shared dims + untouched stream table: byte-for-byte copies (events
+    # keeps its TIMESTAMP(NANOS) physical type for the loader's
+    # nanosAsLong path)
+    for table in ("region", "nation", "events"):
+        shutil.copyfile(f"{src}/{table}.parquet", out / f"{table}.parquet")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/scale_sf1.0")
+    ap.add_argument("--factor", type=int, default=10)
+    a = ap.parse_args()
+    build(a.src, a.dst, a.factor)
+    print(f"wrote {a.dst} (factor {a.factor} of {a.src})")
