@@ -737,6 +737,13 @@ def semantic_dedup(
     to an already-kept vector exceeds ``threshold`` (scan order = id
     order, so output is deterministic).
 
+    Runs in the QUANTIZED-INTEGER discipline end to end: the k-means
+    quantizer is `kmeans_fit` (integer Lloyd trajectory), and the
+    greedy sims are computed on `_quantize_unit_np` vectors — exact
+    int64 dots divided by portable sqrt norms, so every cosine (and
+    every keep/drop decision) is bit-identical in any engine and the
+    whole operator replays in a SQL oracle (recursive-CTE greedy).
+
     Scale shape: clustering bounds the pairwise work to within-cluster
     (corpus**2 / k on balanced clusters) and the greedy pass runs
     per-cluster via applyInPandas - one shuffle on the cluster id. At
@@ -766,18 +773,31 @@ def semantic_dedup(
     )
 
     def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
-        unit = m / norms[:, None]
+        uq, nz = _quantize_unit_np(m)
+        # portable norms of the QUANTIZED vectors: int sum of squares
+        # -> one exact int->double conversion -> one sqrt (zero-norm
+        # rows keep norm 1 so their sims are exactly 0, as before)
+        n2 = (uq * uq).sum(axis=1)
+        norm_d = np.array(
+            [math.sqrt(float(x)) if x > 0 else 1.0 for x in n2], dtype=np.float64
+        )
         kept_rows: list[int] = []
         keep = np.ones(len(pdf), dtype=bool)
         dup_of = np.full(len(pdf), -1, dtype=np.int64)
         max_sim = np.full(len(pdf), np.nan)
         for i in range(len(pdf)):
             if kept_rows:
-                sims = unit[kept_rows] @ unit[i]
+                dots = uq[kept_rows] @ uq[i]  # exact int64
+                sims = np.array(
+                    [
+                        float(d) / (norm_d[kr] * norm_d[i])
+                        for d, kr in zip(dots, kept_rows)
+                    ]
+                )
                 j = int(np.argmax(sims))
                 max_sim[i] = float(sims[j])
                 if sims[j] > threshold:

@@ -1504,14 +1504,154 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_semantic_dedup")
+def _semdedup_oracle(
+    n_centroids: int = 8, iters: int = 2, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """Full replay of the quantized SemDeDup pipeline: integer k-means
+    trajectory (the `_ivf_oracle` pattern at k=8), per-vector cluster
+    assignment, portable unit quantization, within-cluster fixed-point
+    cosines, then the GREEDY id-order prune as a recursive CTE that
+    carries each cluster's kept-id list one scan position at a time
+    (keep i iff no already-kept j<i has cos > threshold — an inductive
+    definition, so it genuinely needs recursion: pairwise rules would
+    mis-drop the third element of an a~b, b~c, a!~c chain). dup_of /
+    max_sim recompute afterwards from the final kept sets (the kept
+    prefix before i equals the final kept set restricted to ids < i)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (v.qr[i] - c.cent[i]) * (v.qr[i] - c.cent[i])))"
+    ).format(d=dim)
+    parts = [
+        f"""WITH RECURSIVE qv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(generate_series(1, {dim}),
+           i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                     AS BIGINT)) AS qr,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE) * 1e15)
+                     AS BIGINT))) AS norm2
+  FROM embeddings),
+qt AS MATERIALIZED (
+  SELECT vec_id, qr,
+         CASE WHEN norm2 > 0 THEN list_transform(generate_series(1, {dim}),
+           i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                           / sqrt(CAST(norm2 AS DOUBLE) / 1e15)
+                           * 1000000.0) AS BIGINT))
+         ELSE list_transform(generate_series(1, {dim}), i -> CAST(0 AS BIGINT))
+         END AS q
+  FROM qv),
+c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cluster, qr AS cent FROM (
+    SELECT qr, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM qv)
+  WHERE rn <= {n_centroids})"""
+    ]
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS pick
+    FROM (SELECT vec_id, qr FROM qv) v CROSS JOIN {prev} c) WHERE pick = 1),
+u{r} AS MATERIALIZED (
+  SELECT a.cluster, dims.i,
+         CAST(FLOOR(CAST(SUM(v.qr[dims.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS cent_i
+  FROM a{r} a JOIN qv v USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) dims
+  GROUP BY a.cluster, dims.i),
+c{r} AS MATERIALIZED (
+  SELECT p.cluster, COALESCE(u.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster, list(cent_i ORDER BY i) AS cent FROM u{r}
+    GROUP BY cluster) u USING (cluster))"""
+        )
+    final = f"c{iters}"
+    parts.append(
+        f""",
+af AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS pick
+    FROM (SELECT vec_id, qr FROM qv) v CROSS JOIN {final} c) WHERE pick = 1),
+ranked AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster,
+         ROW_NUMBER() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS pos
+  FROM af a),
+norms AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN n2 > 0 THEN sqrt(CAST(n2 AS DOUBLE)) ELSE 1.0 END AS nd
+  FROM (SELECT vec_id,
+          list_sum(list_transform(q, x -> x * x)) AS n2 FROM qt)),
+sims AS MATERIALIZED (
+  SELECT ra.cluster, ra.vec_id AS a, rb.vec_id AS b,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              i -> qa.q[i] * qb.q[i])) AS DOUBLE) / (na.nd * nb.nd) AS cos
+  FROM ranked ra JOIN ranked rb
+    ON rb.cluster = ra.cluster AND ra.vec_id < rb.vec_id
+  JOIN qt qa ON qa.vec_id = ra.vec_id
+  JOIN qt qb ON qb.vec_id = rb.vec_id
+  JOIN norms na ON na.vec_id = ra.vec_id
+  JOIN norms nb ON nb.vec_id = rb.vec_id),
+greedy(pos, cluster, kept) AS (
+  SELECT 0, cluster, CAST([] AS BIGINT[])
+  FROM (SELECT DISTINCT cluster FROM ranked)
+  UNION ALL
+  SELECT g.pos + 1, g.cluster,
+         CASE WHEN r.vec_id IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM sims s
+                WHERE s.cluster = g.cluster AND s.b = r.vec_id
+                  AND s.cos > {threshold!r}
+                  AND list_contains(g.kept, s.a))
+              THEN list_append(g.kept, r.vec_id)
+              ELSE g.kept END
+  FROM greedy g
+  LEFT JOIN ranked r ON r.cluster = g.cluster AND r.pos = g.pos + 1
+  WHERE g.pos < (SELECT MAX(pos) FROM ranked)),
+kfinal AS (
+  SELECT cluster, kept FROM greedy
+  WHERE pos = (SELECT MAX(pos) FROM ranked)),
+flags AS (
+  SELECT r.vec_id, r.cluster, list_contains(k.kept, r.vec_id) AS keep
+  FROM ranked r JOIN kfinal k USING (cluster)),
+prior AS (
+  SELECT s.b AS vec_id, s.a AS j, s.cos
+  FROM sims s JOIN flags f ON f.vec_id = s.a AND f.keep),
+agg AS (
+  SELECT vec_id, MAX(cos) AS max_sim FROM prior GROUP BY vec_id),
+pick AS (
+  SELECT vec_id, j AS dup_of FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, j) AS rk
+    FROM prior) WHERE rk = 1)
+SELECT f.vec_id, CAST(f.cluster AS INTEGER) AS cluster, f.keep,
+       CASE WHEN f.keep THEN NULL ELSE p.dup_of END AS dup_of,
+       a.max_sim
+FROM flags f
+LEFT JOIN agg a USING (vec_id)
+LEFT JOIN pick p USING (vec_id)"""
+    )
+    return "".join(parts)
+
+
+@register("similarity_semantic_dedup", oracle=_semdedup_oracle())
 def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means clusters bound the
     pairwise work, then a per-cluster greedy cosine prune (id order,
     deterministic) marks vectors >0.95-similar to an already-kept
-    vector as duplicates. Iterative k-means + per-group greedy state
-    is not SQL-expressible -> rows-only gate; pytest plants exact
-    near-duplicates and asserts they (and only they) are pruned."""
+    vector as duplicates. The quantizer is the integer `kmeans_fit`
+    and the greedy sims are exact int64 dots of `_quantize_unit_np`
+    vectors over portable sqrt norms, so the ENTIRE operator — Lloyd
+    trajectory, assignment, every keep/drop decision, dup_of targets,
+    max_sim values — replays in DuckDB (recursive-CTE greedy over the
+    kept-id lists) and hash-matches exactly; pytest additionally
+    plants exact near-duplicates and asserts they (and only they) are
+    pruned."""
     return similarity.semantic_dedup(
         t(spark, sf_dir, "embeddings"), threshold=0.95, n_centroids=8
     )
