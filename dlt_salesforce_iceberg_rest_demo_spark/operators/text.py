@@ -377,33 +377,42 @@ def pack_sequences(
     corpus into dense training sequences instead of one padded
     sequence per short document.
 
-    Distributed shape: docs hash-repartition by id into
-    ``num_partitions`` independent packing domains; within each, a
-    first-fit-decreasing greedy (sort by token count desc, place into
-    the first open bin with room) runs in one arrow-batched
-    mapInPandas pass - no shuffle after the repartition, no global
-    coordination, bins are partition-local by construction. FFD is a
-    11/9-OPT+1 approximation, and cross-partition packing loss is at
-    most one underfull bin per partition - negligible when partitions
-    hold thousands of docs. Bin ids are globally unique:
-    ``partition_id * 2^32 + local_bin``. Docs longer than
+    Distributed shape: docs hash into ``num_partitions`` independent
+    packing domains by a PORTABLE md5 bucket of the id (not Spark's
+    physical partition id — a murmur3 artifact no other engine can
+    replay); within each domain, a first-fit-decreasing greedy (sort
+    by token count desc, place into the first open bin with room)
+    runs in one arrow-batched applyInPandas pass - one shuffle on the
+    bucket, no global coordination, bins are domain-local by
+    construction. FFD is a 11/9-OPT+1 approximation, and
+    cross-domain packing loss is at most one underfull bin per domain
+    - negligible when domains hold thousands of docs. Bin ids are
+    globally unique: ``bucket * 2^32 + local_bin``. Docs longer than
     ``max_tokens`` are truncated to capacity (chunk first with
     :func:`chunk_documents` when that matters).
 
-    Determinism: hash partitioning fixes each doc's domain; the
-    in-partition sort key (n_tokens desc, doc_id) fixes placement
-    order - same input, same bins, on any cluster size with the same
-    ``num_partitions``.
+    Determinism: the md5 bucket fixes each doc's domain as a pure
+    function of the DATA; the in-domain sort key (n_tokens desc,
+    doc_id) fixes placement order - same input, same bins, on any
+    cluster size with the same ``num_partitions``, and a SQL oracle
+    can replay every placement (recursive CTE over the per-domain
+    remaining-capacity lists).
     """
-    from pyspark import TaskContext
     from pyspark.sql import types as T
 
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % num_partitions
+    )
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
         F.least(F.size(tokens(text_col)).cast("long"), F.lit(max_tokens)).alias(
             "n_tokens"
         ),
-    ).repartition(num_partitions, "doc_id")
+        bucket.alias("part"),
+    )
 
     out_schema = T.StructType(
         [
@@ -413,19 +422,11 @@ def pack_sequences(
         ]
     )
 
-    def pack(batches):
-        import pandas as pd
-
-        pid = TaskContext.get().partitionId()
-        chunks = list(batches)
-        if not chunks:
-            return
-        rows = pd.concat(chunks, ignore_index=True)
-        if rows.empty:
-            return
-        rows = rows.sort_values(
+    def pack(pdf):
+        rows = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
+        pid = int(rows["part"].iloc[0])
         bin_space: list[int] = []  # remaining capacity per open bin
         assignment = []
         for n in rows["n_tokens"]:
@@ -440,9 +441,9 @@ def pack_sequences(
                 placed = len(bin_space) - 1
             assignment.append(pid * (1 << 32) + placed)
         rows["bin_id"] = assignment
-        yield rows[["doc_id", "n_tokens", "bin_id"]]
+        return rows[["doc_id", "n_tokens", "bin_id"]]
 
-    return sized.mapInPandas(pack, out_schema)
+    return sized.groupBy("part").applyInPandas(pack, out_schema)
 
 
 def unigram_surprisal(

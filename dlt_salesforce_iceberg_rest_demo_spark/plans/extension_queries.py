@@ -1982,21 +1982,80 @@ def sample_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_pack_sequences")
+def _pack_oracle(cap: int = 128, parts: int = 8) -> str:
+    """Replay of the md5-bucketed FFD packing: per bucket, docs in
+    (n_tokens DESC, doc_id) order place into the FIRST open bin with
+    room else open a new one — a genuinely sequential fold, expressed
+    as a recursive CTE that carries each bucket's remaining-capacity
+    list one placement at a time (all buckets advance in lockstep;
+    exhausted buckets idle). placed is the 0-based bin index chosen at
+    each step; bin ids reassemble as bucket * 2^32 + placed."""
+    idx = (
+        "list_min(list_filter(generate_series(1, len(g.spaces)), "
+        "j -> g.spaces[j] >= o.n_tokens))"
+    )
+    return f"""
+WITH RECURSIVE
+sized AS MATERIALIZED (
+  SELECT doc_id,
+         LEAST(CAST(len(str_split(lower(text), ' ')) AS BIGINT), {cap})
+           AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {parts} AS part
+  FROM documents),
+ordered AS MATERIALIZED (
+  SELECT doc_id, n_tokens, part,
+         ROW_NUMBER() OVER (PARTITION BY part
+                            ORDER BY n_tokens DESC, doc_id) AS pos
+  FROM sized),
+ffd(pos, part, spaces, placed) AS (
+  SELECT 0, part, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT part FROM ordered)
+  UNION ALL
+  SELECT g.pos + 1, g.part,
+         CASE WHEN o.doc_id IS NULL THEN g.spaces
+              WHEN {idx} IS NULL
+                THEN list_append(g.spaces, {cap} - o.n_tokens)
+              ELSE list_transform(generate_series(1, len(g.spaces)),
+                     i -> CASE WHEN i = {idx}
+                               THEN g.spaces[i] - o.n_tokens
+                               ELSE g.spaces[i] END)
+         END,
+         CASE WHEN o.doc_id IS NULL THEN CAST(NULL AS BIGINT)
+              WHEN {idx} IS NULL THEN CAST(len(g.spaces) AS BIGINT)
+              ELSE CAST({idx} - 1 AS BIGINT) END
+  FROM ffd g
+  LEFT JOIN ordered o ON o.part = g.part AND o.pos = g.pos + 1
+  WHERE g.pos < (SELECT MAX(pos) FROM ordered)),
+assign AS (
+  SELECT o.doc_id, o.n_tokens,
+         f.part * 4294967296 + f.placed AS bin_id
+  FROM ffd f JOIN ordered o ON o.part = f.part AND o.pos = f.pos
+  WHERE f.placed IS NOT NULL)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM assign GROUP BY bin_id
+"""
+
+
+@register("text_pack_sequences", oracle=_pack_oracle())
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing summary: documents greedily packed into
-    128-token bins (FFD per hash partition, globally unique bin ids),
-    reported as per-bin fill statistics. Rows-only at the driver (bin
-    assignment is an argmin over mutable packing state, not
-    SQL-expressible); tests/test_operators.py pins the invariants:
-    every doc assigned exactly once, every bin <= capacity,
-    deterministic assignment across runs."""
+    128-token bins (FFD per md5 bucket, globally unique bin ids),
+    reported as per-bin fill statistics. The packing domain is a
+    PORTABLE md5 bucket and every placement is a deterministic
+    function of (n_tokens DESC, doc_id) order, so the DuckDB oracle
+    replays the full first-fit-decreasing fold (recursive CTE over
+    per-bucket remaining-capacity lists) and hash-matches exactly;
+    tests/test_operators.py additionally pins the invariants: every
+    doc assigned exactly once, every bin <= capacity, deterministic
+    assignment across runs."""
     docs = t(spark, sf_dir, "documents")
     packed = text.pack_sequences(docs, max_tokens=128, num_partitions=8)
     return (
         packed.groupBy("bin_id")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").alias("bin_tokens"),
         )
         .orderBy("bin_id")
