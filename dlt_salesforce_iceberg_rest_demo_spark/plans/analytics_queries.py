@@ -644,7 +644,112 @@ def stats_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("text_bpe_merges")
+def _bpe_merge_fold_sql(sw: str, m: str) -> str:
+    """DuckDB replay of one BPE merge applied to a unit-separator
+    -joined symbol string ``sw``: a left fold where the accumulator is
+    the rebuilt string — if it currently ends with symbol ``m.l`` and
+    the next symbol is ``m.r``, the trailing ``l`` is replaced by
+    ``l||r`` (greedy left-to-right non-overlapping, the engine's
+    `_bpe_merge_expr` semantics: after a merge the new tail is
+    ``l||r != l``, so it can't be re-consumed). String state because
+    DuckDB v1.0's list_reduce mis-evaluates struct accumulators."""
+    return (
+        f"list_reduce(list_concat([chr(31)], "
+        f"str_split(trim({sw}, chr(31)), chr(31))), "
+        f"(acc, x) -> CASE WHEN ends_with(acc, chr(31) || {m}.l || chr(31)) "
+        f"AND x = {m}.r "
+        f"THEN acc[:len(acc) - len({m}.l) - 1] || {m}.l || {m}.r || chr(31) "
+        f"ELSE acc || x || chr(31) END)"
+    )
+
+
+def _bpe_train_ctes(n_rounds: int, batch: int) -> tuple[str, list[str]]:
+    """CTE chain replaying the batch-greedy BPE trainer: per round,
+    pair counts over the current symbol segmentation, (cnt DESC, l, r)
+    ranking, a greedy adoption walk (rank 1, then repeatedly the first
+    pair symbol-disjoint from everything adopted this round), then the
+    string-state merge folds. Returns (sql, adopted CTE names in merge
+    order). Counts are exact integer sums and every adoption is a
+    deterministic ranking walk, so the trajectory hash-matches the
+    engine; the general batch rule (incl. widening collects and short
+    batches) stays pinned in pytest."""
+    parts = [
+        """WITH tok AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31)
+           AS sw,
+         freq
+  FROM tok)"""
+    ]
+    adopted: list[str] = []
+    for r in range(1, n_rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+  SELECT pr.l, pr.r, SUM(freq) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                  i -> {{l: arr[i], r: arr[i + 1]}})) AS pr, freq
+    FROM (SELECT str_split(trim(sw, chr(31)), chr(31)) AS arr, freq
+          FROM {prev})) GROUP BY 1, 2),
+rk{r} AS MATERIALIZED (
+  SELECT l, r, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk FROM p{r}),
+a{r}1 AS MATERIALIZED (SELECT l, r, cnt FROM rk{r} WHERE rk = 1)"""
+        )
+        round_adopted = [f"a{r}1"]
+        for j in range(2, batch + 1):
+            joins = " ".join(
+                f"CROSS JOIN {name} u{i}"
+                for i, name in enumerate(round_adopted, 1)
+            )
+            used = ", ".join(
+                f"u{i}.l, u{i}.r, u{i}.l || u{i}.r"
+                for i in range(1, len(round_adopted) + 1)
+            )
+            parts.append(
+                f""",
+a{r}{j} AS MATERIALIZED (
+  SELECT k.l, k.r, k.cnt FROM rk{r} k {joins}
+  WHERE k.l NOT IN ({used}) AND k.r NOT IN ({used})
+  ORDER BY k.rk LIMIT 1)"""
+            )
+            round_adopted.append(f"a{r}{j}")
+        fold = "sw"
+        for name in round_adopted:
+            fold = _bpe_merge_fold_sql(fold, f"m_{name}")
+        fold_joins = " ".join(
+            f"CROSS JOIN {name} m_{name}" for name in round_adopted
+        )
+        parts.append(
+            f""",
+s{r} AS MATERIALIZED (
+  SELECT {fold} AS sw, freq
+  FROM {prev} {fold_joins})"""
+        )
+        adopted.extend(round_adopted)
+    return "".join(parts), adopted
+
+
+def _bpe_oracle(n_rounds: int = 2, batch: int = 2) -> str:
+    """Merge-table output of the trainer replay (`_bpe_train_ctes`)."""
+    ctes, adopted = _bpe_train_ctes(n_rounds, batch)
+    rows = [
+        (
+            f"SELECT CAST({i} AS BIGINT) AS merge_rank, "
+            f'l AS "left", r AS "right", cnt AS pair_count FROM {name}'
+            if i == 1
+            else f"SELECT CAST({i} AS BIGINT), l, r, cnt FROM {name}"
+        )
+        for i, name in enumerate(adopted, 1)
+    ]
+    return ctes + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("text_bpe_merges", oracle=_bpe_oracle())
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training on the fixture corpus — the
     tokenizer-training step of an LLM data pipeline, via the BATCHED
@@ -655,9 +760,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to its word-frequency table in the first groupBy (all
     later rounds are vocabulary-sized regardless of corpus size);
     pair counting, ranking and the merge fold are pure Catalyst
-    expressions — no Python in any round. Rows-only: the iterative
-    rank/merge isn't single-statement SQL; pytest pins the batch rule
-    against a pure-Python batch-greedy reference
+    expressions — no Python in any round. The 2 fixed rounds UNROLL
+    into a DuckDB oracle (`_bpe_oracle`): integer pair counts,
+    (cnt DESC, l, r) ranking, rank-1 + first-disjoint adoption, and a
+    string-state list_reduce replay of the greedy merge fold — the
+    merge table hash-matches exactly; pytest additionally pins the
+    batch rule against a pure-Python batch-greedy reference
     (`TestBpeTrainerBatched`) and the sequential trainer against
     classic BPE (`TestBpeTrainer`)."""
     return text.bpe_train_merges_batched(
@@ -1127,7 +1235,35 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("text_bpe_encode")
+def _bpe_encode_oracle(n_rounds: int = 2, batch: int = 3) -> str:
+    """Trainer replay (`_bpe_train_ctes`) continued through the ENCODE
+    pass: every distinct word's char string runs through all adopted
+    merge folds in rank order, n_word_tokens = surviving symbol count,
+    then word occurrences join back and aggregate per document."""
+    ctes, adopted = _bpe_train_ctes(n_rounds, batch)
+    fold = "chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31)"
+    for name in adopted:
+        fold = _bpe_merge_fold_sql(fold, f"m_{name}")
+    joins = " ".join(f"CROSS JOIN {name} m_{name}" for name in adopted)
+    return (
+        ctes
+        + f""",
+enc AS MATERIALIZED (
+  SELECT w,
+         CAST(len(str_split(trim({fold}, chr(31)), chr(31))) AS BIGINT)
+           AS n_word_tokens
+  FROM tok {joins}),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents)
+  WHERE len(w) > 0)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_word_tokens) AS BIGINT) AS n_tokens
+FROM dw d JOIN enc e USING (w) GROUP BY d.doc_id"""
+    )
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer ENCODE pass (`text.bpe_encode`): train 6 merges on the
     corpus with the BATCHED trainer (`text.bpe_train_merges_batched`,
@@ -1135,10 +1271,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest), then apply them in rank order to every document — greedy
     left-to-right non-overlapping, the trainer's own semantics.
     Distinct-word vocabulary encodes once (Catalyst merge folds, no
-    Python); occurrences join back via broadcast. Rows-only at the
-    driver (the greedy fold is not expressible in one portable SQL
-    statement); pytest pins encode output against a pure-Python
-    reference tokenizer. Output: (doc_id, n_words, n_tokens)."""
+    Python); occurrences join back via broadcast. The fixed 2x3
+    training rounds AND the encode folds unroll into a DuckDB oracle
+    (`_bpe_encode_oracle`) that hash-matches (doc_id, n_words,
+    n_tokens) exactly; pytest additionally pins encode output against
+    a pure-Python reference tokenizer."""
     from ..operators.text import bpe_encode, bpe_train_merges_batched
 
     docs = t(spark, sf_dir, "documents")
