@@ -299,30 +299,45 @@ def lsh_neighbor_pairs(
     buckets = _table_buckets_udf(dim, n_planes, n_tables, seed)
     b = corpus.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
-    cand = (
-        b.alias("x")
-        .join(
-            b.alias("y"),
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+
+    out_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = _dot_fixed(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(_dot_fixed(F.col("va"), F.col("va")).cast("double"))
-        * F.sqrt(_dot_fixed(F.col("vb"), F.col("vb")).cast("double"))
-    )
+
+    def pairs_in_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # Exact fixed-point cosine per in-bucket pair, vectorized: the
+        # same floor(x*y*1e15)-sum / sqrt-product arithmetic as
+        # `_dot_fixed`, one numpy row-block at a time (an interpreted
+        # zip_with fold per candidate pair measured ~10x slower; a
+        # full b^2 x dim tensor would blow memory on a hot bucket).
+        m, valid = _stack_valid(pdf["v"], dim)
+        ids = pdf["id"].to_numpy()
+        m, ids = m[valid], ids[valid]
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        n2 = np.floor(m * m * FIXED_SCALE).astype(np.int64).sum(axis=1)
+        nd = np.sqrt(n2.astype(np.float64))
+        outa: list[int] = []
+        outb: list[int] = []
+        for i in range(len(ids) - 1):
+            if nd[i] == 0:
+                continue
+            rest = m[i + 1 :]
+            dots = np.floor(rest * m[i] * FIXED_SCALE).astype(np.int64).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots.astype(np.float64) / (nd[i] * nd[i + 1 :])
+            hits = np.nonzero(cos >= eps_cosine)[0]
+            outa.extend([int(ids[i])] * len(hits))
+            outb.extend(int(ids[i + 1 + j]) for j in hits)
+        return pd.DataFrame({"id_a": outa, "id_b": outb})
+
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cos >= F.lit(eps_cosine))
-        .select("id_a", "id_b")
+        b.groupBy("tbl", "bucket")
+        .applyInPandas(pairs_in_bucket, out_schema)
+        .distinct()
     )
 
 
@@ -417,21 +432,23 @@ def _quantize_unit_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return uq, nz
 
 
-def _quantized_unit(vec: Column) -> Column:
-    """JVM twin of :func:`_quantize_unit_np`: array<long> of
-    ``floor(x_i / ‖x‖ * 1e6)`` with the portable fixed-point norm;
-    NULL for zero-norm vectors."""
-    n2 = _dot_fixed(vec, vec)
-    norm = F.sqrt(n2.cast("double") / F.lit(float(FIXED_SCALE)))
-    return F.when(
-        n2 > 0,
-        F.transform(
-            vec,
-            lambda x: F.floor(
-                x.cast("double") / norm * F.lit(float(KMEANS_SCALE))
-            ).cast("long"),
-        ),
-    )
+def _quantize_unit_udf(dim: int):
+    """Arrow-batched :func:`_quantize_unit_np` as a column: array<long>
+    of ``floor(x_i / ‖x‖ * 1e6)``; NULL for zero-norm / malformed
+    rows. A JVM transform-lambda twin exists mathematically but
+    re-evaluates the 64-element norm fold PER ELEMENT (interpreted
+    HOFs, no CSE) — measured ~6x slower than this numpy path on the
+    fit loop."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def qu(vecs: pd.Series) -> pd.Series:
+        m, valid = _stack_valid(vecs, dim)
+        uq, nz = _quantize_unit_np(m)
+        return pd.Series(
+            [uq[i] if valid[i] and nz[i] else None for i in range(len(valid))]
+        )
+
+    return qu
 
 
 def _centroid_distances_int(mq: np.ndarray, cents_q: np.ndarray) -> np.ndarray:
@@ -890,7 +907,11 @@ def pq_fit(
         for j in range(m)
     ]
 
-    uq = train.select(_quantized_unit(F.col(vec_col)).alias("uq"))
+    uq = (
+        train.select(_quantize_unit_udf(dim)(F.col(vec_col)).alias("uq"))
+        .filter(F.col("uq").isNotNull())
+        .localCheckpoint(eager=True)  # reused by BOTH Lloyd iterations
+    )
     for _ in range(iters):
         enc = _pq_encode_udf(books, pre_quantized=True)
         cells = (
@@ -915,6 +936,9 @@ def pq_fit(
             # FLOOR(CAST(s AS DOUBLE)/n) lands on the same integer
             new[r["j"]][r["code"]][r["d"]] = r["s"] // r["n"]
         books = new
+    from .dedup import _free_checkpoint
+
+    _free_checkpoint(uq)
     return books
 
 

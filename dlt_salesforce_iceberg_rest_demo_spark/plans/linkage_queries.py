@@ -710,27 +710,30 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_dbscan_lsh_clusters", oracle=_dbscan_oracle(_dbscan_lsh_pairs_sql()))
+@register(
+    "embedding_dbscan_lsh_clusters",
+    oracle=_dbscan_oracle(_dbscan_lsh_pairs_sql(n_planes=6, n_tables=8)),
+)
 def embedding_dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN composed with the LSH candidate generator — the 100 TB
     plan (`similarity.lsh_neighbor_pairs` -> `similarity.dbscan`):
-    epsilon pairs come from a bucket self-join over 8 seeded 4-bit
+    epsilon pairs come from a bucket self-join over 8 seeded 6-bit
     hash tables plus an exact fixed-point cosine filter, so NO
     all-pairs join happens at any corpus size (shuffle keys on
-    (table, bucket); raise n_planes to keep buckets bounded as the
-    corpus grows). Approximate by design — non-colliding neighbor
-    pairs are missed — but fully deterministic, so the oracle replays
-    bucket assignment, the candidate join, the filter, and the whole
-    DBSCAN closure hash-exactly. The exact all-pairs twin stays
-    registered as `embedding_dbscan_clusters`; pytest asserts the two
-    paths agree on planted tight-cluster geometry."""
+    (table, bucket); raise n_planes further to keep buckets bounded
+    as the corpus grows). Approximate by design — non-colliding
+    neighbor pairs are missed — but fully deterministic, so the
+    oracle replays bucket assignment, the candidate join, the filter,
+    and the whole DBSCAN closure hash-exactly. The exact all-pairs
+    twin stays registered as `embedding_dbscan_clusters`; pytest
+    asserts the two paths agree on planted tight-cluster geometry."""
     from pyspark.sql import functions as F
 
     from ..operators import similarity
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_neighbor_pairs(
-        emb, eps_cosine=0.4, dim=64, n_planes=4, n_tables=8
+        emb, eps_cosine=0.4, dim=64, n_planes=6, n_tables=8
     )
     out = similarity.dbscan(emb, eps_cosine=0.4, min_pts=3, pairs=pairs)
     return (
