@@ -335,3 +335,176 @@ class TestChangelogApplyProperty:
             k: (p, v) for k, (o, p, v) in state.items() if o != "D"
         }
         assert got == want
+
+
+class TestPackSequencesProperty:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.lists(
+                    st.sampled_from(["a", "bb", "ccc", "dddd", ""]),
+                    min_size=0,
+                    max_size=12,
+                ),
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda d: d[0],
+        )
+    )
+    def test_ffd_equals_python_reference(self, spark, docs):
+        """For arbitrary corpora the engine's md5-bucketed FFD must
+        equal a pure-Python replay: same buckets, same (n_tokens desc,
+        doc_id) order, same first-fit placements, same bin ids."""
+        import hashlib
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.text import (
+            pack_sequences,
+        )
+
+        cap, parts = 6, 3
+        rows = [(i, " ".join(toks)) for i, toks in docs]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.bin_id)
+            for r in pack_sequences(
+                df, max_tokens=cap, num_partitions=parts
+            ).collect()
+        }
+
+        def bucket(doc_id: int) -> int:
+            return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % parts
+
+        want: dict = {}
+        by_part: dict = {}
+        for i, text in rows:
+            n = min(len(text.lower().split(" ")), cap)
+            by_part.setdefault(bucket(i), []).append((i, n))
+        for pid, items in by_part.items():
+            spaces: list = []
+            for i, n in sorted(items, key=lambda t: (-t[1], t[0])):
+                placed = None
+                for b, space in enumerate(spaces):
+                    if space >= n:
+                        placed, spaces[b] = b, space - n
+                        break
+                if placed is None:
+                    spaces.append(cap - n)
+                    placed = len(spaces) - 1
+                want[i] = (n, pid * (1 << 32) + placed)
+        assert got == want
+
+
+class TestSemanticDedupProperty:
+    @SETTINGS
+    @given(
+        vecs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=100),
+                st.lists(
+                    st.floats(
+                        min_value=-2, max_value=2, allow_nan=False, width=32
+                    ),
+                    min_size=4,
+                    max_size=4,
+                ),
+            ),
+            min_size=2,
+            max_size=12,
+            unique_by=lambda v: v[0],
+        )
+    )
+    def test_greedy_prune_equals_python_reference(self, spark, vecs):
+        """The quantized greedy scan must equal a pure-Python replay of
+        the same fixed-point arithmetic for arbitrary vectors —
+        including zero vectors (sim exactly 0 to everything) and exact
+        duplicates (pruned with cosine 1)."""
+        import math
+
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.similarity import (
+            _quantize_unit_np,
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs]
+        )
+        out = {
+            r.vec_id: (r.keep, r.dup_of)
+            for r in semantic_dedup(
+                df, threshold=0.8, n_centroids=1, iters=1
+            ).collect()
+        }
+
+        # n_centroids=1: every vector lands in cluster 0, so the scan
+        # is one global id-ordered greedy pass.
+        ordered = sorted(vecs, key=lambda v: v[0])
+        m = np.array([v for _, v in ordered], dtype=np.float64)
+        uq, _ = _quantize_unit_np(m)
+        n2 = (uq * uq).sum(axis=1)
+        nd = [math.sqrt(float(x)) if x > 0 else 1.0 for x in n2]
+        kept: list = []
+        want: dict = {}
+        for idx, (vid, _) in enumerate(ordered):
+            best, best_j = None, None
+            for j in kept:
+                d = int(uq[j] @ uq[idx])
+                sim = float(d) / (nd[j] * nd[idx])
+                if best is None or sim > best:
+                    best, best_j = sim, j
+            if best is not None and best > 0.8:
+                want[vid] = (False, ordered[best_j][0])
+            else:
+                want[vid] = (True, None)
+                kept.append(idx)
+        assert out == want
+
+
+class TestLshNeighborPairsProperty:
+    @SETTINGS
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.floats(min_value=-2, max_value=2, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    def test_pairs_subset_of_exact_eps_pairs(self, spark, vecs):
+        """For arbitrary vectors every emitted pair must genuinely have
+        fixed-point cosine >= eps (the generator may MISS pairs, never
+        fabricate them)."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.similarity import (
+            FIXED_SCALE,
+            lsh_neighbor_pairs,
+        )
+
+        eps = 0.7
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v])
+             for i, v in enumerate(vecs)]
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in lsh_neighbor_pairs(
+                df, eps_cosine=eps, dim=4, n_planes=2, n_tables=4
+            ).collect()
+        }
+        m = np.array(vecs, dtype=np.float64)
+        n2 = np.floor(m * m * FIXED_SCALE).astype(np.int64).sum(axis=1)
+        nd = np.sqrt(n2.astype(np.float64))
+        for a, b in got:
+            dot = int(
+                np.floor(m[a] * m[b] * FIXED_SCALE).astype(np.int64).sum()
+            )
+            assert nd[a] > 0 and nd[b] > 0
+            assert float(dot) / (nd[a] * nd[b]) >= eps, (a, b)
