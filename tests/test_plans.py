@@ -456,3 +456,53 @@ class TestLinkagePlans:
         )
         assert "hashpartitioning(user_id" in plan
         assert "SinglePartition" not in plan
+
+
+class TestRound3OperatorPlans:
+    """Plan audits for the round-3 additions: the composed DBSCAN scale
+    path and the quantized PQ pipeline."""
+
+    def test_lsh_neighbor_pairs_no_cartesian_no_perpair_python(self, spark):
+        # Candidate generation must key on (table, bucket) — never an
+        # all-pairs join — and the cosine filter runs as ONE grouped
+        # Arrow kernel (FlatMapGroupsInPandas), not a per-pair fold
+        # over an array-carrying join.
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.similarity import (
+            lsh_neighbor_pairs,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        plan = plan_of(lsh_neighbor_pairs(emb, dim=64, n_planes=6, n_tables=8))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "FlatMapGroupsInPandas" in plan
+        # one shuffle for the bucket grouping + one for the distinct
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_pq_topk_scoring_stays_jvm_side(self, spark):
+        # ADC scoring: corpus codes cross the tiny broadcast query set
+        # (BroadcastNestedLoopJoin is the INTENDED shape for a
+        # crossJoin against <10 rows); the LUT evaluation is a plan
+        # literal, so no Python appears between the encode UDF and the
+        # shortlist window.
+        plan = plan_of(REGISTRY["similarity_pq_topk"].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "WindowGroupLimit" in plan  # shortlist prunes pre-shuffle
+        assert plan.count("ArrowEvalPython") <= 4  # quantize+encode only
+
+    def test_pack_sequences_single_domain_shuffle(self, spark):
+        # One hash Exchange on the md5 bucket feeds the grouped FFD
+        # kernel; no further shuffle before the per-bin rollup.
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.text import (
+            pack_sequences,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        plan = plan_of(pack_sequences(docs, max_tokens=128, num_partitions=8))
+        assert "FlatMapGroupsInPandas" in plan
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "hashpartitioning(part" in plan
