@@ -75,7 +75,33 @@ def build(src: str, dst: str, factor: int) -> None:
         "  list_transform(str_split(text, ' '), t -> concat('u', c, t)), ' ')) "
         "END AS n_chars",
     )
-    rep("embeddings", f"vec_id + c*{STEP} AS vec_id, embedding, label")
+    # copy>0 embeddings get a per-copy PERMUTATION of the 64 dims:
+    # norms and all within-copy cosines are preserved exactly, but
+    # cross-copy cosines decorrelate — without this, verbatim copies
+    # give every vector 9 identical twins and the dedup/clustering
+    # operators measure a different (duplicate-family) regime, not
+    # scale-up of the original geometry.
+    import random
+
+    dim = con.execute(
+        f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    branches = []
+    for c in range(1, factor):
+        rng = random.Random(1000 + c)
+        perm = list(range(1, dim + 1))
+        rng.shuffle(perm)
+        idx = ", ".join(f"embedding[{p}]" for p in perm)
+        branches.append(f"WHEN c = {c} THEN [{idx}]")
+    perm_expr = (
+        "CASE " + " ".join(branches) + " ELSE embedding END"
+        if branches
+        else "embedding"
+    )
+    rep(
+        "embeddings",
+        f"vec_id + c*{STEP} AS vec_id, {perm_expr} AS embedding, label",
+    )
     # shared dims + untouched stream table: byte-for-byte copies (events
     # keeps its TIMESTAMP(NANOS) physical type for the loader's
     # nanosAsLong path)
