@@ -341,13 +341,6 @@ def lsh_neighbor_pairs(
     )
 
 
-def _centroid_literal(centroids: "list[list[float]]") -> Column:
-    """Centroid matrix as a plan-literal array<array<double>>."""
-    return F.array(
-        *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
-    )
-
-
 KMEANS_SCALE = 10**6
 
 
