@@ -1004,7 +1004,27 @@ def pq_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
     ).filter(F.col("codes").isNotNull())
+    return _pq_search(c, books, queries, k, shortlist, corpus, id_col, vec_col)
 
+
+def _pq_search(
+    c: DataFrame,
+    books: "list[list[list[int]]]",
+    queries: DataFrame,
+    k: int,
+    shortlist: int,
+    rerank_corpus: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC body over pre-encoded corpus codes (corpus_id,
+    codes) — used by the fit-and-query-in-one :func:`pq_topk` and the
+    persisted-index :func:`pq_query` path. With ``rerank_corpus`` the
+    integer ADC shortlist reranks by exact fixed-point cosine against
+    the full vectors (pq_topk's contract: query_id, corpus_id, cosine,
+    rank); without it the ADC ranking IS the answer (query_id,
+    corpus_id, adc_score, rank) — the memory-only mode where full
+    vectors are too big to keep."""
     # Per-query ADC lookup tables, computed driver-side from the query
     # vectors (queries are the small side by construction). Quantized
     # query units dotted against int64 codebooks -> exact int64 LUT
@@ -1028,7 +1048,7 @@ def pq_topk(
     # plan-time cost dwarfs execution (see functions/bloom.py note).
     lut_lit = F.lit(luts).cast("array<array<array<bigint>>>")
     qdf = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+        queries.sparkSession.createDataFrame(
             [(q, i + 1) for i, q in enumerate(qids)], "query_id long, qpos int"
         )
     )
@@ -1046,17 +1066,25 @@ def pq_topk(
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("corpus_id")
     )
+    limit = shortlist * k if rerank_corpus is not None else k
     cands = (
         c.crossJoin(qdf)
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id", score.alias("adc_score"))
         .withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= shortlist * k)
-        .drop("adc_rank")
+        .filter(F.col("adc_rank") <= limit)
     )
+    if rerank_corpus is None:
+        return cands.select(
+            "query_id",
+            "corpus_id",
+            "adc_score",
+            F.col("adc_rank").cast("long").alias("rank"),
+        )
+    cands = cands.drop("adc_rank")
     # Exact cosine rerank over the shortlist only (fixed-point, so the
     # final ranking is engine-portable like the IVF/brute-force paths).
-    cvec = corpus.select(
+    cvec = rerank_corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
     )
     qvec = F.broadcast(
@@ -1076,6 +1104,97 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_build(
+    corpus: DataFrame,
+    lake,
+    index_name: str,
+    m: int = 16,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+) -> "list[list[list[int]]]":
+    """Build a PQ index ONCE and persist it to the lake — the
+    production split of :func:`pq_topk` (which retrains codebooks per
+    call), mirroring :func:`ivf_build`: queries then pay only
+    LUT + ADC (+ optional rerank) against the stored codes, and the
+    index rebuilds on ITS schedule. Two tables, both written with the
+    atomic ``replace`` disposition (a rebuild swaps the whole index in
+    one snapshot per table; time travel keeps the previous index):
+
+    - ``{index}__codes``: (corpus_id, j, code) — each vector's ``m``
+      sub-codes, the 16-bytes-per-vector memory story made durable;
+    - ``{index}__books``: (j, code, d, val) — the integer codebook
+      cells (m x n_codes x dsub, tiny).
+
+    Returns the codebooks."""
+    books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
+    enc = _pq_encode_udf(books)
+    flat = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
+        )
+        .filter(F.col("codes").isNotNull())
+        .select("corpus_id", F.posexplode("codes").alias("j", "code"))
+        .select("corpus_id", F.col("j").cast("long"), F.col("code").cast("long"))
+    )
+    lake.replace(flat, f"{index_name}__codes")
+    spark = corpus.sparkSession
+    book_rows = [
+        (j, code, d, int(val))
+        for j, book in enumerate(books)
+        for code, cent in enumerate(book)
+        for d, val in enumerate(cent)
+    ]
+    lake.replace(
+        spark.createDataFrame(book_rows, "j long, code long, d long, val long"),
+        f"{index_name}__books",
+    )
+    return books
+
+
+def pq_query(
+    lake,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 10,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted PQ index (:func:`pq_build`): load the integer
+    codebooks driver-side (tiny), reassemble the stored codes (one
+    groupBy on corpus_id — the cost of the lake's flat schema), and
+    run the shared ADC body. Pass ``corpus`` to rerank the shortlist
+    by exact fixed-point cosine (same output contract as
+    :func:`pq_topk`); omit it for the ADC-only mode where the full
+    vectors are not kept."""
+    rows = lake.read(f"{index_name}__books").collect()
+    by_j: dict[int, dict[int, dict[int, int]]] = {}
+    for r in rows:
+        by_j.setdefault(r.j, {}).setdefault(r.code, {})[r.d] = r.val
+    books = [
+        [
+            [by_j[j][code][d] for d in sorted(by_j[j][code])]
+            for code in sorted(by_j[j])
+        ]
+        for j in sorted(by_j)
+    ]
+    c = (
+        lake.read(f"{index_name}__codes")
+        .groupBy("corpus_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "code"))),
+                lambda s: s["code"].cast("int"),
+            ).alias("codes")
+        )
+    )
+    return _pq_search(c, books, queries, k, shortlist, corpus, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------

@@ -923,6 +923,74 @@ class TestIvfPersistence:
         assert lake.read("idx__centroids", v1) is not None
 
 
+class TestPqPersistence:
+    """Persisted PQ index: build once to the lake, query path equals
+    the fit-and-query-in-one operator exactly; ADC-only mode works
+    without the full vectors."""
+
+    def test_query_with_rerank_matches_direct_pq(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 8)
+        direct = {
+            (r.query_id, r.rank): (r.corpus_id, r.cosine)
+            for r in similarity.pq_topk(
+                emb, queries, k=5, m=16, n_codes=16, iters=2
+            ).collect()
+        }
+        lake = ParquetLake(spark, tmp_path / "pq_lake")
+        similarity.pq_build(emb, lake, "emb_pq", m=16, n_codes=16, iters=2)
+        via_index = {
+            (r.query_id, r.rank): (r.corpus_id, r.cosine)
+            for r in similarity.pq_query(
+                lake, "emb_pq", queries, k=5, corpus=emb
+            ).collect()
+        }
+        assert via_index == direct
+        assert direct  # nonempty
+
+    def test_adc_only_mode_needs_no_vectors(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3)
+        lake = ParquetLake(spark, tmp_path / "pq_lake2")
+        similarity.pq_build(emb, lake, "idx", m=8, n_codes=8, iters=1)
+        rows = similarity.pq_query(lake, "idx", queries, k=4).collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.adc_score))
+        assert set(by_q) == {0, 1, 2}
+        for ranked in by_q.values():
+            ranked.sort()
+            assert [rk for rk, _ in ranked] == [1, 2, 3, 4]
+            scores = [s for _, s in ranked]
+            assert scores == sorted(scores, reverse=True)  # ADC-ordered
+
+    def test_rebuild_is_atomic_snapshot(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        lake = ParquetLake(spark, tmp_path / "pq_lake3")
+        similarity.pq_build(emb, lake, "idx", m=8, n_codes=8, iters=1)
+        v1 = lake.current_version("idx__codes")
+        similarity.pq_build(emb, lake, "idx", m=8, n_codes=16, iters=1)
+        assert lake.current_version("idx__codes") == v1 + 1
+        assert lake.read("idx__books", v1) is not None
+
+
 class TestDbscan:
     """DBSCAN roles and labels on planted geometry (eps as cosine)."""
 
