@@ -731,13 +731,64 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")
+_DECODE_FEATURES_ORACLE = """
+-- Fixture payloads are the documents' ASCII bytes (attach_binary_
+-- payload), so the stub codec's 16-bin byte histogram recomputes from
+-- ord() over the text. round(x, 9) agrees across engines here despite
+-- different tie rules (half-even vs half-away): a tie needs
+-- k/n * 1e9 to land exactly on a half-integer, which requires n to
+-- carry the factor 2^10 * 5^9 — impossible for document lengths.
+-- Output stays SCALAR (no oracle query has ever shipped an array
+-- column through the driver compare): an exact integer checksum
+-- (each feature is m/1e9, so floor(f*1e9 + 0.5) recovers m exactly)
+-- plus the max bin — together they pin the whole vector.
+WITH per AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         list_transform(generate_series(0, 15), k ->
+           round(CAST(len(list_filter(generate_series(1, length(text)),
+                     i -> ord(substr(text, CAST(i AS INT), 1)) % 16 = k))
+                 AS DOUBLE)
+                 / CASE WHEN length(text) = 0 THEN 1.0
+                        ELSE CAST(length(text) AS DOUBLE) END, 9))
+           AS features
+  FROM documents)
+SELECT doc_id, n_bytes,
+       CAST(list_sum(list_transform(features,
+              f -> CAST(FLOOR(f * 1e9 + 0.5) AS BIGINT))) AS BIGINT)
+         AS feat_sum_1e9,
+       CAST(list_max(features) AS DOUBLE) AS f_max
+FROM per
+"""
+
+
+@register("multimodal_decode_features", oracle=_DECODE_FEATURES_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode plumbing with the deterministic
-    stub codec (byte histogram). Rows-only: array payloads; pytest
-    checks shape, normalization and determinism."""
+    stub codec (16-bin byte histogram, normalized, rounded to 9
+    decimals), projected to exact scalars: an integer feature checksum
+    and the max bin. On the ASCII fixture payloads the whole feature
+    vector recomputes from ord() over the text, so the oracle
+    hash-matches exactly; pytest additionally checks vector shape,
+    normalization and determinism (and the NotImplementedError codec
+    seam for real formats)."""
+    from pyspark.sql import functions as F
+
     mm = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
-    return multimodal.decode_image_features(mm)
+    feats = multimodal.decode_image_features(mm)
+    checksum = F.aggregate(
+        F.transform(
+            F.col("features"),
+            lambda f: F.floor(f * F.lit(1e9) + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        checksum.alias("feat_sum_1e9"),
+        F.array_max("features").cast("double").alias("f_max"),
+    )
 
 
 _BINFILE_ORACLE = """

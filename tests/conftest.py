@@ -48,6 +48,15 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype("float64")
         elif pd.api.types.is_datetime64_any_dtype(dt):
             pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif dt == object:
+            # array cells (Spark array<...> -> ndarray; DuckDB LIST ->
+            # ndarray/list) become tuples: hashable for the row sort,
+            # exactly comparable element-wise
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or (
+                    hasattr(v, "tolist") and getattr(v, "ndim", 0) == 1
+                ) else v
+            )
     sort_cols = list(pdf.columns)
     pdf = pdf.sort_values(sort_cols, na_position="last").reset_index(drop=True)
     return pdf
