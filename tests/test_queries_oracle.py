@@ -1,7 +1,13 @@
 """Every registered query with an oracle must match DuckDB exactly at
 sf0.001 - the same bar as the driver's CORRECTNESS gate (which runs at
-sf0.01; `pytest -m slow` level coverage for that comes from
-test_queries_oracle_sf001.py's parametrization over SF_DIR).
+sf0.01). For driver-scale coverage run THIS file with the scale
+override::
+
+    SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+        python -m pytest tests/test_queries_oracle.py -q
+
+(the spark/duck fixtures follow the override; other test modules pin
+sf0.001-specific expectations and should run at the default).
 """
 
 from __future__ import annotations
