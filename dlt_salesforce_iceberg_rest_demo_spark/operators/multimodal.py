@@ -420,6 +420,55 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+def encode_bmp_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid BMP: 8-bit palettized grayscale (the standard BMP
+    grayscale encoding), bottom-up rows padded to 4 bytes — the third
+    REAL container format after PNG/WAV, covering the uncompressed
+    end of the codec spectrum."""
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be exactly width*height bytes")
+    row_pad = (-width) % 4
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    rows = b"".join(
+        pixels[y * width : (y + 1) * width] + b"\x00" * row_pad
+        for y in range(height - 1, -1, -1)  # bottom-up storage order
+    )
+    offset = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(rows), 0, 0, 256, 0
+    )
+    return header + info + palette + rows
+
+
+def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Real BMP decode (8-bit palettized, uncompressed, bottom-up):
+    header walk, palette-indexed pixel lookup mapped through the gray
+    palette, rows un-padded and flipped to top-down. Returns
+    (width, height, pixel bytes) — same contract as the PNG twin."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    width, height = struct.unpack("<ii", data[18:26])
+    bitcount, compression = struct.unpack("<HI", data[28:34])
+    if bitcount != 8 or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 8-bit BMP supported by the stdlib codec"
+        )
+    palette = data[54:offset]
+    gray = bytes(palette[4 * i] for i in range(len(palette) // 4))
+    stride = width + ((-width) % 4)
+    out = bytearray()
+    for y in range(height - 1, -1, -1):  # flip bottom-up to top-down
+        row = data[offset + y * stride : offset + y * stride + width]
+        out += bytes(gray[p] for p in row)
+    return width, height, bytes(out)
+
+
 def encode_wav_pcm8(samples: bytes, rate: int = 8000) -> bytes:
     """Minimal valid WAV: mono 8-bit unsigned PCM via stdlib wave."""
     import io
@@ -502,7 +551,7 @@ def write_binary_fixtures(
     return len(rows)
 
 
-def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav}") -> DataFrame:
+def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFrame:
     """REAL multimodal ingestion: ``spark.read.format("binaryFile")``
     over a directory of image/audio files into the payload+meta schema
     (`attach_binary_payload`'s shape, now from genuine binary objects).
@@ -526,21 +575,32 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav}") -> DataFrame:
         10,
     ).cast("long")
     is_png = F.expr("substring(content, 2, 3)") == F.lit(b"PNG")
+    is_bmp = F.expr("substring(content, 1, 2)") == F.lit(b"BM")
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
     )
+    # BMP dimensions are the little-endian i32s at offsets 19/23
+    # (BITMAPINFOHEADER after the 14-byte file header), parsed
+    # JVM-side like the PNG/WAV fields.
     return df.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("content").alias("payload"),
         F.struct(
-            F.when(is_png, "png").otherwise("wav").alias("format"),
+            F.when(is_png, "png")
+            .when(is_bmp, "bmp")
+            .otherwise("wav")
+            .alias("format"),
             F.col("length").cast("long").alias("n_bytes"),
-            F.when(is_png, "image").otherwise("audio").alias("modality"),
-            F.when(is_png, be_u32(17)).alias("width"),
-            F.when(is_png, be_u32(21)).alias("height"),
-            F.when(~is_png, le_u32(25)).alias("sample_rate"),
+            F.when(is_png | is_bmp, "image").otherwise("audio").alias("modality"),
+            F.when(is_png, be_u32(17))
+            .when(is_bmp, le_u32(19))
+            .alias("width"),
+            F.when(is_png, be_u32(21))
+            .when(is_bmp, le_u32(23))
+            .alias("height"),
+            F.when(~(is_png | is_bmp), le_u32(25)).alias("sample_rate"),
         ).alias("meta"),
     )
 
@@ -565,6 +625,11 @@ def decode_binary_stats(mm: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 if b[1:4] == b"PNG":
                     w, h, pix = decode_png_gray(b)
+                    modality.append("image")
+                    n_values.append(w * h)
+                    val_sum.append(int(sum(pix)))
+                elif b[:2] == b"BM":
+                    w, h, pix = decode_bmp_gray(b)
                     modality.append("image")
                     n_values.append(w * h)
                     val_sum.append(int(sum(pix)))

@@ -1122,7 +1122,35 @@ class TestAsofJoinForward:
 
 
 class TestBinaryCodecs:
-    """Pure-python PNG/WAV codecs + real binaryFile ingestion."""
+    """Pure-python PNG/WAV/BMP codecs + real binaryFile ingestion."""
+
+    def test_bmp_roundtrip_non_multiple_of_four_width(self):
+        """8-bit palettized BMP: bottom-up storage and 4-byte row
+        padding must round-trip to top-down unpadded pixels — width 6
+        forces 2 pad bytes per row."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes(range(6 * 5))
+        data = mm.encode_bmp_gray(pix, 6, 5)
+        assert data[:2] == b"BM"
+        w, h, out = mm.decode_bmp_gray(data)
+        assert (w, h) == (6, 5)
+        assert out == pix
+
+    def test_bmp_ingest_meta_and_stats(self, spark, tmp_path):
+        """binaryFile ingestion parses BMP width/height from the
+        little-endian header JVM-side and decode stats route through
+        the real BMP decoder."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes([3] * (8 * 4))
+        (tmp_path / "z.bmp").write_bytes(mm.encode_bmp_gray(pix, 8, 4))
+        df = mm.ingest_binary_dir(spark, str(tmp_path))
+        row = df.collect()[0]
+        assert row.meta.format == "bmp" and row.meta.modality == "image"
+        assert (row.meta.width, row.meta.height) == (8, 4)
+        stats = mm.decode_binary_stats(df).collect()[0]
+        assert (stats.modality, stats.n_values, stats.val_sum) == ("image", 32, 96)
 
     def test_png_roundtrip(self):
         from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
