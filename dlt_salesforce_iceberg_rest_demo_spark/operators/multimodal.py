@@ -528,8 +528,10 @@ def write_binary_fixtures(
     done = out / "_FIXTURES_DONE"
     # Idempotence marker is a CONTENT digest, not a row count: equal
     # counts with changed text must regenerate, or stale PNG/WAV bytes
-    # would surface downstream as an opaque oracle hash mismatch.
-    digest = hashlib.md5(
+    # would surface downstream as an opaque oracle hash mismatch. The
+    # format-set prefix versions the marker, so dirs written before a
+    # codec was added regenerate instead of silently missing files.
+    digest = "png+wav+bmp:" + hashlib.md5(
         "\x1f".join(
             f"{r[id_col]}\x1e{r[text_col]}"
             for r in sorted(rows, key=lambda r: r[id_col])
@@ -542,6 +544,7 @@ def write_binary_fixtures(
         raw = r[text_col].encode("utf-8")
         pix = raw[:PNG_PIXEL_CAP].ljust(PNG_PIXEL_CAP, b"\x00")
         (out / f"doc_{r[id_col]}.png").write_bytes(encode_png_gray(pix, 16, 16))
+        (out / f"doc_{r[id_col]}.bmp").write_bytes(encode_bmp_gray(pix, 16, 16))
         (out / f"doc_{r[id_col]}.wav").write_bytes(
             encode_wav_pcm8(raw[:WAV_SAMPLE_CAP], rate=8000)
         )

@@ -806,22 +806,25 @@ SELECT 'audio' AS modality, CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(wav_sum) AS BIGINT) AS val_sum
 FROM per
 UNION ALL
-SELECT 'image', CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(*) * 256 AS BIGINT),
-       CAST(SUM(png_sum) AS BIGINT)
+SELECT 'image', CAST(COUNT(*) * 2 AS BIGINT),
+       CAST(COUNT(*) * 512 AS BIGINT),
+       CAST(SUM(png_sum) * 2 AS BIGINT)
 FROM per
 """
 
 
 @register("multimodal_binaryfile_ingest", oracle=_BINFILE_ORACLE)
 def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL binary ingestion end-to-end: genuine PNG and WAV files
-    (written by the pure-python public-format codecs from every 20th
-    doc's text bytes) are read back via ``spark.read.format
+    """REAL binary ingestion end-to-end: genuine PNG, BMP and WAV
+    files (written by the pure-python public-format codecs from every
+    20th doc's text bytes) are read back via ``spark.read.format
     ("binaryFile")``, metadata parsed JVM-side from the magic bytes,
-    payloads DECODED (zlib inflate + filter strip for PNG, RIFF frame
-    read for WAV) in one Arrow-batched mapInPandas, then aggregated
-    per modality. The DuckDB oracle recomputes the same pixel/sample
+    payloads DECODED (zlib inflate + filter strip for PNG, palette
+    lookup + row un-pad for BMP, RIFF frame read for WAV) in one
+    Arrow-batched mapInPandas, then aggregated per modality — the PNG
+    and BMP of each doc carry identical pixels, so the compressed and
+    uncompressed decode paths must agree with each other AND the
+    oracle. The DuckDB oracle recomputes the same pixel/sample
     sums from the source text — so the whole
     encode -> file -> binaryFile -> parse -> decode loop is
     hash-verified against an independent path. The file-writing step

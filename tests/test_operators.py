@@ -1214,7 +1214,8 @@ class TestBinaryCodecs:
         n2 = mm.write_binary_fixtures(docs, str(tmp_path / "fx"))
         assert n1 == n2 == 2
         names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
-        assert names == ["doc_0.png", "doc_0.wav", "doc_20.png", "doc_20.wav"]
+        assert names == ["doc_0.bmp", "doc_0.png", "doc_0.wav",
+                         "doc_20.bmp", "doc_20.png", "doc_20.wav"]
 
     def test_fixture_writer_regenerates_on_content_change(self, spark, tmp_path):
         """Equal doc COUNT with changed text must regenerate: the
