@@ -976,8 +976,12 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float = 1.0,
+    rerank: bool = True,
 ) -> DataFrame:
     """Product-quantization approximate top-k by cosine.
+    ``rerank=False`` returns the integer ADC ranking directly
+    (query_id, corpus_id, adc_score, rank) — the memory-only mode
+    where full vectors are never touched after encoding.
 
     The 100 TB memory path: each corpus vector is stored as ``m`` int8
     codes (16 bytes here vs 256+ for the float vector); scoring is
@@ -1004,7 +1008,9 @@ def pq_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
     ).filter(F.col("codes").isNotNull())
-    return _pq_search(c, books, queries, k, shortlist, corpus, id_col, vec_col)
+    return _pq_search(
+        c, books, queries, k, shortlist, corpus if rerank else None, id_col, vec_col
+    )
 
 
 def _pq_search(

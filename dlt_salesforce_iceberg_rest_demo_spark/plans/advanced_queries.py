@@ -329,6 +329,7 @@ def _pq_oracle(
     shortlist: int = 10,
     k: int = 5,
     dim: int = 64,
+    rerank: bool = True,
 ) -> str:
     """Full replay of the quantized-integer PQ pipeline
     (`similarity.pq_fit`/`pq_topk`): portable unit quantization
@@ -415,7 +416,21 @@ adc AS MATERIALIZED (
   SELECT l.query_id, e.vec_id AS corpus_id, SUM(l.cell) AS adc_score
   FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
   WHERE e.vec_id <> l.query_id
-  GROUP BY 1, 2),
+  GROUP BY 1, 2)"""
+    )
+    if not rerank:
+        parts.append(
+            f"""
+SELECT query_id, corpus_id, CAST(adc_score AS BIGINT) AS adc_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, corpus_id) AS BIGINT)
+         AS rank
+FROM adc
+QUALIFY rank <= {k}"""
+        )
+        return "".join(parts)
+    parts.append(
+        f""",
 short AS (
   SELECT query_id, corpus_id FROM (
     SELECT query_id, corpus_id,
@@ -439,6 +454,26 @@ FROM scored
 QUALIFY rank <= {k}"""
     )
     return "".join(parts)
+
+
+@register("similarity_pq_adc_topk", oracle=_pq_oracle(rerank=False))
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-5 in ADC-ONLY mode (`similarity.pq_topk(rerank=False)`):
+    the ranking comes straight from the integer asymmetric-distance
+    scores over the 16-byte codes — the memory-only regime where full
+    vectors are never touched after encoding (at 100 TB the vectors
+    may not even be kept; `pq_build`/`pq_query` persist exactly this
+    path). Scores and ranks are exact integers, so the same codebook
+    -trajectory oracle replays them hash-exactly without the rerank
+    stage."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, rerank=False
+    )
 
 
 @register("similarity_pq_topk", oracle=_pq_oracle())
