@@ -453,11 +453,26 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (offset,) = struct.unpack("<I", data[10:14])
+    (header_size,) = struct.unpack("<I", data[14:18])
     width, height = struct.unpack("<ii", data[18:26])
     bitcount, compression = struct.unpack("<HI", data[28:34])
     if bitcount != 8 or compression != 0:
         raise NotImplementedError(
             "only uncompressed 8-bit BMP supported by the stdlib codec"
+        )
+    # V4/V5 headers relocate the palette (data[54:offset] would slice
+    # header bytes into it) and negative height flips storage to
+    # top-down — both are VALID BMPs this codec must refuse loudly,
+    # never silently mis-decode.
+    if header_size != 40:
+        raise NotImplementedError(
+            "only the 40-byte BITMAPINFOHEADER supported by the stdlib "
+            "codec (got a V4/V5-class header)"
+        )
+    if height <= 0:
+        raise NotImplementedError(
+            "only bottom-up (positive height) BMP supported by the "
+            "stdlib codec"
         )
     palette = data[54:offset]
     gray = bytes(palette[4 * i] for i in range(len(palette) // 4))
@@ -540,6 +555,11 @@ def write_binary_fixtures(
     if done.exists() and done.read_text() == digest:
         return len(rows)
     out.mkdir(parents=True, exist_ok=True)
+    # Regeneration must also REMOVE stale files: a shrunk/changed doc
+    # set would otherwise leave orphan doc_*.{png,wav,bmp} that
+    # ingest_binary_dir still reads, breaking oracle counts/sums.
+    for stale in out.glob("doc_*"):
+        stale.unlink()
     for r in rows:
         raw = r[text_col].encode("utf-8")
         pix = raw[:PNG_PIXEL_CAP].ljust(PNG_PIXEL_CAP, b"\x00")

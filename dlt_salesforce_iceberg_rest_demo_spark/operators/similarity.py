@@ -320,15 +320,18 @@ def lsh_neighbor_pairs(
         m, ids = m[order], ids[order]
         n2 = np.floor(m * m * FIXED_SCALE).astype(np.int64).sum(axis=1)
         nd = np.sqrt(n2.astype(np.float64))
+        # Zero fixed-point norm ⇒ cosine undefined: drop the row from
+        # the block entirely (as anchor AND partner — a zero-norm
+        # partner would divide by nd=0 and emit ±inf cosines that
+        # diverge from the SQL oracle and the exact all-pairs path).
+        nz = nd > 0
+        m, ids, nd = m[nz], ids[nz], nd[nz]
         outa: list[int] = []
         outb: list[int] = []
         for i in range(len(ids) - 1):
-            if nd[i] == 0:
-                continue
             rest = m[i + 1 :]
             dots = np.floor(rest * m[i] * FIXED_SCALE).astype(np.int64).sum(axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots.astype(np.float64) / (nd[i] * nd[i + 1 :])
+            cos = dots.astype(np.float64) / (nd[i] * nd[i + 1 :])
             hits = np.nonzero(cos >= eps_cosine)[0]
             outa.extend([int(ids[i])] * len(hits))
             outb.extend(int(ids[i + 1 + j]) for j in hits)
@@ -1419,6 +1422,10 @@ def dbscan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pairs: DataFrame | None = None,
+    exact_max_rows: int | None = 20_000,
+    lsh_planes: int = 4,
+    lsh_tables: int = 16,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """Density-based clustering (DBSCAN, Ester et al. KDD'96) over
     cosine similarity — the clustering k-means cannot do: arbitrary
@@ -1428,9 +1435,17 @@ def dbscan(
 
     Composition of existing scale primitives, no new iteration scheme:
 
-    1. epsilon-neighborhood pairs (cosine >= ``eps_cosine``) — exact
-       fixed-point all-pairs by default; pass ``pairs`` (id_a, id_b)
-       from the LSH/IVF candidate generators at corpus scale;
+    1. epsilon-neighborhood pairs (cosine >= ``eps_cosine``) — AUTO-
+       ROUTED when ``pairs`` is None: corpora up to ``exact_max_rows``
+       take the exact fixed-point all-pairs join (lossless, O(n²)
+       comparisons — fine below the threshold, where the quadratic
+       term is smaller than LSH's bucketing overhead); larger corpora
+       route to :func:`lsh_neighbor_pairs` (bucket self-join, no
+       all-pairs at any size — the 100 TB path; approximate recall
+       tuned by ``lsh_planes``/``lsh_tables``). Pass
+       ``exact_max_rows=None`` to force exact, or supply ``pairs``
+       from any candidate generator to override routing entirely. The
+       routing count is one cheap aggregate over the id column;
     2. CORE points = >= ``min_pts`` neighbors (self excluded — the
        common minPts-1 convention, pinned by the tests);
     3. clusters = `dedup.connected_components` over core-core edges
@@ -1445,6 +1460,20 @@ def dbscan(
     """
     from .dedup import connected_components
 
+    if pairs is None and exact_max_rows is not None:
+        n_rows = corpus.select(id_col).count()
+        if n_rows > exact_max_rows:
+            dim = len(corpus.select(vec_col).first()[0])
+            pairs = lsh_neighbor_pairs(
+                corpus,
+                eps_cosine=eps_cosine,
+                dim=dim,
+                n_planes=lsh_planes,
+                n_tables=lsh_tables,
+                seed=lsh_seed,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
     if pairs is None:
         a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

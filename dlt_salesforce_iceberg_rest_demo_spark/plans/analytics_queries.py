@@ -672,7 +672,18 @@ def _bpe_train_ctes(n_rounds: int, batch: int) -> tuple[str, list[str]]:
     order). Counts are exact integer sums and every adoption is a
     deterministic ranking walk, so the trajectory hash-matches the
     engine; the general batch rule (incl. widening collects and short
-    batches) stays pinned in pytest."""
+    batches) stays pinned in pytest.
+
+    SHORT-BATCH SAFETY: an adopted CTE may be EMPTY (no j-th
+    symbol-disjoint pair this round — the engine then adopts a short
+    batch and continues). The merge folds therefore cross-join
+    1-row-guaranteed ``f{r}{j}`` twins that COALESCE an empty adoption
+    to the no-op pair ('','') — symbols are never empty strings, so
+    the no-op merge matches nothing and the fold replays the engine's
+    short batch instead of collapsing s{r} (and everything downstream)
+    to zero rows. The output UNION still reads the raw ``a{r}{j}``
+    CTEs, so a short batch also emits fewer merge rows, exactly like
+    the engine."""
     parts = [
         """WITH tok AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
@@ -718,11 +729,18 @@ a{r}{j} AS MATERIALIZED (
   ORDER BY k.rk LIMIT 1)"""
             )
             round_adopted.append(f"a{r}{j}")
+        for name in round_adopted:
+            parts.append(
+                f""",
+f{name} AS MATERIALIZED (
+  SELECT COALESCE(MAX(l), '') AS l, COALESCE(MAX(r), '') AS r
+  FROM {name})"""
+            )
         fold = "sw"
         for name in round_adopted:
             fold = _bpe_merge_fold_sql(fold, f"m_{name}")
         fold_joins = " ".join(
-            f"CROSS JOIN {name} m_{name}" for name in round_adopted
+            f"CROSS JOIN f{name} m_{name}" for name in round_adopted
         )
         parts.append(
             f""",
@@ -1244,7 +1262,9 @@ def _bpe_encode_oracle(n_rounds: int = 2, batch: int = 3) -> str:
     fold = "chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31)"
     for name in adopted:
         fold = _bpe_merge_fold_sql(fold, f"m_{name}")
-    joins = " ".join(f"CROSS JOIN {name} m_{name}" for name in adopted)
+    # f-twins (1-row no-op COALESCE), not the raw adopted CTEs: an
+    # empty adoption (short batch) must no-op the fold, not empty enc.
+    joins = " ".join(f"CROSS JOIN f{name} m_{name}" for name in adopted)
     return (
         ctes
         + f""",

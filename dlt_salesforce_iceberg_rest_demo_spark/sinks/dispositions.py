@@ -349,6 +349,14 @@ class ParquetLake:
         data = json.loads((self.root / table / f"_MANIFEST.{v}.json").read_text())
         return data.get("parent") if isinstance(data, dict) else None
 
+    def _is_legacy_manifest(self, table: str, v: int) -> bool:
+        """True iff manifest ``v`` predates lineage recording: a bare
+        dir list, or a dict with no "parent" key at all. A dict whose
+        parent is present (even if null for a root) is lineage-era and
+        therefore reachable via parent chains if it was ever on main."""
+        data = json.loads((self.root / table / f"_MANIFEST.{v}.json").read_text())
+        return not isinstance(data, dict) or "parent" not in data
+
     def _main_ancestry(self, table: str, limit: int | None = None) -> list[int]:
         """Versions along MAIN's parent chain, newest first, starting at
         the current pointer. The chain is the published lineage — branch
@@ -361,9 +369,16 @@ class ParquetLake:
         disk), the walk extends with the descending numeric window and
         warns — expiring real pre-lineage history (or refusing AS-OF
         resolution past the break) would be a silent behavior change vs
-        the old numeric-window retention. The fallback may over-retain
-        orphaned branch manifests from before the break; that is the
-        safe direction."""
+        the old numeric-window retention. The window admits ONLY
+        legacy-format manifests (no recorded parent): lineage-era
+        commits always record their parent (:meth:`_commit`), so any
+        parented manifest below the break is branch lineage or an
+        orphaned WAP staging manifest that was never published on main —
+        including those would let ``version_as_of`` resolve timestamp
+        travel to a snapshot main never saw, and would break the
+        monotone-commit-time ordering its early return relies on
+        (pre-lineage manifests are numbered monotonically with commit
+        time because branches did not exist pre-lineage)."""
         chain: list[int] = []
         v: int | None = self._current_version(table)
         expired = False
@@ -386,7 +401,9 @@ class ParquetLake:
                         int(m.name.split(".")[1])
                         for m in (self.root / table).glob("_MANIFEST.*.json")
                     )
-                    if w < chain[-1] and w not in chain
+                    if w < chain[-1]
+                    and w not in chain
+                    and self._is_legacy_manifest(table, w)
                 ),
                 reverse=True,
             )

@@ -462,6 +462,38 @@ class TestBpeTrainerBatched:
         assert got[0] == ("a", "b")
         assert got[1] == ("b", "c")  # adopted in round 2, post-recount
 
+    def test_oracle_replay_survives_short_batch(self, spark):
+        """If a round has no j-th symbol-disjoint pair (engine adopts a
+        SHORT batch), the unrolled DuckDB replay must emit the same
+        shorter merge table and keep folding — not collapse to zero
+        rows through an empty-CTE CROSS JOIN (the f-twin COALESCE
+        guard in `_bpe_train_ctes`)."""
+        import duckdb
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+        from dlt_salesforce_iceberg_rest_demo_spark.plans.analytics_queries import (
+            _bpe_oracle,
+        )
+
+        # Single pair type: round 1 adopts (a,b) and nothing else fits
+        # its 2-slot batch; round 2 has no pairs at all.
+        rows = [(1, "ab ab"), (2, "ab")]
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        got_oracle = con.execute(_bpe_oracle(n_rounds=2, batch=2)).fetchall()
+        con.close()
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got_engine = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+            for r in t_ops.bpe_train_merges_batched(docs, n_merges=4, batch_size=2)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got_oracle == [(1, "a", "b", 3)]
+        assert got_engine == got_oracle
+
 
 class TestIncrementalJoinDelta:
     def test_delta_formula_equals_recompute(self, spark):
@@ -1076,6 +1108,55 @@ class TestDbscan:
         }
         assert composed == exact
 
+    def test_auto_route_exact_below_threshold_lsh_above(self, spark, monkeypatch):
+        """dbscan(pairs=None) must route on corpus size: exact
+        all-pairs at/below exact_max_rows, lsh_neighbor_pairs above —
+        and the routed result must agree with exact on geometry where
+        LSH recall is ~1 (tight clusters, 16 tables)."""
+        import math
+
+        def ang(d, axis=0):
+            c, s = math.cos(math.radians(d)), math.sin(math.radians(d))
+            return [c, s, 0.0] if axis == 0 else [0.0, c, s]
+
+        corpus = self._vecs(
+            spark,
+            [(1, ang(0)), (2, ang(2)), (3, ang(4)),
+             (11, ang(0, 1)), (12, ang(2, 1)), (13, ang(4, 1)),
+             (99, [0.577, 0.577, 0.578])],
+        )
+        calls = []
+        real = similarity.lsh_neighbor_pairs
+
+        def spy(*a, **kw):
+            calls.append(kw)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(similarity, "lsh_neighbor_pairs", spy)
+        exact = {
+            tuple(r)
+            for r in similarity.dbscan(
+                corpus, eps_cosine=0.99, min_pts=2
+            ).collect()
+        }
+        assert calls == []  # 7 rows <= default threshold: exact path
+        routed = {
+            tuple(r)
+            for r in similarity.dbscan(
+                corpus, eps_cosine=0.99, min_pts=2,
+                exact_max_rows=5, lsh_planes=2, lsh_tables=16,
+            ).collect()
+        }
+        assert len(calls) == 1  # 7 rows > 5: routed to the LSH path
+        assert calls[0]["dim"] == 3 and calls[0]["n_tables"] == 16
+        assert routed == exact
+        # exact_max_rows=None forces the exact path at any size
+        calls.clear()
+        similarity.dbscan(
+            corpus, eps_cosine=0.99, min_pts=2, exact_max_rows=None
+        ).collect()
+        assert calls == []
+
     def test_lsh_pairs_are_subset_of_exact_eps_pairs(self, spark):
         """lsh_neighbor_pairs may MISS eps-pairs (approximate recall)
         but must never emit a pair below eps: the exact cosine filter
@@ -1097,6 +1178,32 @@ class TestDbscan:
         # eps = 0.95 ~= cos(18.2deg): only adjacent 15-degree steps pass
         exact = {(i, i + 1) for i in range(7)}
         assert got <= exact
+
+    def test_lsh_pairs_zero_norm_vectors_never_pair(self, spark):
+        """A zero (or sub-quantization) vector has no defined cosine:
+        it must appear in NO emitted pair — neither as the low-id
+        anchor nor as a higher-id partner (the partner side once
+        divided by nd=0 and could emit cos=+inf pairs)."""
+        import math
+
+        def ang(d):
+            return [math.cos(math.radians(d)), math.sin(math.radians(d)), 0.0]
+
+        # id 0 zero-vector sorts FIRST (partner-side exposure for all),
+        # id 9 zero-vector sorts LAST (anchor-side loop reaches it);
+        # with 1 plane x 4 tables everything shares buckets often.
+        corpus = self._vecs(
+            spark,
+            [(0, [0.0, 0.0, 0.0]), (1, ang(0)), (2, ang(2)),
+             (9, [0.0, 0.0, 0.0])],
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_neighbor_pairs(
+                corpus, eps_cosine=0.5, dim=3, n_planes=1, n_tables=4
+            ).collect()
+        }
+        assert got == {(1, 2)}
 
 
 class TestKTruss:

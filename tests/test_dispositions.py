@@ -623,16 +623,50 @@ class TestBranchesWap:
         v2 = lake.current_version("t")
         lake.append(df_of(spark, [Row(id=3, v="v3")]), "t")
         lake.append(df_of(spark, [Row(id=4, v="v4")]), "t")
-        # Simulate a legacy pre-lineage manifest: strip v2's parent.
-        mpath = lake.root / "t" / f"_MANIFEST.{v2}.json"
-        data = _json.loads(mpath.read_text())
-        del data["parent"]
-        mpath.write_text(_json.dumps(data))
+        # Simulate a legacy migration: every manifest at/below the break
+        # predates lineage recording (real pre-lineage history has NO
+        # parent keys anywhere — branches did not exist then).
+        for w in (v1, v2):
+            mpath = lake.root / "t" / f"_MANIFEST.{w}.json"
+            data = _json.loads(mpath.read_text())
+            data.pop("parent", None)
+            mpath.write_text(_json.dumps(data))
         assert v1 in lake._main_ancestry("t")  # fallback window reaches v1
         # AS-OF resolution crosses the break to the real older snapshot
         assert lake.version_as_of("t", t_after_v1) == v1
         lake.vacuum("t", keep_last=4)
         assert {r.v for r in lake.read("t", v1).collect()} == {"v1"}
+
+    def test_legacy_window_excludes_lineage_era_orphans(
+        self, spark, tmp_path
+    ):
+        """A lineage-era manifest below a legacy break (an orphaned WAP
+        staging commit or branch-only commit — it records a parent) must
+        NOT enter the numeric fallback window: timestamp travel would
+        otherwise resolve to a snapshot never published on main."""
+        import json as _json
+
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=1, v="v1")]), "t")
+        v1 = lake.current_version("t")
+        # Orphaned WAP staging commit: branch commit whose branch is
+        # then dropped without publishing (failed audit).
+        lake.create_branch("t", "wap")
+        lake.append_to_branch(df_of(spark, [Row(id=9, v="orphan")]), "t", "wap")
+        orphan = lake._branch_version("t", "wap")
+        lake.drop_branch("t", "wap")
+        lake.append(df_of(spark, [Row(id=2, v="v2")]), "t")
+        lake.append(df_of(spark, [Row(id=3, v="v3")]), "t")
+        head = lake.current_version("t")
+        # Legacy break at the head: strip its parent (pre-lineage form).
+        mpath = lake.root / "t" / f"_MANIFEST.{head}.json"
+        data = _json.loads(mpath.read_text())
+        data.pop("parent", None)
+        mpath.write_text(_json.dumps(data))
+        ancestry = lake._main_ancestry("t")
+        assert orphan not in ancestry  # parented ⇒ never in the window
+        assert v1 not in ancestry  # lineage-era real history: also out —
+        # conservative, matches "stop at the break" for parented manifests
 
     def test_vacuum_keeps_branch_head(self, spark, tmp_path):
         lake = make_lake(spark, tmp_path)

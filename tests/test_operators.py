@@ -1234,3 +1234,50 @@ class TestBinaryCodecs:
         )
         png_v2 = (tmp_path / "fx" / "doc_0.png").read_bytes()
         assert png_v1 != png_v2
+
+    def test_fixture_writer_removes_stale_files_on_shrink(self, spark, tmp_path):
+        """A shrunk doc set must DELETE the vanished docs' files on
+        regeneration — orphan doc_* files would still be read by
+        ingest_binary_dir and break oracle counts/sums."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+        from pyspark.sql import Row
+
+        out = str(tmp_path / "fx")
+        mm.write_binary_fixtures(
+            spark.createDataFrame(
+                [Row(doc_id=0, text="keep"), Row(doc_id=20, text="drop")]
+            ),
+            out,
+        )
+        mm.write_binary_fixtures(
+            spark.createDataFrame([Row(doc_id=0, text="keep")]), out
+        )
+        names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
+        assert names == ["doc_0.bmp", "doc_0.png", "doc_0.wav"]
+
+    def test_bmp_decoder_refuses_v5_header_and_topdown(self):
+        """A valid BMP with a V4/V5 header (palette not at byte 54) or
+        negative (top-down) height passes the bitcount/compression
+        check but must raise, never silently mis-decode."""
+        import struct
+
+        import pytest
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        base = mm.encode_bmp_gray(bytes(16), 4, 4)
+        # Rewrite as BITMAPV5HEADER (124 bytes): palette moves after it.
+        palette = base[54 : 54 + 1024]
+        rows = base[54 + 1024 :]
+        offset = 14 + 124 + 1024
+        hdr = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+        info = struct.pack(
+            "<IiiHHIIiiII", 124, 4, 4, 1, 8, 0, len(rows), 0, 0, 256, 0
+        ) + bytes(124 - 40)
+        v5 = hdr + info + palette + rows
+        with pytest.raises(NotImplementedError, match="V4/V5"):
+            mm.decode_bmp_gray(v5)
+        topdown = bytearray(base)
+        topdown[22:26] = struct.pack("<i", -4)  # negative height
+        with pytest.raises(NotImplementedError, match="bottom-up"):
+            mm.decode_bmp_gray(bytes(topdown))
