@@ -110,6 +110,28 @@ EXTENSION_HEADLINE = [
     "events_regex_funnel",
     "similarity_pq_topk",
     "embedding_dbscan_lsh_clusters",
+    # round-4 additions: the families the driver perf row never saw —
+    # graph peels, pathing/funnel, interval/timeseries, robust stats,
+    # linkage/dedup tranche, tokenizer encode, recursion.
+    "graph_k_truss_suppliers",
+    "graph_k_core_customers_parts",
+    "graph_shortest_paths_bounded",
+    "events_top_trigram_paths",
+    "funnel_time_to_convert",
+    "funnel_time_bounded",
+    "window_session_builtin",
+    "gapfill_hourly_user_values",
+    "cohort_retention_daily",
+    "timeseries_cusum_daily",
+    "stats_ks_two_sample",
+    "stats_mad_outliers_events",
+    "feature_winsorized_stats",
+    "similarity_semantic_dedup",
+    "similarity_mmr_topk",
+    "dedup_incremental_batch",
+    "dedup_prefix_jaccard",
+    "text_bpe_encode",
+    "recursive_cte_reachability",
 ]
 
 

@@ -847,6 +847,70 @@ def edit_distance_pairs(
     )
 
 
+def _cost_based_df_cap(dfreq: DataFrame, cold_work_per_token: int) -> int:
+    """Pick the cold/hot split from a log2-bucketed df histogram
+    (<= 64 rows collected): the cap is the largest df band whose
+    cumulative exact cold-join work sum(df^2) fits
+    ``cold_work_per_token * n_tokens`` — cold work held LINEAR in
+    corpus size by construction (see :func:`containment_pairs`)."""
+    hist = (
+        dfreq.groupBy(F.floor(F.log2("df")).alias("band"))
+        .agg(
+            F.sum((F.col("df") * F.col("df")).cast("double")).alias("work"),
+            F.sum("df").alias("tokens"),
+            F.max("df").alias("mx"),
+        )
+        .collect()
+    )
+    n_tokens = sum(r["tokens"] for r in hist)
+    budget = float(cold_work_per_token) * n_tokens
+    cum, cap = 0.0, 1
+    for r in sorted(hist, key=lambda r: r["band"]):
+        if cum + r["work"] > budget:
+            break
+        cum += r["work"]
+        cap = r["mx"]
+    return cap
+
+
+def containment_split_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    cold_work_per_token: int = 512,
+) -> dict:
+    """Measurement probe for the :func:`containment_pairs` hot/cold
+    split: the cost-based ``df_cap`` the operator would choose on this
+    corpus, how many shingles go HOT at that cap, and the corpus df
+    shape (n_shingles, n_tokens, max_df). Used by the scale smoke to
+    demonstrate the df_cap CROSSOVER on a saturated-vocabulary
+    (growing-df) slice — at 10x corpus with fixed vocabulary, dfs grow
+    10x and the Zipf head must actually cross into the hot path."""
+    tok = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
+        .select("doc", F.explode(shingles_tokens(F.col("tk"), n)).alias("s"))
+    )
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint(
+        eager=True
+    )
+    cap = _cost_based_df_cap(dfreq, cold_work_per_token)
+    row = dfreq.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("df").alias("n_tokens"),
+        F.max("df").alias("max_df"),
+        F.sum((F.col("df") > cap).cast("long")).alias("n_hot"),
+    ).collect()[0]
+    return {
+        "df_cap": cap,
+        "n_hot": int(row["n_hot"]),
+        "n_shingles": int(row["n_shingles"]),
+        "n_tokens": int(row["n_tokens"]),
+        "max_df": int(row["max_df"]),
+    }
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -931,24 +995,7 @@ def containment_pairs(
     # re-runs the whole tokenize/explode/count pipeline.
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint(eager=True)
     if df_cap is None:
-        hist = (
-            dfreq.groupBy(F.floor(F.log2("df")).alias("band"))
-            .agg(
-                F.sum((F.col("df") * F.col("df")).cast("double")).alias("work"),
-                F.sum("df").alias("tokens"),
-                F.max("df").alias("mx"),
-            )
-            .collect()
-        )
-        n_tokens = sum(r["tokens"] for r in hist)
-        budget = float(cold_work_per_token) * n_tokens
-        cum, cap = 0.0, 1
-        for r in sorted(hist, key=lambda r: r["band"]):
-            if cum + r["work"] > budget:
-                break
-            cum += r["work"]
-            cap = r["mx"]
-        df_cap = cap
+        df_cap = _cost_based_df_cap(dfreq, cold_work_per_token)
     # Hot vocabulary: tiny by construction, so it broadcasts; rank
     # gives the ascending-rarity order the hot-prefix path needs.
     hot_vocab = (

@@ -348,14 +348,23 @@ def _edge_support(e: DataFrame) -> DataFrame:
         ["v", "w"],
         "left_semi",
     )
-    sides = (
-        tri.select(F.col("u").alias("p"), F.col("v").alias("q"))
-        .unionAll(tri.select(F.col("u").alias("p"), F.col("w").alias("q")))
-        .unionAll(tri.select(F.col("v").alias("p"), F.col("w").alias("q")))
+    # One pass over the triangle list: explode each triangle into its
+    # three edges. (A triple unionAll of projections re-executes the
+    # wedge join per branch — ReuseExchange does not dedupe the join
+    # itself — measured 3x the work of this explode.)
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("p"), F.col("v").alias("q")),
+                F.struct(F.col("u").alias("p"), F.col("w").alias("q")),
+                F.struct(F.col("v").alias("p"), F.col("w").alias("q")),
+            )
+        ).alias("pq")
     )
     sup = (
         sides.select(
-            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+            F.least("pq.p", "pq.q").alias("a"),
+            F.greatest("pq.p", "pq.q").alias("b"),
         )
         .groupBy("a", "b")
         .agg(F.count("*").cast("bigint").alias("support"))
@@ -422,10 +431,19 @@ def k_truss(
         keep = sup.filter(F.col("support") >= need).select("a", "b")
         pruned = e.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
         n_before, n_after = e.count(), pruned.count()
+        if n_after == n_before:
+            # Converged: this round's support IS the fixed-point
+            # support (the edge set didn't change), so reuse it instead
+            # of a full extra _edge_support pass. Every survivor is in
+            # `keep` (support >= need >= 1), so the inner join is total.
+            _free_checkpoint(pruned)
+            return e.join(sup, ["a", "b"]).select(
+                "a", "b", F.col("support").cast("bigint").alias("support")
+            )
         _free_checkpoint(e)
         e = pruned
-        if n_after == n_before:
-            break
+    # max_iter exhausted without a fixed point: report support over
+    # the last edge set (edges may have fallen below k-2 triangles).
     final_sup = _edge_support(e)
     return e.join(final_sup, ["a", "b"], "left").select(
         "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")

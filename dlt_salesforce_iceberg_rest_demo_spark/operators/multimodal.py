@@ -484,6 +484,350 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81), grayscale — the fourth REAL container
+# format and the first genuinely LOSSY/compressed one: DCT + scalar
+# quantization + canonical Huffman entropy coding, pure stdlib+numpy.
+# PNG covers lossless-compressed (zlib), BMP uncompressed, WAV PCM
+# audio; JPEG adds the transform-coded end of the codec spectrum.
+# Pillow-class formats (progressive/chroma JPEG, video) remain the
+# documented seam.
+# ---------------------------------------------------------------------------
+
+# Standard Annex K luminance quantization table (T.81 Table K.1),
+# zigzag-ordered on emission; kept row-major here.
+JPEG_STD_LUMA_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Standard Huffman specs (T.81 Tables K.3/K.5): (bits[1..16], values).
+# Encoder and decoder both derive their code tables from these specs
+# (and the decoder re-derives them from the DHT segment, so the two
+# sides are consistent by construction).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Row-major indices in zigzag scan order, generated (not
+    hardcoded) by the diagonal walk: even diagonals run bottom-left to
+    top-right, odd ones the reverse."""
+    order = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        for i in (rng if d % 2 else reversed(rng)):
+            order.append(i * 8 + (d - i))
+    return order
+
+
+def _jpeg_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman assignment: symbol -> (code, length).
+    Codes of each length are consecutive, starting from twice the
+    previous length's end (T.81 Annex C)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c / 2  # orthonormal DCT-II
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (FF -> FF00)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-pad to byte edge (F.1.2.3)
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quant: list[int] | None = None,
+) -> bytes:
+    """Baseline sequential JPEG, single grayscale component: 8x8
+    blocks (edge-replicated padding), orthonormal float DCT, scalar
+    quantization (``quant`` row-major; default ALL-ONES — the
+    near-lossless setting the fixtures use, so the decode round-trip
+    error is DCT float rounding only, |err| <= 2), zigzag, DC
+    differential + standard Annex K Huffman coding, byte stuffing,
+    JFIF container (SOI APP0 DQT SOF0 DHT DHT SOS ... EOI)."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be exactly width*height bytes")
+    q = list(quant) if quant is not None else [1] * 64
+    zz = _jpeg_zigzag()
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dct = _jpeg_dct_matrix()
+    qm = np.array(q, dtype=np.float64).reshape(8, 8)
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph, pw = -height % 8, -width % 8
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+
+    w = _BitWriter()
+
+    def put_magnitude(v: int) -> tuple[int, int, int]:
+        size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits, size
+
+    prev_dc = 0
+    for by in range(0, img.shape[0], 8):
+        for bx in range(0, img.shape[1], 8):
+            block = img[by : by + 8, bx : bx + 8]
+            coef = dct @ block @ dct.T
+            qc = np.round(coef / qm).astype(np.int64)
+            flat = qc.reshape(64)[zz]
+            diff = int(flat[0]) - prev_dc
+            prev_dc = int(flat[0])
+            size, bits, _ = put_magnitude(diff)
+            w.put(*dc_codes[size])
+            if size:
+                w.put(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if flat[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(flat[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                size, bits, _ = put_magnitude(v)
+                w.put(*ac_codes[(run << 4) | size])
+                w.put(bits, size)
+                run = 0
+            if last_nz < 63:
+                w.put(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(q[i] for i in zz)
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + zz_q)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Real baseline JPEG decode (grayscale, sequential DCT): segment
+    walk, DQT/DHT table builds from the stream itself, Huffman +
+    DC-prediction entropy decode with byte-unstuffing, dequantize,
+    un-zigzag, orthonormal IDCT, level shift, clamp, pad crop.
+    Returns (width, height, pixel bytes) — same contract as the
+    PNG/BMP twins. Progressive (SOF2), multi-component, 16-bit quant
+    tables and restart intervals raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = 0
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                quant[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC0:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError("only 8-bit single-component")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            comp_q = body[8]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                codes = _jpeg_codes(bits, vals)
+                huff[(tc, th)] = {(l, c): s for s, (c, l) in codes.items()}
+                i += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            dc_t, ac_t = data[pos + 4 + 2] >> 4, data[pos + 4 + 2] & 0xF
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start is None or width is None:
+        raise ValueError("truncated JPEG")
+
+    # Entropy-coded bytes: unstuff FF00 -> FF; stop at the next marker.
+    raw = bytearray()
+    i = scan_start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            if i + 1 < len(data) and data[i + 1] == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+
+    bitpos = 0
+    nbits_total = len(raw) * 8
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        if bitpos >= nbits_total:
+            raise ValueError("bitstream exhausted")
+        b = (raw[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, size: int) -> int:
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    dc_table, ac_table = huff[(0, dc_t)], huff[(1, ac_t)]
+    zz = _jpeg_zigzag()
+    qm = np.array(quant[comp_q], dtype=np.float64)
+    dct = _jpeg_dct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            flat = np.zeros(64, dtype=np.float64)
+            size = read_symbol(dc_table)
+            diff = extend(read_bits(size), size) if size else 0
+            prev_dc += diff
+            flat[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_table)
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                flat[k] = extend(read_bits(size), size)
+                k += 1
+            # zz_q is zigzag-ordered in the stream; flat is too.
+            block = np.zeros(64, dtype=np.float64)
+            block[zz] = flat * qm
+            block = block.reshape(8, 8)
+            pix = dct.T @ block @ dct + 128.0
+            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
+    clipped = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, clipped.tobytes()
+
+
 def encode_wav_pcm8(samples: bytes, rate: int = 8000) -> bytes:
     """Minimal valid WAV: mono 8-bit unsigned PCM via stdlib wave."""
     import io
@@ -518,10 +862,12 @@ def write_binary_fixtures(
     text_col: str = "text",
     modulus: int = 20,
 ) -> int:
-    """Materialize REAL binary files (PNG + WAV) derived from the text
-    corpus: every ``modulus``-th doc yields doc_{id}.png (its first 256
-    utf-8 bytes as a 16x16 grayscale image, zero-padded) and
-    doc_{id}.wav (its first 64 bytes as 8-bit PCM samples).
+    """Materialize REAL binary files (PNG + BMP + JPEG + WAV) derived
+    from the text corpus: every ``modulus``-th doc yields
+    doc_{id}.{png,bmp,jpg} (its first 256 utf-8 bytes as a 16x16
+    grayscale image, zero-padded — identical pixels through three
+    codecs: zlib-lossless, uncompressed, DCT-lossy) and doc_{id}.wav
+    (its first 64 bytes as 8-bit PCM samples).
 
     Fixture-generation utility, driver-side by design: the subset is
     capped (|docs|/modulus files) and collected once. Production
@@ -546,7 +892,7 @@ def write_binary_fixtures(
     # would surface downstream as an opaque oracle hash mismatch. The
     # format-set prefix versions the marker, so dirs written before a
     # codec was added regenerate instead of silently missing files.
-    digest = "png+wav+bmp:" + hashlib.md5(
+    digest = "png+wav+bmp+jpg:" + hashlib.md5(
         "\x1f".join(
             f"{r[id_col]}\x1e{r[text_col]}"
             for r in sorted(rows, key=lambda r: r[id_col])
@@ -565,6 +911,11 @@ def write_binary_fixtures(
         pix = raw[:PNG_PIXEL_CAP].ljust(PNG_PIXEL_CAP, b"\x00")
         (out / f"doc_{r[id_col]}.png").write_bytes(encode_png_gray(pix, 16, 16))
         (out / f"doc_{r[id_col]}.bmp").write_bytes(encode_bmp_gray(pix, 16, 16))
+        # All-ones quant: the near-lossless JPEG setting (|err| <= 2
+        # per pixel, DCT float rounding only) — lossy by format, so
+        # .jpg stays OUT of ingest_binary_dir's default glob and the
+        # pixel-sum oracles; the JPEG twin query verifies it.
+        (out / f"doc_{r[id_col]}.jpg").write_bytes(encode_jpeg_gray(pix, 16, 16))
         (out / f"doc_{r[id_col]}.wav").write_bytes(
             encode_wav_pcm8(raw[:WAV_SAMPLE_CAP], rate=8000)
         )
@@ -583,10 +934,18 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     no Python touches the payloads here: PNG width/height are the
     big-endian u32s at offsets 17/21 (after the 8-byte signature and
     IHDR length+tag), WAV sample rate is the little-endian u32 at
-    offset 25 (RIFF fmt chunk) reassembled byte-reversed via hex/conv.
+    offset 25 (RIFF fmt chunk) reassembled byte-reversed via hex/conv,
+    JPEG height/width are the big-endian u16s 5/7 bytes past the SOF0
+    marker, located via a byte-aligned hex search for FFC0 (valid for
+    baseline files whose pre-SOF0 segments contain no stray FF C0 byte
+    pair — true of this codec family's fixed APP0/DQT layout).
     At scale binaryFile partitions by file and prunes on
     pathGlobFilter; spark.sql.files.maxPartitionBytes bounds (rows x
-    payload) per task."""
+    payload) per task.
+
+    The DEFAULT glob excludes .jpg: JPEG decode is lossy, so its
+    pixel stats can't join the text-replayable PNG/BMP oracles —
+    the JPEG twin query ingests with an explicit ``glob="*.jpg"``."""
     be_u32 = lambda off: F.conv(  # noqa: E731
         F.hex(F.expr(f"substring(content, {off}, 4)")), 16, 10
     ).cast("long")
@@ -599,6 +958,16 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     ).cast("long")
     is_png = F.expr("substring(content, 2, 3)") == F.lit(b"PNG")
     is_bmp = F.expr("substring(content, 1, 2)") == F.lit(b"BM")
+    is_jpg = F.hex(F.expr("substring(content, 1, 2)")) == F.lit("FFD8")
+    # 1-based byte offset of the SOF0 marker: hex() doubles offsets,
+    # so a hex-string hit at char p (odd = byte-aligned) is byte
+    # (p+1)/2. be_u16 fields sit +5 (height) and +7 (width) past it.
+    sof0 = (F.locate("FFC0", F.hex(F.col("content"))) + 1) / 2
+    jpg_u16 = lambda delta: F.conv(  # noqa: E731
+        F.hex(F.col("content").substr((sof0 + delta).cast("int"), F.lit(2))),
+        16,
+        10,
+    ).cast("long")
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -613,17 +982,22 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
         F.struct(
             F.when(is_png, "png")
             .when(is_bmp, "bmp")
+            .when(is_jpg, "jpeg")
             .otherwise("wav")
             .alias("format"),
             F.col("length").cast("long").alias("n_bytes"),
-            F.when(is_png | is_bmp, "image").otherwise("audio").alias("modality"),
+            F.when(is_png | is_bmp | is_jpg, "image")
+            .otherwise("audio")
+            .alias("modality"),
             F.when(is_png, be_u32(17))
             .when(is_bmp, le_u32(19))
+            .when(is_jpg, jpg_u16(7))
             .alias("width"),
             F.when(is_png, be_u32(21))
             .when(is_bmp, le_u32(23))
+            .when(is_jpg, jpg_u16(5))
             .alias("height"),
-            F.when(~(is_png | is_bmp), le_u32(25)).alias("sample_rate"),
+            F.when(~(is_png | is_bmp | is_jpg), le_u32(25)).alias("sample_rate"),
         ).alias("meta"),
     )
 
@@ -653,6 +1027,11 @@ def decode_binary_stats(mm: DataFrame) -> DataFrame:
                     val_sum.append(int(sum(pix)))
                 elif b[:2] == b"BM":
                     w, h, pix = decode_bmp_gray(b)
+                    modality.append("image")
+                    n_values.append(w * h)
+                    val_sum.append(int(sum(pix)))
+                elif b[:2] == b"\xff\xd8":
+                    w, h, pix = decode_jpeg_gray(b)
                     modality.append("image")
                     n_values.append(w * h)
                     val_sum.append(int(sum(pix)))

@@ -838,6 +838,9 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     out_dir = str(Path(tempfile.gettempdir()) / f"spark_graft_binfix_{key}")
     multimodal.write_binary_fixtures(docs, out_dir)
+    # Default glob deliberately excludes the (lossy) .jpg twins —
+    # their decode can't be text-replayed; multimodal_jpeg_ingest
+    # covers them.
     mm = multimodal.ingest_binary_dir(spark, out_dir)
     return (
         multimodal.decode_binary_stats(mm)
@@ -847,6 +850,63 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_values").cast("bigint").alias("n_values"),
             F.sum("val_sum").cast("bigint").alias("val_sum"),
         )
+    )
+
+
+_JPEG_ORACLE = """
+-- Every 20th doc gets a real 16x16 baseline JPEG; the engine query
+-- returns the JVM-parsed SOF0 dimensions AND the entropy-decoded
+-- pixel count per file. JPEG is lossy, so pixel SUMS are not
+-- text-replayable (unlike PNG/BMP) — but dims and pixel COUNT are
+-- format contracts: any header mis-parse, Huffman desync, or
+-- truncated scan breaks the hash. The decoded-value fidelity bound
+-- (|err| <= 2/pixel at the all-ones quant table) is pinned in pytest.
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_pixels
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@register("multimodal_jpeg_ingest", oracle=_JPEG_ORACLE)
+def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-codec ingestion twin of `multimodal_binaryfile_ingest`:
+    real baseline JPEGs (pure-python DCT + quantization + canonical
+    Huffman encoder, `multimodal.encode_jpeg_gray`) written from every
+    20th doc, read back via binaryFile with an explicit ``*.jpg``
+    glob, SOF0 height/width parsed JVM-SIDE (hex-locate of the FFC0
+    marker), and the payload entropy-DECODED (Huffman + DC prediction
+    + dequant + IDCT, `multimodal.decode_jpeg_gray`) in the
+    Arrow-batched stats pass. Output: per-doc JVM-parsed dims + the
+    decoded pixel count — the full encode -> file -> binaryFile ->
+    header-parse -> entropy-decode loop must agree with the oracle's
+    format constants row-for-row. Fidelity (near-lossless round-trip
+    at the all-ones quant table; standard-table determinism) is pinned
+    in `tests/test_operators.py::TestJpegCodec`."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    docs = t(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = str(Path(tempfile.gettempdir()) / f"spark_graft_binfix_{key}")
+    multimodal.write_binary_fixtures(docs, out_dir)
+    mm = multimodal.ingest_binary_dir(spark, out_dir, glob="*.jpg")
+    stats = multimodal.decode_binary_stats(mm).select(
+        "file_name", F.col("n_values").alias("n_pixels")
+    )
+    return (
+        mm.select(
+            "file_name",
+            F.regexp_extract("file_name", r"doc_(\d+)\.jpg", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .join(stats, "file_name")
+        .select("doc_id", "width", "height", "n_pixels")
     )
 
 

@@ -109,11 +109,80 @@ def build(src: str, dst: str, factor: int) -> None:
         shutil.copyfile(f"{src}/{table}.parquet", out / f"{table}.parquet")
 
 
+def build_growdf(src: str, dst: str, factor: int) -> None:
+    """SATURATED-VOCABULARY slice: documents grow ``factor``x in rows
+    and token volume while the token VOCABULARY stays fixed, so every
+    token/shingle document frequency grows ~``factor``x — the Zipf-head
+    regime the disjoint-universe slice (:func:`build`) deliberately
+    does not reproduce (it prefixes tokens per copy, holding per-token
+    df constant). This is the hard case for the df-split operators
+    (containment hot/cold split, prefix filter, sparse-cosine df cap):
+    shingles that were cold at sf0.1 must actually CROSS into the hot
+    path here.
+
+    Construction: copy 0 = originals; copy c>0 doc i = first half of
+    doc i's tokens + second half of doc (i + 17c mod N)'s tokens
+    (dense row-number indexing). Properties: token volume exactly
+    ``factor``x (each original half appears in exactly ``factor``
+    docs), vocabulary unchanged, every recombined doc distinct from
+    every original and from other copies (distinct shift per copy), no
+    doc duplicated verbatim — so threshold-based pair output grows
+    near-linearly, not quadratically, and the measurement is scale-up,
+    not a duplicate-family blowup. Only `documents` is rebuilt; other
+    tables copy through byte-for-byte."""
+    out = Path(dst)
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW copies AS SELECT unnest(generate_series(1, {factor - 1})) AS c"
+    )
+    con.execute(
+        f"""
+CREATE VIEW d AS
+  SELECT doc_id, text, lang, source,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx,
+         COUNT(*) OVER () AS n
+  FROM '{src}/documents.parquet'
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM '{src}/documents.parquet'
+  UNION ALL
+  SELECT * FROM (
+    WITH rec AS (
+      SELECT a.doc_id + c.c * {STEP} AS doc_id,
+             array_to_string(
+               str_split(a.text, ' ')[1:len(str_split(a.text, ' ')) // 2]
+               || str_split(b.text, ' ')[len(str_split(b.text, ' ')) // 2 + 1:],
+               ' ') AS text,
+             a.lang, a.source
+      FROM d a
+      CROSS JOIN copies c
+      JOIN d b ON b.idx = (a.idx + 17 * c.c) % a.n)
+    SELECT doc_id, text, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM rec)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    for table in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        shutil.copyfile(f"{src}/{table}.parquet", out / f"{table}.parquet")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/scale_sf1.0")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--mode", choices=["disjoint", "growdf"], default="disjoint"
+    )
     a = ap.parse_args()
-    build(a.src, a.dst, a.factor)
-    print(f"wrote {a.dst} (factor {a.factor} of {a.src})")
+    (build if a.mode == "disjoint" else build_growdf)(a.src, a.dst, a.factor)
+    print(f"wrote {a.dst} (factor {a.factor}, mode {a.mode}, of {a.src})")

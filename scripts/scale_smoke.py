@@ -1,10 +1,23 @@
 """Scale smoke: run the hottest headliners at sf0.1 AND a generated
-sf1.0 slice (10x rows, disjoint key universes — scripts/
-make_scale_slice.py) and report the wall-time ratio plus the Exchange
-(shuffle) count of each physical plan at both scales. The claim under
-test: the plans are scale-stable (no new shuffles appear) and
-wall-time grows near-linearly — the measured evidence behind the
-"designed for 100 TB" statements in the operator docstrings.
+sf1.0 slice (10x rows) and report, per query and scale: wall time,
+Exchange (shuffle) count of the physical plan, shuffle-write bytes,
+SPILL bytes (memory+disk), and peak execution memory — via the Spark
+UI REST API (stage-level task metrics). The claims under test: plans
+are scale-stable (no new shuffles appear), wall time grows
+near-linearly, and nothing SPILLS at sf1.0 in this 128 GiB JVM — the
+measured evidence behind the "designed for 100 TB" statements in the
+operator docstrings.
+
+TWO slices (scripts/make_scale_slice.py):
+- disjoint (HOT list): per-copy key/token universes — per-token df
+  constant, work scales linearly by construction. Measures engine
+  scaling at fixed data statistics.
+- growdf (GROWDF list): fixed token vocabulary, 10x volume — every
+  df grows ~10x, the Zipf-head regime the df-split operators
+  (containment hot/cold split, prefix filter, sparse-cosine df cap)
+  are DESIGNED for. For containment the entry also records the
+  cost-based df_cap and hot-shingle count at both scales: the df_cap
+  CROSSOVER (shingles going hot at 10x) is demonstrated, not assumed.
 
 Each query runs in its OWN Spark session (subprocess): a shared
 session let heavy neighbors inflate later measurements 2-10x via
@@ -12,8 +25,8 @@ driver GC / block-manager pressure (observed: ann_lsh 1.0s solo vs
 10.2s after the containment run), which is measurement noise, not
 engine behavior.
 
-Usage: python scripts/scale_smoke.py           # full suite
-       python scripts/scale_smoke.py --query N # one query (internal)
+Usage: python scripts/scale_smoke.py                 # full suite
+       python scripts/scale_smoke.py --query N [--growdf]  # (internal)
 Writes SCALE_SMOKE.json; prints one compact summary line.
 """
 
@@ -30,6 +43,7 @@ sys.path.insert(0, str(REPO))
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/scale_sf1.0"
+DST_GROWDF = "/tmp/growdf_sf1.0"
 FACTOR = 10
 
 HOT = [
@@ -47,8 +61,45 @@ HOT = [
     "text_pack_sequences",
 ]
 
+# The df-split operators, re-measured on the saturated-vocabulary
+# slice (the regime the disjoint slice cannot produce).
+GROWDF = [
+    "dedup_containment_pairs",
+    "dedup_prefix_jaccard",
+    "text_sparse_cosine_pairs",
+]
 
-def run_one(name: str) -> dict:
+
+def _stage_rows(spark) -> list[dict]:
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages", timeout=30
+    ) as r:
+        return json.load(r)
+
+
+def _metrics_since(spark, before_ids: set) -> dict:
+    rows = [
+        s
+        for s in _stage_rows(spark)
+        if (s["stageId"], s["attemptId"]) not in before_ids
+    ]
+    return {
+        "spill_bytes": sum(
+            s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+            for s in rows
+        ),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in rows),
+        "peak_exec_mem": max(
+            (s.get("peakExecutionMemory", 0) for s in rows), default=0
+        ),
+    }
+
+
+def run_one(name: str, big_dir: str, with_split_stats: bool) -> dict:
     """Measure one query at both scales inside THIS process's fresh
     Spark session; returns the report entry."""
     import contextlib
@@ -57,10 +108,12 @@ def run_one(name: str) -> dict:
     from dlt_salesforce_iceberg_rest_demo_spark.plans import query_fns
     from dlt_salesforce_iceberg_rest_demo_spark.session import get_spark
 
-    spark = get_spark("scale-smoke")
+    spark = get_spark(
+        "scale-smoke", extra_conf={"spark.ui.enabled": "true"}
+    )
     fns = query_fns()
     entry: dict = {}
-    for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+    for label, sf_dir in (("sf0.1", SRC), ("sf1.0", big_dir)):
         df = fns[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -68,16 +121,36 @@ def run_one(name: str) -> dict:
         nx = buf.getvalue().count("Exchange")
         fns[name](spark, sf_dir).count()  # warm
         runs = []
+        before = {
+            (s["stageId"], s["attemptId"]) for s in _stage_rows(spark)
+        }
         for _ in range(2):
             t0 = time.perf_counter()
             n = fns[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        mets = _metrics_since(spark, before)
         try:
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
         except Exception:
             pass
-        entry[label] = {"sec": round(min(runs), 3), "rows": n, "exchanges": nx}
+        entry[label] = {
+            "sec": round(min(runs), 3),
+            "rows": n,
+            "exchanges": nx,
+            **mets,
+        }
+        if with_split_stats:
+            from dlt_salesforce_iceberg_rest_demo_spark.operators.dedup import (
+                containment_split_stats,
+            )
+            from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import (
+                load_table,
+            )
+
+            entry[label]["containment_split"] = containment_split_stats(
+                load_table(spark, sf_dir, "documents")
+            )
     entry["time_ratio"] = round(
         entry["sf1.0"]["sec"] / max(entry["sf0.1"]["sec"], 1e-9), 2
     )
@@ -88,50 +161,68 @@ def run_one(name: str) -> dict:
     return entry
 
 
-def main() -> None:
-    if len(sys.argv) == 3 and sys.argv[1] == "--query":
-        print("RESULT " + json.dumps(run_one(sys.argv[2])))
-        return
-
-    if not Path(DST, "lineitem.parquet").exists():
+def _ensure_slice(dst: str, mode: str) -> None:
+    if not Path(dst, "documents.parquet").exists():
         subprocess.run(
             [sys.executable, str(REPO / "scripts" / "make_scale_slice.py"),
-             "--src", SRC, "--dst", DST, "--factor", str(FACTOR)],
+             "--src", SRC, "--dst", dst, "--factor", str(FACTOR),
+             "--mode", mode],
             check=True,
         )
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--query":
+        name = sys.argv[2]
+        growdf = "--growdf" in sys.argv
+        big = DST_GROWDF if growdf else DST
+        stats = growdf and name == "dedup_containment_pairs"
+        print("RESULT " + json.dumps(run_one(name, big, stats)))
+        return
+
+    _ensure_slice(DST, "disjoint")
+    _ensure_slice(DST_GROWDF, "growdf")
     report: dict[str, dict] = {}
-    for name in HOT:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--query", name],
-            capture_output=True,
-            text=True,
-        )
+    jobs = [(n, False) for n in HOT] + [(n, True) for n in GROWDF]
+    for name, growdf in jobs:
+        key = f"growdf:{name}" if growdf else name
+        cmd = [sys.executable, __file__, "--query", name]
+        if growdf:
+            cmd.append("--growdf")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
         line = next(
             (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")),
             None,
         )
         if line is None:
-            print(f"{name}: FAILED\n{proc.stderr[-500:]}", flush=True)
+            print(f"{key}: FAILED\n{proc.stderr[-500:]}", flush=True)
             continue
         entry = json.loads(line[len("RESULT "):])
-        report[name] = entry
+        report[key] = entry
         print(
-            f"{name}: {entry['sf0.1']['sec']}s -> {entry['sf1.0']['sec']}s "
+            f"{key}: {entry['sf0.1']['sec']}s -> {entry['sf1.0']['sec']}s "
             f"(x{entry['time_ratio']}, rows x{entry['rows_ratio']}, "
             f"exchanges {entry['sf0.1']['exchanges']}->"
-            f"{entry['sf1.0']['exchanges']})",
+            f"{entry['sf1.0']['exchanges']}, "
+            f"spill {entry['sf0.1']['spill_bytes']}->"
+            f"{entry['sf1.0']['spill_bytes']}, "
+            f"peakmem {entry['sf1.0']['peak_exec_mem']})",
             flush=True,
         )
 
     (REPO / "SCALE_SMOKE.json").write_text(json.dumps(report, indent=1) + "\n")
     worst = max(r["time_ratio"] for r in report.values())
     stable = all(r["plan_stable"] for r in report.values())
+    spill_free = all(
+        r["sf1.0"]["spill_bytes"] == 0 for r in report.values()
+    )
     print(
         json.dumps(
             {
                 "metric": "scale_smoke_worst_time_ratio_at_10x",
                 "value": worst,
                 "plans_stable": stable,
+                "sf1_spill_free": spill_free,
                 "details": "SCALE_SMOKE.json",
             }
         )

@@ -1214,8 +1214,9 @@ class TestBinaryCodecs:
         n2 = mm.write_binary_fixtures(docs, str(tmp_path / "fx"))
         assert n1 == n2 == 2
         names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
-        assert names == ["doc_0.bmp", "doc_0.png", "doc_0.wav",
-                         "doc_20.bmp", "doc_20.png", "doc_20.wav"]
+        assert names == ["doc_0.bmp", "doc_0.jpg", "doc_0.png", "doc_0.wav",
+                         "doc_20.bmp", "doc_20.jpg", "doc_20.png",
+                         "doc_20.wav"]
 
     def test_fixture_writer_regenerates_on_content_change(self, spark, tmp_path):
         """Equal doc COUNT with changed text must regenerate: the
@@ -1253,7 +1254,88 @@ class TestBinaryCodecs:
             spark.createDataFrame([Row(doc_id=0, text="keep")]), out
         )
         names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
-        assert names == ["doc_0.bmp", "doc_0.png", "doc_0.wav"]
+        assert names == ["doc_0.bmp", "doc_0.jpg", "doc_0.png", "doc_0.wav"]
+
+    def test_jpeg_near_lossless_roundtrip_all_ones_quant(self):
+        """At the all-ones quant table the only loss is DCT float
+        rounding: |err| <= 2 per pixel on arbitrary (worst-case
+        high-frequency) content, dims exact, decode deterministic."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(7)
+        for w, h in [(16, 16), (6, 5), (24, 9), (1, 1)]:
+            pix = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            data = mm.encode_jpeg_gray(pix, w, h)
+            assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+            w2, h2, out = mm.decode_jpeg_gray(data)
+            assert (w2, h2) == (w, h)
+            err = np.abs(
+                np.frombuffer(out, np.uint8).astype(int)
+                - np.frombuffer(pix, np.uint8).astype(int)
+            )
+            assert err.max() <= 2
+            assert mm.decode_jpeg_gray(data)[2] == out  # deterministic
+
+    def test_jpeg_standard_table_lossy_but_deterministic(self):
+        """The Annex-K luminance table path: genuinely lossy (smaller
+        file than the near-lossless setting), deterministic bytes,
+        dims preserved, smooth-content error bounded."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes(range(256))  # smooth gradient
+        d1 = mm.encode_jpeg_gray(pix, 16, 16, quant=mm.JPEG_STD_LUMA_QUANT)
+        d2 = mm.encode_jpeg_gray(pix, 16, 16, quant=mm.JPEG_STD_LUMA_QUANT)
+        assert d1 == d2
+        assert len(d1) < len(mm.encode_jpeg_gray(pix, 16, 16))
+        w, h, out = mm.decode_jpeg_gray(d1)
+        assert (w, h) == (16, 16)
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(pix, np.uint8).astype(int)
+        )
+        assert err.max() <= 16  # quantization-scale error on smooth data
+
+    def test_jpeg_decoder_refuses_progressive_and_multicomponent(self):
+        import struct
+
+        import pytest
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        base = bytearray(mm.encode_jpeg_gray(bytes(64), 8, 8))
+        sof = base.find(b"\xff\xc0")
+        prog = bytearray(base)
+        prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="baseline"):
+            mm.decode_jpeg_gray(bytes(prog))
+        multi = bytearray(base)
+        multi[sof + 9] = 3  # ncomp 1 -> 3
+        with pytest.raises(NotImplementedError, match="single-component"):
+            mm.decode_jpeg_gray(bytes(multi))
+        assert struct.unpack(">HH", base[sof + 5 : sof + 9]) == (8, 8)
+
+    def test_jpeg_ingest_meta_jvm_side_and_decode_stats(self, spark, tmp_path):
+        """binaryFile ingestion locates SOF0 via the byte-aligned hex
+        search and parses height/width JVM-side; decode stats route
+        through the real entropy decoder."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes([5] * (16 * 16))
+        (tmp_path / "q.jpg").write_bytes(mm.encode_jpeg_gray(pix, 16, 16))
+        df = mm.ingest_binary_dir(spark, str(tmp_path), glob="*.jpg")
+        row = df.collect()[0]
+        assert row.meta.format == "jpeg" and row.meta.modality == "image"
+        assert (row.meta.width, row.meta.height) == (16, 16)
+        stats = mm.decode_binary_stats(df).collect()[0]
+        assert (stats.modality, stats.n_values) == ("image", 256)
+        # constant image: DCT rounding error vanishes -> exact sum
+        assert stats.val_sum == 5 * 256
 
     def test_bmp_decoder_refuses_v5_header_and_topdown(self):
         """A valid BMP with a V4/V5 header (palette not at byte 54) or
