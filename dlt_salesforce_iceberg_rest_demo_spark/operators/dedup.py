@@ -61,10 +61,19 @@ def spread(df: DataFrame) -> DataFrame:
     production scale inputs already have >= cores partitions and this
     is a no-op branch - the repartition only fires on pathological
     layouts, and shuffles just the raw rows, before any explode.
-    """
+
+    The repartition branch CHECKPOINTS: a bare repartition is not an
+    optimizer barrier — Catalyst pushes deterministic projections
+    below the exchange (to shrink shuffle bytes), which lands the
+    expensive interpreted shingle HOFs back on the single input
+    partition and re-runs them once per downstream consumer (observed:
+    two 4.5 s single-task map stages under dedup_prefix_jaccard at
+    sf0.1, 7.4 s -> 3.4 s from this barrier). Materializing the raw
+    rows is trivial exactly when this branch fires (a sub-core-count
+    input); the at-scale path never reaches it."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target).localCheckpoint(eager=True)
     return df
 
 

@@ -62,15 +62,7 @@ def graph_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     The reference loads FK columns flat and has no graph surface
     (SURVEY.md §2.7; /root/reference/data/*.recipe.yml FK fields)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(
-            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
-        )
-        .distinct()
-    )
+    pairs = graph.co_occurrence_pairs(li, "l_orderkey", "l_suppkey")
     bucket = (
         F.conv(
             F.substring(
@@ -99,9 +91,10 @@ WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, len(tk)-1),
-                               i -> tk[i] || ' ' || tk[i+1])) AS s
-  FROM toks WHERE len(tk) >= 2),
+         unnest(list_transform(generate_series(1, len(tk)-2),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS s
+  FROM toks WHERE len(tk) >= 3),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
@@ -118,7 +111,7 @@ WHERE 2 * n_inter >= (sa.m + sb.m - n_inter)
 
 @register("dedup_prefix_jaccard", oracle=_PREFIX_JACCARD_ORACLE)
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard >= 0.5 pairs via PREFIX FILTERING:
+    """Exact trigram-shingle Jaccard >= 0.5 pairs via PREFIX FILTERING:
     candidates come only from each document's rarest (lowest document-
     frequency) prefix shingles, never from hot ones — the lossless
     AllPairs/PPJoin strategy that keeps exact set-similarity join
@@ -127,14 +120,16 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to brute force (same pair set as ``dedup_ngram_jaccard``,
     different — scalable — candidate generation).
 
-    Bigram shingles, deliberately: prefix filtering prunes through the
-    document-frequency TAIL, so its win tracks vocabulary size. The
-    synthetic fixture corpus draws from ~50 words — unigram sets there
-    are near-degenerate (most doc pairs exceed 0.5 Jaccard) and ANY
-    exact all-pairs method, filtered or not, degenerates with them;
-    shingling restores the Zipf tail real corpora have."""
+    Trigram shingles, deliberately: prefix filtering prunes through
+    the document-frequency TAIL, so its win tracks vocabulary size.
+    The synthetic fixture corpus draws from ~30 words — unigram sets
+    there are near-degenerate (most doc pairs exceed 0.5 Jaccard) and
+    even BIGRAM dfs stay so hot that the prefixes carry no rarity
+    signal (measured 5x slower at sf0.1 with an identical pair set);
+    trigrams restore the Zipf tail real corpora have, which is the
+    regime the operator exists for."""
     return dedup.prefix_jaccard_pairs(
-        t(spark, sf_dir, "documents"), n=2, threshold=0.5
+        t(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
 
 
@@ -452,13 +447,7 @@ def graph_shortest_paths_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical three rounds as CTEs. Exact integer
     distances in any execution order."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
-        .distinct()
-    )
+    pairs = graph.co_occurrence_pairs(li, "l_orderkey", "l_suppkey")
     bucket = F.conv(
         F.substring(
             F.md5(F.concat_ws("#", F.col("a").cast("string"), F.col("b").cast("string"))),

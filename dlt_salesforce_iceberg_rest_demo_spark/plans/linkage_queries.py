@@ -816,16 +816,10 @@ def graph_k_truss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram of the truss)."""
     from pyspark.sql import functions as F
 
-    from ..operators.graph import k_truss
+    from ..operators.graph import co_occurrence_pairs, k_truss
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
-        .distinct()
-    )
+    pairs = co_occurrence_pairs(li, "l_orderkey", "l_suppkey")
     bucket = F.conv(
         F.substring(
             F.md5(
