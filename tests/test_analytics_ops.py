@@ -114,6 +114,64 @@ class TestContainmentFrequencySplit:
         assert base == forced_split
         assert base, "fixture should contain containment pairs"
 
+    def test_dense_strategy_matches_index_exactly(self, spark):
+        """The blocked full-vocabulary-bitmap strategy (the saturated-
+        vocab route) must be bit-identical to the index path — both
+        pair SET and scores — on the fixture corpus and on the crafted
+        hot/cold graph, across block boundaries (tiny block_rows force
+        many same- and cross-block tasks)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.dedup import (
+            _containment_dense,
+        )
+
+        for docs in (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            self._docs(spark),
+        ):
+            index = {
+                (r["doc_a"], r["doc_b"]): round(r["containment"], 12)
+                for r in dedup.containment_pairs(
+                    docs, strategy="index"
+                ).collect()
+            }
+            dense = {
+                (r["doc_a"], r["doc_b"]): round(r["containment"], 12)
+                for r in dedup.containment_pairs(
+                    docs, strategy="dense"
+                ).collect()
+            }
+            assert dense == index and index
+
+    def test_dense_gate_routes_on_saturation(self, spark, monkeypatch):
+        """auto routes to dense ONLY when the vocabulary is tiny AND
+        most token mass stays hot at the cost-based cap; the fixture
+        corpus at sf0.001 is cold-dominated and must keep the index
+        path, while a fully saturated corpus (every doc = permutations
+        of the same few tokens) must route dense."""
+        calls = []
+        real = dedup._containment_dense
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dedup, "_containment_dense", spy)
+        cold = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        dedup.containment_pairs(cold).count()
+        assert calls == []  # cold-dominated: index path
+        rows = [
+            (i, " ".join(["alpha", "beta", "gamma", "delta"][j % 4]
+                         for j in range(i % 5, i % 5 + 6)))
+            for i in range(60)
+        ]
+        sat = spark.createDataFrame(rows, "doc_id long, text string")
+        # A tight cold budget puts this tiny-vocab corpus in the
+        # saturated regime (avg df far above the per-token allowance —
+        # at test size the default 512 allowance rightly keeps the
+        # cheap naive join, so saturation is induced via the knob).
+        dedup.containment_pairs(sat, cold_work_per_token=2).count()
+        assert calls == [1]  # saturated tiny vocabulary: dense path
+
 
 class TestRandomProjection:
     def test_matches_numpy(self, spark):
