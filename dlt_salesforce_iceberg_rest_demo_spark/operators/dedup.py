@@ -1162,11 +1162,16 @@ def containment_pairs(
     ~ corpus size), candidate generation of ANY index flavor
     degenerates toward all-pairs — there ``strategy='auto'`` routes to
     :func:`_containment_dense` instead (blocked all-pairs popcount
-    over full-vocabulary bitmaps, no pair shuffle), chosen by an
-    explicit cost comparison from the same histogram. Every strategy:
-    same exact result (``strategy='index'``/``'dense'`` force a path;
-    an explicit ``df_cap`` implies the index path unless dense is
-    forced).
+    over full-vocabulary bitmaps, no pair shuffle). The dense gate is
+    two THRESHOLDS read off the same histogram, not a full cost
+    model: the whole vocabulary must fit the bitmap kernel
+    (``n_shingles <= DENSE_VOCAB_MAX`` = 64 words/doc) AND the hot
+    token-mass fraction at the cost-based cap must exceed
+    ``DENSE_HOT_FRACTION`` (saturation signal — a Heaps-law corpus
+    never trips it). Every strategy: same exact result
+    (``strategy='index'``/``'dense'`` force a path; an explicit
+    ``df_cap`` under ``'auto'`` implies the index path with your cap —
+    the histogram is then skipped entirely, nothing is collected).
     """
     import pandas as pd
 
@@ -1183,12 +1188,15 @@ def containment_pairs(
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint(eager=True)
     if strategy not in ("auto", "index", "dense"):
         raise ValueError(f"unknown containment strategy {strategy!r}")
-    if strategy != "index":
+    if strategy != "index" and (strategy == "dense" or df_cap is None):
+        # An explicit df_cap under 'auto' pins the index path with
+        # that cap, so the histogram would be collected-then-unused —
+        # skip it (only 'dense' and cap-less 'auto' need it).
         hist = _df_histogram(dfreq)
         n_shingles = sum(r["cnt"] for r in hist)
         cap, hot_frac = _cap_and_hot_fraction(hist, cold_work_per_token)
-        # Saturation gate: route to the blocked-bitmap strategy when
-        # the vocabulary fits a <=64-word bitmap AND most token mass
+        # Saturation gate — two thresholds, not a cost model: the
+        # vocabulary fits a <=64-word bitmap AND most token mass
         # stays hot even after the linear-work cold budget — the
         # regime where rarity-based candidate generation degenerates
         # to all-pairs-as-shuffled-join-rows (see _containment_dense).

@@ -317,8 +317,13 @@ def k_core(
     round count may vary.
 
     Returns the surviving nodes with their core degrees
-    (node, degree) — degree >= k for every row, over edges whose both
-    endpoints survive.
+    (node, degree) — degree >= k for every row (enforced by a final
+    filter, so it holds even if ``max_iter`` is exhausted mid-peel; at
+    the fixed point the filter is a no-op). When ``max_iter`` IS
+    exhausted, the result is a SUPERSET of the true k-core: every
+    returned node had degree >= k in the last peeled subgraph, but
+    further rounds could still remove some. Raise ``max_iter`` for an
+    adversarially deep peel (a path graph peels one layer per round).
     """
     from .dedup import _free_checkpoint
 
@@ -384,7 +389,11 @@ def k_core(
             e = compacted
             n_nodes -= removed_total
             removed_total = 0
-    return deg.select(
+    # Contract guard: no-op at the fixed point (the loop exits when no
+    # d < k rows remain), but on a max_iter-exhausted mid-peel exit it
+    # keeps the "degree >= k for every row" promise (the result is
+    # then a superset of the true k-core — see docstring).
+    return deg.filter(F.col("d") >= k).select(
         F.col("u").alias("node"), F.col("d").cast("bigint").alias("degree")
     )
 

@@ -935,10 +935,15 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     big-endian u32s at offsets 17/21 (after the 8-byte signature and
     IHDR length+tag), WAV sample rate is the little-endian u32 at
     offset 25 (RIFF fmt chunk) reassembled byte-reversed via hex/conv,
-    JPEG height/width are the big-endian u16s 5/7 bytes past the SOF0
-    marker, located via a byte-aligned hex search for FFC0 (valid for
-    baseline files whose pre-SOF0 segments contain no stray FF C0 byte
-    pair — true of this codec family's fixed APP0/DQT layout).
+    JPEG height/width come from the SOF0 segment, located with a
+    byte-ALIGNED anchored regexp over the hex string — the lazy
+    ``(?:..)*?`` prefix consumes whole byte pairs, so a stray nibble
+    sequence straddling two bytes can never match, and the ``08``
+    precision byte after the segment length validates the hit as a
+    real baseline SOF0 (a stray FF C0 pair inside an earlier DQT/APPn
+    segment only survives if it is also followed by a plausible
+    length+precision). No match, or zero-valued dims, yields NULL
+    width/height rather than garbage.
     At scale binaryFile partitions by file and prunes on
     pathGlobFilter; spark.sql.files.maxPartitionBytes bounds (rows x
     payload) per task.
@@ -959,15 +964,18 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     is_png = F.expr("substring(content, 2, 3)") == F.lit(b"PNG")
     is_bmp = F.expr("substring(content, 1, 2)") == F.lit(b"BM")
     is_jpg = F.hex(F.expr("substring(content, 1, 2)")) == F.lit("FFD8")
-    # 1-based byte offset of the SOF0 marker: hex() doubles offsets,
-    # so a hex-string hit at char p (odd = byte-aligned) is byte
-    # (p+1)/2. be_u16 fields sit +5 (height) and +7 (width) past it.
-    sof0 = (F.locate("FFC0", F.hex(F.col("content"))) + 1) / 2
-    jpg_u16 = lambda delta: F.conv(  # noqa: E731
-        F.hex(F.col("content").substr((sof0 + delta).cast("int"), F.lit(2))),
-        16,
-        10,
-    ).cast("long")
+    # SOF0 = FFC0 <len:u16> <precision:08> <height:u16> <width:u16>.
+    # The anchored lazy pair-prefix forces a byte-aligned hit (nibble
+    # sequences straddling bytes cannot match) and the 08 precision
+    # byte validates it as baseline SOF0; regexp_extract returns ''
+    # on no match, which conv() maps to NULL. Zero dims -> NULL too.
+    _sof0_re = "^(?:[0-9A-F]{2})*?FFC0[0-9A-F]{4}08([0-9A-F]{4})([0-9A-F]{4})"
+    jpg_u16 = lambda group: F.nullif(  # noqa: E731
+        F.conv(
+            F.regexp_extract(F.hex(F.col("content")), _sof0_re, group), 16, 10
+        ).cast("long"),
+        F.lit(0),
+    )
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -991,11 +999,11 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
             .alias("modality"),
             F.when(is_png, be_u32(17))
             .when(is_bmp, le_u32(19))
-            .when(is_jpg, jpg_u16(7))
+            .when(is_jpg, jpg_u16(2))
             .alias("width"),
             F.when(is_png, be_u32(21))
             .when(is_bmp, le_u32(23))
-            .when(is_jpg, jpg_u16(5))
+            .when(is_jpg, jpg_u16(1))
             .alias("height"),
             F.when(~(is_png | is_bmp | is_jpg), le_u32(25)).alias("sample_rate"),
         ).alias("meta"),

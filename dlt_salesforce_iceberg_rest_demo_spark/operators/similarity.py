@@ -1442,7 +1442,10 @@ def dbscan(
        term is smaller than LSH's bucketing overhead); larger corpora
        route to :func:`lsh_neighbor_pairs` (bucket self-join, no
        all-pairs at any size — the 100 TB path; approximate recall
-       tuned by ``lsh_planes``/``lsh_tables``). Pass
+       tuned by ``lsh_planes``/``lsh_tables``). Because the switch
+       changes result semantics (recall < 1 can split clusters), the
+       approximate route emits a ``RuntimeWarning`` so it is never
+       silent. Pass
        ``exact_max_rows=None`` to force exact, or supply ``pairs``
        from any candidate generator to override routing entirely. The
        routing count is one cheap aggregate over the id column;
@@ -1463,6 +1466,18 @@ def dbscan(
     if pairs is None and exact_max_rows is not None:
         n_rows = corpus.select(id_col).count()
         if n_rows > exact_max_rows:
+            import warnings
+
+            warnings.warn(
+                f"dbscan: corpus has {n_rows} rows > exact_max_rows="
+                f"{exact_max_rows}; auto-routing epsilon-neighborhood "
+                f"generation to approximate LSH ({lsh_planes} planes x "
+                f"{lsh_tables} tables). Recall can be < 1, so clusters may "
+                f"split vs the exact path. Pass exact_max_rows=None to force "
+                f"exact all-pairs, or pairs=<candidates> to control routing.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             dim = len(corpus.select(vec_col).first()[0])
             pairs = lsh_neighbor_pairs(
                 corpus,

@@ -875,8 +875,9 @@ def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     real baseline JPEGs (pure-python DCT + quantization + canonical
     Huffman encoder, `multimodal.encode_jpeg_gray`) written from every
     20th doc, read back via binaryFile with an explicit ``*.jpg``
-    glob, SOF0 height/width parsed JVM-SIDE (hex-locate of the FFC0
-    marker), and the payload entropy-DECODED (Huffman + DC prediction
+    glob, SOF0 height/width parsed JVM-SIDE (byte-aligned anchored
+    regexp over the hex string, precision-byte-validated, NULL dims
+    on no match), and the payload entropy-DECODED (Huffman + DC prediction
     + dequant + IDCT, `multimodal.decode_jpeg_gray`) in the
     Arrow-batched stats pass. Output: per-doc JVM-parsed dims + the
     decoded pixel count — the full encode -> file -> binaryFile ->

@@ -8,6 +8,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup, graph, similarity
 
@@ -171,6 +172,33 @@ class TestContainmentFrequencySplit:
         # cheap naive join, so saturation is induced via the knob).
         dedup.containment_pairs(sat, cold_work_per_token=2).count()
         assert calls == [1]  # saturated tiny vocabulary: dense path
+
+    def test_explicit_df_cap_under_auto_skips_histogram(
+        self, spark, monkeypatch
+    ):
+        """strategy='auto' with an explicit df_cap pins the index path
+        with that cap — the df histogram must NOT be collected (it
+        would be unused work), while cap-less auto still needs it."""
+        calls = []
+        real = dedup._df_histogram
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dedup, "_df_histogram", spy)
+        docs = self._docs(spark)
+        explicit = {
+            (r["doc_a"], r["doc_b"]): round(r["containment"], 12)
+            for r in dedup.containment_pairs(docs, df_cap=2).collect()
+        }
+        assert calls == []  # explicit cap: no histogram collect
+        auto = {
+            (r["doc_a"], r["doc_b"]): round(r["containment"], 12)
+            for r in dedup.containment_pairs(docs).collect()
+        }
+        assert calls == [1]  # cap-less auto still cost-models
+        assert explicit == auto and explicit
 
 
 class TestRandomProjection:
@@ -927,6 +955,25 @@ class TestKCore:
         )
         assert {r.node for r in out2.collect()} == {1, 2, 3, 4, 5}
 
+    def test_max_iter_exhausted_never_returns_sub_k_rows(self, spark):
+        """A path graph peels one layer per round; with max_iter=1 the
+        peel stops mid-cascade. The contract 'degree >= k for every
+        row' must still hold (the result is then a superset of the
+        true k-core, which here is empty) — in particular the interior
+        nodes whose degree just dropped below k must NOT leak out."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_core
+
+        path = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+        out = {
+            r.node: r.degree
+            for r in k_core(self._edges(spark, path), k=2, max_iter=1).collect()
+        }
+        # round 1 removed endpoints {1,7}; nodes 2 and 6 now have d=1
+        # and must be filtered; 3,4,5 legitimately still show d=2.
+        assert all(d >= 2 for d in out.values())
+        assert 2 not in out and 6 not in out
+        assert set(out) == {3, 4, 5}
+
     def test_matches_reference_peel_on_fixtures(self, spark):
         """Distributed peel == in-memory reference peel on the sf0.001
         customer-part graph (node set AND core degrees)."""
@@ -1183,6 +1230,8 @@ class TestDbscan:
              (11, ang(0, 1)), (12, ang(2, 1)), (13, ang(4, 1)),
              (99, [0.577, 0.577, 0.578])],
         )
+        import warnings as _warnings
+
         calls = []
         real = similarity.lsh_neighbor_pairs
 
@@ -1191,20 +1240,22 @@ class TestDbscan:
             return real(*a, **kw)
 
         monkeypatch.setattr(similarity, "lsh_neighbor_pairs", spy)
-        exact = {
-            tuple(r)
-            for r in similarity.dbscan(
-                corpus, eps_cosine=0.99, min_pts=2
-            ).collect()
-        }
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # exact path must be silent
+            exact = {
+                tuple(r)
+                for r in similarity.dbscan(
+                    corpus, eps_cosine=0.99, min_pts=2
+                ).collect()
+            }
         assert calls == []  # 7 rows <= default threshold: exact path
-        routed = {
-            tuple(r)
-            for r in similarity.dbscan(
+        # the approximate route is never silent: RuntimeWarning required
+        with pytest.warns(RuntimeWarning, match="auto-routing.*LSH"):
+            routed_df = similarity.dbscan(
                 corpus, eps_cosine=0.99, min_pts=2,
                 exact_max_rows=5, lsh_planes=2, lsh_tables=16,
-            ).collect()
-        }
+            )
+        routed = {tuple(r) for r in routed_df.collect()}
         assert len(calls) == 1  # 7 rows > 5: routed to the LSH path
         assert calls[0]["dim"] == 3 and calls[0]["n_tables"] == 16
         assert routed == exact

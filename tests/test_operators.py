@@ -1337,6 +1337,40 @@ class TestBinaryCodecs:
         # constant image: DCT rounding error vanishes -> exact sum
         assert stats.val_sum == 5 * 256
 
+    def test_jpeg_sof0_locate_rejects_stray_and_unaligned_hits(
+        self, spark, tmp_path
+    ):
+        """SOF0 location must be byte-aligned and validated: a stray
+        FF C0 byte pair inside an earlier COM/APPn segment (foreign
+        JPEGs: EXIF, custom DQT values) must not hijack the dims, a
+        nibble-straddling FFC0 hex hit must not match at all, and a
+        jpeg with no plausible SOF0 gets NULL dims — never garbage."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        # stray FF C0 in a COM segment whose following bytes are NOT a
+        # plausible SOF0 (precision 0x07), then the REAL SOF0 (16x32)
+        stray = b"\xff\xc0\x00\x0b\x07\x00\x99\x00\x99\x01"
+        com = b"\xff\xfe" + (len(stray) + 2).to_bytes(2, "big") + stray
+        sof0 = b"\xff\xc0\x00\x0b\x08\x00\x10\x00\x20\x01\x11\x00"
+        (tmp_path / "stray.jpg").write_bytes(
+            b"\xff\xd8" + com + sof0 + b"\xff\xd9"
+        )
+        # hex "0FFC0B..." contains FFC0 straddling two bytes; no real
+        # SOF0 anywhere -> dims must be NULL (old locate() parsed junk)
+        (tmp_path / "junk.jpg").write_bytes(
+            b"\xff\xd8" + b"\x0f\xfc\x0b\x08\x00\x10\x00\x20" + b"\xff\xd9"
+        )
+        rows = {
+            r.file_name: r.meta
+            for r in mm.ingest_binary_dir(
+                spark, str(tmp_path), glob="*.jpg"
+            ).collect()
+        }
+        assert (rows["stray.jpg"].width, rows["stray.jpg"].height) == (32, 16)
+        assert rows["junk.jpg"].width is None
+        assert rows["junk.jpg"].height is None
+        assert rows["junk.jpg"].format == "jpeg"
+
     def test_bmp_decoder_refuses_v5_header_and_topdown(self):
         """A valid BMP with a V4/V5 header (palette not at byte 54) or
         negative (top-down) height passes the bitcount/compression
