@@ -132,6 +132,8 @@ EXTENSION_HEADLINE = [
     "dedup_prefix_jaccard",
     "text_bpe_encode",
     "recursive_cte_reachability",
+    # round-5: corpus-relative stopword cap (the 100 TB cap semantics).
+    "text_sparse_cosine_autocap",
 ]
 
 

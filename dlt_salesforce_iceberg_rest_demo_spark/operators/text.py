@@ -773,6 +773,7 @@ def sparse_cosine_pairs(
     n: int = 2,
     max_df: int = 25,
     threshold: float = 0.6,
+    max_df_permil: int | None = None,
 ) -> DataFrame:
     """All document pairs with rarity-weighted sparse cosine similarity
     >= ``threshold`` — TF-IDF-style retrieval dedup via POSTING LISTS:
@@ -791,6 +792,20 @@ def sparse_cosine_pairs(
     (here it is lossy by design: ubiquitous shingles carry ~zero
     cosine weight but dominate join fan-out at corpus scale).
 
+    ``max_df_permil`` replaces the ABSOLUTE cap with a CORPUS-RELATIVE
+    one: shingles survive while ``df * 1000 <= max_df_permil * n_docs``
+    (one cheap count; exact integer comparison, no division). This is
+    the cap that scales — "stopword" is a saturation property, so a
+    fixed ``max_df=25`` over 100M docs would drop effectively every
+    shingle (vacuous results), while 5%-of-corpus keeps the same
+    RELATIVE vocabulary slice at any size. Join work for a kept
+    shingle is df^2, so work grows with corpus density exactly when
+    the OUTPUT pair count does — the growdf scale smoke measures this
+    regime. Per-doc shingle multiplicity is dropped (set semantics —
+    binary tf, as the sparse-vector definition above states), so
+    repeated bigrams inside one document count once in df, norms and
+    dots alike.
+
     Determinism: weights, dot products, and squared norms are exact
     BIGINTs; cosine = dot / (sqrt(na2)*sqrt(nb2)) is one identical
     IEEE sqrt/multiply/divide chain in both engines.
@@ -805,12 +820,21 @@ def sparse_cosine_pairs(
     d = spread(docs).select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("tk0")
     )
+    # array_distinct BEFORE the explode: set semantics per doc (binary
+    # tf) without a (doc, s) dedup shuffle — the dedup happens in-task
+    # on the per-row array.
     sh = d.select(
-        "doc", F.explode(shingles_tokens(F.col("tk0"), n)).alias("s")
+        "doc",
+        F.explode(F.array_distinct(shingles_tokens(F.col("tk0"), n))).alias("s"),
     )
     dfreq = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    if max_df_permil is not None:
+        n_docs = docs.count()
+        keep = F.col("df") * 1000 <= F.lit(int(max_df_permil) * n_docs)
+    else:
+        keep = F.col("df") <= max_df
     w = (
-        sh.join(dfreq.filter(F.col("df") <= max_df), "s")
+        sh.join(dfreq.filter(keep), "s")
         .select("doc", "s", F.expr("1000000 DIV df").alias("wt"))
         .localCheckpoint(eager=True)
     )

@@ -74,6 +74,58 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPARSE_COS_AUTOCAP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk)-1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS s
+  FROM toks WHERE len(tk) >= 2),
+dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+w AS (
+  SELECT sh.doc_id, sh.s, 1000000 // df AS wt
+  FROM sh JOIN dfreq USING (s)
+  WHERE df * 1000 <= 50 * (SELECT COUNT(*) FROM documents)),
+norms AS (
+  SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS nrm2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+      >= 0.6
+"""
+
+
+@register("text_sparse_cosine_autocap", oracle=_SPARSE_COS_AUTOCAP_ORACLE)
+def text_sparse_cosine_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine pairs with the CORPUS-RELATIVE stopword cap
+    (`text.sparse_cosine_pairs(max_df_permil=50)`): shingles survive
+    while df * 1000 <= 50 * n_docs — 5% of the corpus, the cap that
+    holds at ANY scale ("stopword" is a saturation property; a fixed
+    absolute cap over 100M docs drops every shingle and the query goes
+    vacuous — exactly what the round-4 growdf smoke measured for the
+    absolute-cap twin `text_sparse_cosine_pairs`). Same exact-integer
+    weights/dots/norms; the cap threshold is one exact integer
+    comparison (df*1000 <= permil*n_docs, no division) so both engines
+    keep the identical shingle set."""
+    from ..operators import text
+
+    return text.sparse_cosine_pairs(
+        t(spark, sf_dir, "documents"), n=2, threshold=0.6, max_df_permil=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted common-neighbor link prediction over the customer-part graph.
 # ---------------------------------------------------------------------------

@@ -67,6 +67,11 @@ GROWDF = [
     "dedup_containment_pairs",
     "dedup_prefix_jaccard",
     "text_sparse_cosine_pairs",
+    # The absolute-cap twin goes vacuous on this slice BY DESIGN (every
+    # df outgrows the fixed cap and the cap drops it — measured r4);
+    # the corpus-relative autocap keeps the same 5% vocabulary slice at
+    # any scale, so ITS growdf entry measures real df^2 join growth.
+    "text_sparse_cosine_autocap",
 ]
 
 # Entries whose plan DELIBERATELY changes with scale: excluded from the

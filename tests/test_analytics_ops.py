@@ -201,6 +201,58 @@ class TestContainmentFrequencySplit:
         assert explicit == auto and explicit
 
 
+class TestSparseCosinePairs:
+    """Posting-list TF-IDF cosine: set semantics per doc (binary tf)
+    and the corpus-relative stopword cap."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_repeated_bigram_counts_once(self, spark):
+        """'a b a b' contains the bigram 'a b' twice; the sparse
+        vector is over DISTINCT shingles (docstring + oracle), so df,
+        norms and dots must all count it once. Hand-computed: doc1 =
+        {a b: 5e5, b a: 1e6}, doc2 = {a b: 5e5, b c: 1e6}, dot =
+        2.5e11, both nrm2 = 1.25e12 -> cosine exactly 0.2."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text
+
+        docs = self._docs(
+            spark, [(1, "a b a b"), (2, "a b c"), (3, "q r")]
+        )
+        got = text.sparse_cosine_pairs(docs, threshold=0.1).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert r.dot == 500_000 * 500_000
+        # same IEEE sqrt/multiply/divide chain as the engine computes
+        import math
+
+        assert r.cosine == 250_000_000_000 / (
+            math.sqrt(1.25e12) * math.sqrt(1.25e12)
+        )
+
+    def test_relative_cap_drops_saturated_shingles(self, spark):
+        """max_df_permil caps df RELATIVE to corpus size: with 3 docs
+        and permil=500 a df=2 shingle is dropped (2000 > 1500) and no
+        pair survives; permil=667 keeps it (2000 <= 2001) and the pair
+        reappears with the absolute-cap result."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text
+
+        docs = self._docs(
+            spark, [(1, "a b a b"), (2, "a b c"), (3, "q r")]
+        )
+        dropped = text.sparse_cosine_pairs(
+            docs, threshold=0.1, max_df_permil=500
+        ).collect()
+        assert dropped == []
+        kept = text.sparse_cosine_pairs(
+            docs, threshold=0.1, max_df_permil=667
+        ).collect()
+        assert [(r.doc_a, r.doc_b, r.dot) for r in kept] == [
+            (1, 2, 500_000 * 500_000)
+        ]
+
+
 class TestRandomProjection:
     def test_matches_numpy(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
