@@ -170,8 +170,14 @@ def prefix_jaccard_pairs(
     # Materialize once: `ranked` feeds the prefix explode AND both
     # sides of the verify join — left lazy, the tokenize/encode/sort
     # pipeline re-executes per consumer (3x the whole upstream at
-    # sf0.1, the dominant cost before this checkpoint).
-    ranked = (
+    # sf0.1, the dominant cost before this checkpoint). Then re-spread:
+    # at small input sizes AQE coalesces the groupBy output to ONE
+    # partition (byte-based), and the checkpoint freezes that layout —
+    # every downstream stage (prefix self-join, verify) then runs as a
+    # single task (measured: the whole candidate+verify pipeline fused
+    # into one 1.2 s serial task at sf0.1). spread() widens only when
+    # below core count, so at scale this is a no-op branch.
+    ranked0 = (
         tok.join(sid, "s")
         .groupBy("doc")
         .agg(F.sort_array(F.collect_list("sid")).alias("sh"))
@@ -182,6 +188,9 @@ def prefix_jaccard_pairs(
         )
         .localCheckpoint(eager=True)
     )
+    ranked = spread(ranked0)
+    if ranked is not ranked0:
+        _free_checkpoint(ranked0)  # superseded by the widened copy
     # Carry each prefix shingle's POSITION in the rarity order: the
     # PPJoin positional filter bounds the best-possible overlap of a
     # candidate matched at positions (pa, pb) by 1 + min(ma-pa, mb-pb)
@@ -192,9 +201,21 @@ def prefix_jaccard_pairs(
     # highest-df shingles where the join fan-out concentrates — this
     # predicate prunes DURING the join, before any shuffle of the
     # candidate set (3x wall-clock on the fixture corpus at sf0.1).
-    p = ranked.select(
-        "doc", "m", F.posexplode("prefix").alias("p0", "s")
-    ).select("doc", "m", "s", (F.col("m") - F.col("p0") - 1).alias("r"))
+    # The prefix rows are CPU-heavy per byte downstream (candidate
+    # join, positional filter, verify), but their shuffle payload is
+    # tiny — AQE's byte-based coalescing (minPartitionSize) collapses
+    # the join read to ONE task at small SF and serializes the whole
+    # candidate+verify pipeline (measured 1.1 s single-task stage at
+    # sf0.1). A USER-specified hash repartition on the join key is
+    # exempt from AQE coalescing and satisfies the self-join's
+    # distribution requirement, so the join reuses it (ReusedExchange
+    # on the other side) with no extra shuffle at any scale.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    p = (
+        ranked.select("doc", "m", F.posexplode("prefix").alias("p0", "s"))
+        .select("doc", "m", "s", (F.col("m") - F.col("p0") - 1).alias("r"))
+        .repartition(target, "s")
+    )
     cand = (
         p.alias("x")
         .join(
@@ -213,7 +234,11 @@ def prefix_jaccard_pairs(
             ),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
+        # same coalesce exemption for the dedup+verify stage: hash on
+        # the pair satisfies dropDuplicates' clustering requirement, so
+        # this is the dedup's own shuffle, just pinned at full width.
+        .repartition(target, "doc_a", "doc_b")
+        .dropDuplicates()
     )
     ta = ranked.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"),
                        F.col("m").alias("ma"))
