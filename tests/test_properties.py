@@ -508,3 +508,173 @@ class TestLshNeighborPairsProperty:
             )
             assert nd[a] > 0 and nd[b] > 0
             assert float(dot) / (nd[a] * nd[b]) >= eps, (a, b)
+
+
+# Shared generator for the text similarity-join properties: a tiny
+# 4-word alphabet makes hot shingles, repeated bigrams inside one doc,
+# identical docs, and sub-n docs all common — exactly the edge cases
+# the fixture corpus (unique-ish synthetic text) never produces.
+_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _bigram_sets(docs: list[list[str]]) -> dict[int, set]:
+    return {
+        i: {f"{w[j]} {w[j + 1]}" for j in range(len(w) - 1)}
+        for i, w in enumerate(docs)
+    }
+
+
+class TestSparseCosineProperty:
+    @SETTINGS
+    @given(docs=_corpus)
+    def test_matches_python_reference_with_cap(self, spark, docs):
+        """sparse_cosine_pairs == the set-semantics TF-IDF reference
+        for ARBITRARY corpora: distinct bigrams per doc (repeats count
+        once — the bug class the synthetic fixtures can't catch),
+        integer rarity weights, df cap dropping hot shingles, one IEEE
+        sqrt/multiply/divide chain. threshold=0 keeps every pair with
+        a shared kept shingle, so the PAIR SET is compared too."""
+        import math
+        from collections import Counter
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text
+
+        max_df = 2
+        sh = _bigram_sets(docs)
+        df_ = Counter(s for ss in sh.values() for s in ss)
+        wt = {s: 1_000_000 // d for s, d in df_.items() if d <= max_df}
+        vec = {i: {s: wt[s] for s in ss if s in wt} for i, ss in sh.items()}
+        nrm2 = {i: sum(w * w for w in v.values()) for i, v in vec.items()}
+        want = {}
+        for a in vec:
+            for b in vec:
+                if a >= b:
+                    continue
+                dot = sum(vec[a][s] * vec[b][s] for s in vec[a] if s in vec[b])
+                if dot > 0:
+                    want[(a, b)] = (
+                        dot,
+                        dot / (math.sqrt(nrm2[a]) * math.sqrt(nrm2[b])),
+                    )
+        sdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.dot, r.cosine)
+            for r in text.sparse_cosine_pairs(
+                sdf, max_df=max_df, threshold=0.0
+            ).collect()
+        }
+        assert got == want
+
+    @SETTINGS
+    @given(docs=_corpus)
+    def test_relative_cap_matches_reference(self, spark, docs):
+        """max_df_permil: the kept-shingle rule df*1000 <= permil*n_docs
+        must match the reference exactly (integer comparison, both
+        engines keep the identical shingle set)."""
+        import math
+        from collections import Counter
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text
+
+        permil = 400
+        n_docs = len(docs)
+        sh = _bigram_sets(docs)
+        df_ = Counter(s for ss in sh.values() for s in ss)
+        wt = {
+            s: 1_000_000 // d
+            for s, d in df_.items()
+            if d * 1000 <= permil * n_docs
+        }
+        vec = {i: {s: wt[s] for s in ss if s in wt} for i, ss in sh.items()}
+        nrm2 = {i: sum(w * w for w in v.values()) for i, v in vec.items()}
+        want = set()
+        for a in vec:
+            for b in vec:
+                if a < b and any(s in vec[b] for s in vec[a]):
+                    want.add((a, b))
+        sdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in text.sparse_cosine_pairs(
+                sdf, threshold=0.0, max_df_permil=permil
+            ).collect()
+        }
+        assert got == want
+
+
+class TestPrefixJaccardProperty:
+    @SETTINGS
+    @given(docs=_corpus)
+    def test_matches_naive_python_jaccard(self, spark, docs):
+        """prefix filtering is LOSSLESS: pair set and scores equal the
+        naive all-pairs bigram Jaccard at threshold 1/2 on arbitrary
+        corpora (hot shingles everywhere — the regime where the prefix
+        and positional filters prune hardest and any off-by-one in the
+        pigeonhole bound would LOSE pairs)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        sh = _bigram_sets(docs)
+        want = {}
+        for a in sh:
+            for b in sh:
+                if a >= b:
+                    continue
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if union > 0 and 2 * inter >= union:
+                    want[(a, b)] = inter / union
+        sdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.prefix_jaccard_pairs(
+                sdf, n=2, threshold=0.5
+            ).collect()
+        }
+        assert got == want
+
+
+class TestContainmentProperty:
+    @SETTINGS
+    @given(docs=_corpus)
+    def test_matches_naive_python_containment(self, spark, docs):
+        """containment_pairs == the naive directional reference on
+        arbitrary corpora: C(A->B) = |A∩B|/|A| with the exact integer
+        filter 1000*inter >= permil*|A|, both directions, auto
+        strategy (whatever split/route the cost model picks must be
+        invisible in the result)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        permil = 800
+        sh = _bigram_sets(docs)
+        want = {}
+        for a in sh:
+            for b in sh:
+                if a == b:
+                    continue
+                inter = len(sh[a] & sh[b])
+                if inter > 0 and 1000 * inter >= permil * len(sh[a]):
+                    want[(a, b)] = inter / len(sh[a])
+        sdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in dedup.containment_pairs(
+                sdf, threshold_permil=permil
+            ).collect()
+        }
+        assert got == want
