@@ -699,9 +699,17 @@ def connected_components_star(
     Convergence: (edge count, SUM(xxhash64(u,v))) signature per round
     - one cheap agg instead of a set-difference join.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Self-loops carry no connectivity and are stripped before the
+    # star rounds — but a node whose ONLY edge is a self-loop is still
+    # an endpoint of the input and must come back as a singleton
+    # component (same contract as `connected_components`, which keeps
+    # it through the symmetrized edge list). Every non-loop endpoint
+    # survives the star rounds (the fixpoint is a star containing the
+    # whole component), so the only recoverable loss IS the self-loop
+    # set — recovered below via one anti-join over that (usually
+    # empty, AQE-collapsed) set, not a full endpoint distinct.
+    e = e0.filter(F.col("u") != F.col("v"))
     cur = (
         e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
@@ -759,10 +767,17 @@ def connected_components_star(
     )
     if nodes is not None:
         allnodes = nodes.select(F.col(node_col).alias("node")).distinct()
-        out = allnodes.join(out, "node", "left").select(
+        return allnodes.join(out, "node", "left").select(
             "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
         )
-    return out
+    loop_only = (
+        e0.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .join(out.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    return out.unionByName(loop_only)
 
 
 def incremental_minhash_pairs(

@@ -72,6 +72,10 @@ GROWDF = [
     # the corpus-relative autocap keeps the same 5% vocabulary slice at
     # any scale, so ITS growdf entry measures real df^2 join growth.
     "text_sparse_cosine_autocap",
+    # Dense-candidate regime for banding + connected components: the
+    # growdf slice makes every doc resemble ~100 others, so the banded
+    # LSH bucket join and the CC rounds see x26 output clusters.
+    "dedup_clusters_minhash",
 ]
 
 # Entries whose plan DELIBERATELY changes with scale: excluded from the

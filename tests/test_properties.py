@@ -678,3 +678,133 @@ class TestContainmentProperty:
             ).collect()
         }
         assert got == want
+
+
+class TestEditDistancePairsProperty:
+    @SETTINGS
+    @given(
+        names=st.lists(
+            st.text(alphabet="ab", min_size=0, max_size=5),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_fastss_equals_bruteforce_levenshtein(self, spark, names):
+        """FastSS deletion-neighborhood blocking is LOSSLESS for
+        ed <= 1: pair set and distances equal the naive all-pairs DP
+        on arbitrary strings over a 2-letter alphabet (dense deletion
+        collisions, empty strings, duplicates — the candidate-join
+        edge cases)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        want = {}
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                d = lev(names[i], names[j])
+                if d <= 1:
+                    want[(i, j)] = d
+        sdf = spark.createDataFrame(
+            [Row(id=i, name=s) for i, s in enumerate(names)],
+            "id long, name string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in dedup.edit_distance_pairs(sdf).collect()
+        }
+        assert got == want
+
+
+class TestSimhashPigeonholeProperty:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                     min_size=2, max_size=8),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def test_chunk_join_complete_for_hamming_le_3(self, spark, docs):
+        """The 4-chunk pigeonhole candidate join is COMPLETE for
+        Hamming <= 3: simhash_pairs must equal the brute-force
+        all-pairs scan over the operator's own signatures (no pair
+        within the bound may be lost to the banding)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        sdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        sig = {
+            r.doc: list(r.chunks)
+            for r in dedup.simhash_signatures(sdf).collect()
+        }
+        want = {}
+        ids = sorted(sig)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                h = sum(bin(ca ^ cb).count("1")
+                        for ca, cb in zip(sig[a], sig[b]))
+                if h <= 3:
+                    want[(a, b)] = h
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.simhash_pairs(sdf).collect()
+        }
+        assert got == want
+
+
+class TestConnectedComponentsProperty:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=1,
+            max_size=14,
+        )
+    )
+    def test_both_variants_equal_union_find(self, spark, edges):
+        """Min-label propagation AND large-star/small-star must both
+        produce exactly the union-find components (cluster_id = min
+        node id) on arbitrary multigraphs with self-loops, parallel
+        edges, and long chains (the O(diameter) worst case)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        e = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+        )
+        got_prop = {
+            r.node: r.cluster_id
+            for r in dedup.connected_components(e).collect()
+        }
+        got_star = {
+            r.node: r.cluster_id
+            for r in dedup.connected_components_star(e).collect()
+        }
+        assert got_prop == want
+        assert got_star == want
