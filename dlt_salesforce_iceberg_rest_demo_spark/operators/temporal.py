@@ -302,6 +302,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the latest right row with
     ``right.ts <= left.ts`` within the same ``on`` group (DuckDB
@@ -313,12 +314,27 @@ def asof_join(
     payload forward with ``last(ignorenulls)``. ONE shuffle on the
     group key, no range self-join, no per-group Python; this is the
     pattern that survives 100 TB where a naive theta-join explodes.
+
+    When several RIGHT rows share one timestamp inside a group, which
+    payload is "latest" is partition-order-dependent; pass ``tie_col``
+    (a right column, highest value wins — the same contract as
+    :func:`asof_join_forward`) to make it deterministic. Without ties
+    the parameter changes nothing.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    tie_exprs_r = (
+        [F.col(tie_col).alias("__tie")] if tie_col is not None else []
+    )
+    tie_exprs_l = (
+        [F.lit(None).cast(right.schema[tie_col].dataType).alias("__tie")]
+        if tie_col is not None
+        else []
+    )
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        *tie_exprs_r,
         F.struct(
             F.col(right_ts).alias(f"{right_ts}{suffix}"),
             *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
@@ -329,13 +345,20 @@ def asof_join(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        *tie_exprs_l,
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c) for c in left.columns if c != on],
     )
     unioned = r.select(l_tagged.columns).unionByName(l_tagged)
+    # Tie order only matters WITHIN the right side at one timestamp
+    # (left rows at the same instant all read the same carried payload)
+    # — nulls_last keeps the tie-less left rows out of the way.
+    order = ["__ts", "__side"] + (
+        [F.col("__tie").asc_nulls_last()] if tie_col is not None else []
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

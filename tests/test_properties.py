@@ -808,3 +808,239 @@ class TestConnectedComponentsProperty:
         }
         assert got_prop == want
         assert got_star == want
+
+
+class TestMinhashBandingProperty:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                     min_size=2, max_size=8),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def test_pipeline_equals_banding_replay_over_own_signatures(
+        self, spark, docs
+    ):
+        """Given the operator's own signatures, the LSH pipeline output
+        is DETERMINISTIC: candidates = pairs whose signatures agree on
+        every row of >= 1 band (slice-tuple equality; the band hash is
+        injective up to negligible xxhash collisions), survivors =
+        candidates with agreement fraction >= threshold. The python
+        replay must reproduce pair set AND est_jaccard exactly."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        num_perm, bands, thr = 8, 4, 0.25
+        r = num_perm // bands
+        sdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        sig = {
+            row.doc: list(row.signature)
+            for row in dedup.minhash_signatures(
+                sdf, num_perm=num_perm
+            ).collect()
+        }
+        want = {}
+        ids = sorted(sig)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                shares_band = any(
+                    sig[a][i * r:(i + 1) * r] == sig[b][i * r:(i + 1) * r]
+                    for i in range(bands)
+                )
+                if not shares_band:
+                    continue
+                est = sum(
+                    p == q for p, q in zip(sig[a], sig[b])
+                ) / num_perm
+                if est >= thr:
+                    want[(a, b)] = est
+        got = {
+            (row.doc_a, row.doc_b): row.est_jaccard
+            for row in dedup.minhash_dedup_pairs(
+                sdf, threshold=thr, num_perm=num_perm, bands=bands
+            ).collect()
+        }
+        assert got == want
+
+
+class TestTriangleCountProperty:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6)),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_equals_bruteforce_per_node_counts(self, spark, edges):
+        """Degree-ordered orientation is exact: per-node triangle
+        counts equal brute force on arbitrary multigraphs (self-loops
+        and parallel edges dropped, degree TIES everywhere — the
+        orientation tie-break territory)."""
+        from itertools import combinations
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import graph
+
+        simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        adj = {}
+        for a, b in simple:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for u, v, w in combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                for n in (u, v, w):
+                    want[n] = want.get(n, 0) + 1
+        e = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+        )
+        got = {
+            r.node: r.n_triangles
+            for r in graph.triangle_count(e).collect()
+        }
+        assert got == want
+
+
+class TestKTrussProperty:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6)),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_equals_python_peel(self, spark, edges):
+        """k-truss (k=3) equals the sequential support peel: same
+        surviving edge set, same fixed-point supports."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import graph
+
+        simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+
+        def supports(es):
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            return {
+                (a, b): len(adj[a] & adj[b]) for a, b in es
+            }
+
+        cur = set(simple)
+        while True:
+            sup = supports(cur)
+            drop = {e for e, s in sup.items() if s < 1}  # k=3 -> need 1
+            if not drop:
+                break
+            cur -= drop
+        want = supports(cur)
+        e = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+        )
+        got = {
+            (r.a, r.b): r.support for r in graph.k_truss(e, k=3).collect()
+        }
+        assert got == want
+
+
+class TestBellmanFordProperty:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5),
+                      st.integers(0, 10)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_equals_bounded_hop_reference(self, spark, edges):
+        """Bounded-hop Bellman-Ford == the synchronous python
+        relaxation for the same round count, on arbitrary weighted
+        digraphs (parallel edges with different weights, cycles,
+        unreachable nodes absent from the output)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import graph
+
+        iters = 3
+        dist = {0: 0}
+        for _ in range(iters):
+            nxt = dict(dist)
+            for u, v, w in edges:
+                if u in dist:
+                    cand = dist[u] + w
+                    if cand < nxt.get(v, cand + 1):
+                        nxt[v] = cand
+            dist = nxt
+        e = spark.createDataFrame(
+            [Row(src=u, dst=v, w=w) for u, v, w in edges],
+            "src long, dst long, w long",
+        )
+        got = {
+            r.node: r.dist
+            for r in graph.bellman_ford(e, sources=[0], iterations=iters).collect()
+        }
+        assert got == dist
+
+
+class TestAsofJoinProperty:
+    @SETTINGS
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(1, 2), st.integers(0, 50)),
+            min_size=1, max_size=10,
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(1, 2), st.integers(0, 50)),
+            min_size=1, max_size=8, unique_by=lambda t: t,
+        ),
+    )
+    def test_equals_merge_asof_reference(self, spark, lefts, rights):
+        """Backward as-of == the per-row python scan: latest right ts
+        <= left ts within the group, inclusive, NULLs when no right row
+        precedes. Unique (group, ts) right rows so 'latest' is
+        well-defined without a tie column."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import temporal
+
+        l = spark.createDataFrame(
+            [Row(g=g, ts=t, lid=i) for i, (g, t) in enumerate(lefts)],
+            "g long, ts long, lid long",
+        )
+        r = spark.createDataFrame(
+            [Row(g=g, ts=t, rv=g * 1000 + t) for g, t in rights],
+            "g long, ts long, rv long",
+        )
+        want = {}
+        for i, (g, t) in enumerate(lefts):
+            best = max(
+                (rt for rg, rt in rights if rg == g and rt <= t),
+                default=None,
+            )
+            want[i] = (g * 1000 + best) if best is not None else None
+        got = {
+            row.lid: row.rv_asof
+            for row in temporal.asof_join(l, r, on="g").collect()
+        }
+        assert got == want
+
+    def test_right_ts_ties_deterministic_with_tie_col(self, spark):
+        """Two right rows at one timestamp: tie_col makes the carried
+        payload deterministic (highest tie value wins) regardless of
+        partitioning."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import temporal
+
+        l = spark.createDataFrame(
+            [Row(g=1, ts=10, lid=1)], "g long, ts long, lid long"
+        )
+        r = spark.createDataFrame(
+            [Row(g=1, ts=5, rv=111, seq=1), Row(g=1, ts=5, rv=222, seq=2)],
+            "g long, ts long, rv long, seq long",
+        ).repartition(4)
+        for _ in range(3):
+            out = temporal.asof_join(
+                l, r, on="g", right_cols=["rv"], tie_col="seq"
+            ).collect()
+            assert [row.rv_asof for row in out] == [222]
