@@ -1044,3 +1044,75 @@ class TestAsofJoinProperty:
                 l, r, on="g", right_cols=["rv"], tie_col="seq"
             ).collect()
             assert [row.rv_asof for row in out] == [222]
+
+
+class TestIncrementalMinhashProperty:
+    @SETTINGS
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                     min_size=2, max_size=8),
+            min_size=1, max_size=4,
+        ),
+        batch=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                     min_size=2, max_size=8),
+            min_size=1, max_size=4,
+        ),
+    )
+    def test_batch_vs_corpus_equals_signature_replay(
+        self, spark, corpus, batch
+    ):
+        """Incremental dedup (new batch vs persisted corpus signatures)
+        must equal the python replay over the operators' own
+        signatures: a new doc matches any CORPUS doc or any EARLIER
+        new doc (id order) that shares >= 1 band, with full-signature
+        agreement >= threshold — corpus text never re-read, no pair
+        double-counted, intra-batch dups caught in the same pass."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import dedup
+
+        num_perm, bands, thr = 8, 4, 0.25
+        r = num_perm // bands
+        cdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        ndf = spark.createDataFrame(
+            [Row(doc_id=100 + i, text=" ".join(w))
+             for i, w in enumerate(batch)],
+            "doc_id long, text string",
+        )
+        base_sigs = dedup.minhash_signatures(cdf, num_perm=num_perm)
+        sig = {
+            row.doc: list(row.signature) for row in base_sigs.collect()
+        }
+        sig.update(
+            (row.doc, list(row.signature))
+            for row in dedup.minhash_signatures(
+                ndf, num_perm=num_perm
+            ).collect()
+        )
+        new_ids = {100 + i for i in range(len(batch))}
+        want = {}
+        for nid in sorted(new_ids):
+            for m in sorted(sig):
+                if m == nid or (m in new_ids and m >= nid):
+                    continue
+                if not any(
+                    sig[nid][i * r:(i + 1) * r] == sig[m][i * r:(i + 1) * r]
+                    for i in range(bands)
+                ):
+                    continue
+                est = sum(
+                    p == q for p, q in zip(sig[nid], sig[m])
+                ) / num_perm
+                if est >= thr:
+                    want[(nid, m)] = est
+        got = {
+            (row.doc_new, row.doc_match): row.est_jaccard
+            for row in dedup.incremental_minhash_pairs(
+                ndf, base_sigs, threshold=thr,
+                num_perm=num_perm, bands=bands,
+            ).collect()
+        }
+        assert got == want
