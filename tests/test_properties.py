@@ -1116,3 +1116,109 @@ class TestIncrementalMinhashProperty:
             ).collect()
         }
         assert got == want
+
+
+class TestPagerankIntProperty:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)),
+            min_size=1, max_size=12,
+        )
+    )
+    def test_equals_integer_replay(self, spark, edges):
+        """Integer PageRank is exactly replayable: 3 rounds of
+        rank' = 0.15*unit + (85 * SUM(rank_u DIV deg_u)) DIV 100 over
+        the symmetrized deduped edge list, all BIGINT ops — the python
+        fold must match to the last micro-unit on arbitrary graphs.
+        Self-loops are KEPT (engine and oracle convention, as in
+        networkx: a loop feeds a node's own rank back)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import graph
+
+        unit = 1_000_000
+        sym = set()
+        for a, b in edges:
+            sym.add((a, b))
+            sym.add((b, a))
+        deg = {}
+        for u, _ in sym:
+            deg[u] = deg.get(u, 0) + 1
+        ranks = {u: unit for u in deg}
+        base = unit * 15 // 100
+        for _ in range(3):
+            inbox = {}
+            for u, v in sym:
+                inbox[v] = inbox.get(v, 0) + ranks[u] // deg[u]
+            ranks = {v: base + (85 * s) // 100 for v, s in inbox.items()}
+        e = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+        )
+        got = {r.node: r.rank for r in graph.pagerank_int(e).collect()}
+        assert got == ranks
+
+
+class TestKCoreProperty:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6)),
+            min_size=1, max_size=15,
+        )
+    )
+    def test_equals_python_peel(self, spark, edges):
+        """Distributed incremental-degree k-core (k=2) == the
+        sequential peel on arbitrary multigraphs: same surviving node
+        set, same core degrees (the unique fixed point)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.graph import k_core
+
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        cur = {u: set(v) for u, v in adj.items()}
+        changed = True
+        while changed:
+            changed = False
+            for u in list(cur):
+                if len(cur[u]) < 2:
+                    for v in cur[u]:
+                        cur[v].discard(u)
+                    del cur[u]
+                    changed = True
+        want = {u: len(v) for u, v in cur.items()}
+        e = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+        )
+        got = {r.node: r.degree for r in k_core(e, k=2).collect()}
+        assert got == want
+
+
+class TestCountMinProperty:
+    @SETTINGS
+    @given(
+        stream=st.lists(st.integers(0, 9), min_size=1, max_size=40)
+    )
+    def test_estimate_never_below_true_count(self, spark, stream):
+        """Count-min point estimates are one-sided for ANY stream:
+        estimate >= true count (collisions only inflate), and with
+        depth*width cells far above the key cardinality the estimate
+        equals the true count for most keys — both checked."""
+        from collections import Counter
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [Row(k=v) for v in stream], "k long"
+        )
+        sk = sketches.count_min_table(df, "k", depth=4, width=64)
+        got = {
+            r.k: r.est
+            for r in sketches.count_min_lookup(
+                sk, df, "k", depth=4, width=64
+            ).collect()
+        }
+        true = Counter(str(v) for v in stream)
+        assert set(got) == set(true)
+        for key, est in got.items():
+            assert est >= true[key]
