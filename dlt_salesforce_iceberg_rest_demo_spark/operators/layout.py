@@ -43,6 +43,79 @@ def zorder_key(cols: list[str | Column], bits: int = 16) -> Column:
     return out
 
 
+def hilbert_key_2d(
+    x: str | Column, y: str | Column, bits: int = 16
+) -> Column:
+    """Hilbert-curve sort key for two columns — the locality upgrade
+    over :func:`zorder_key`: the Hilbert curve visits every cell of
+    the 2^bits x 2^bits grid exactly once with UNIT steps (adjacent
+    d-values are adjacent cells), so range-partitioning on the key
+    produces files whose min/max boxes are tighter than Z-order's
+    (the Z curve takes long diagonal jumps at block boundaries; this
+    is why newer lakehouse clustering uses Hilbert).
+
+    Implementation: the classic per-bit fold (Wikipedia `xy2d`,
+    rotation via ``s-1`` reflection) as ONE ``aggregate`` expression
+    over the literal bit sequence with a (x, y, d) struct accumulator
+    — no UDF, no Python, 16 bounded steps per row. Higher-order
+    functions run interpreted, which is fine here: layout keys are
+    computed once per write, and the per-row cost is a fixed ~16
+    steps of integer arithmetic (measured in the same ballpark as a
+    projection at sf0.1). All ops are two's-complement BIGINT
+    arithmetic, bit-identical in Spark, python, and DuckDB — the
+    oracle replays the fold as a chain of CTE stages.
+
+    Inputs are masked to ``bits`` bits; pre-bucket continuous domains
+    first. ``2 * bits`` must stay < 63 to fit a signed long.
+    """
+    if 2 * bits >= 63:
+        raise ValueError(f"2 x {bits} bits overflows a long")
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long").bitwiseAND(
+        F.lit((1 << bits) - 1)
+    )
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long").bitwiseAND(
+        F.lit((1 << bits) - 1)
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        ax, ay, ad = acc["x"], acc["y"], acc["d"]
+        rx = (ax.bitwiseAND(s) > 0).cast("long")
+        ry = (ay.bitwiseAND(s) > 0).cast("long")
+        d2 = ad + s * s * ((rx * 3).bitwiseXOR(ry))
+        xf = F.when(rx == 1, s - 1 - ax).otherwise(ax)
+        yf = F.when(rx == 1, s - 1 - ay).otherwise(ay)
+        nx = F.when(ry == 0, yf).otherwise(ax)
+        ny = F.when(ry == 0, xf).otherwise(ay)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    # The fold walks the precomputed block sizes s = 2^(bits-1) .. 1
+    # (literal array — shiftleft needs a compile-time shift amount).
+    return F.aggregate(
+        F.array(*[F.lit(1 << i).cast("long") for i in reversed(range(bits))]),
+        F.struct(
+            xc.alias("x"), yc.alias("y"), F.lit(0).cast("long").alias("d")
+        ),
+        step,
+        lambda acc: acc["d"],
+    )
+
+
+def hilbert_layout(
+    df: DataFrame, x: str, y: str, num_files: int = 32, bits: int = 16
+) -> DataFrame:
+    """Two-column clustering for writing, :func:`zorder_layout`'s shape
+    with the Hilbert key: range-partition + local sort on the curve
+    position, so each output file covers a contiguous curve segment
+    (a compact blob in (x, y) space, tighter than the Z equivalent)."""
+    z = hilbert_key_2d(x, y, bits).alias("__h")
+    return (
+        df.withColumn("__h", z)
+        .repartitionByRange(num_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+
+
 def zorder_layout(
     df: DataFrame, cols: list[str], num_files: int = 32, bits: int = 16
 ) -> DataFrame:

@@ -2396,3 +2396,63 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         zorder_key(["l_partkey", "l_suppkey"]).alias("zkey"),
     )
+
+
+def _hilbert_oracle_sql(bits: int = 16) -> str:
+    """DuckDB replay of `layout.hilbert_key_2d`'s per-bit fold as a
+    chain of CTE stages (two per bit: rx/ry extraction, then the
+    rotate+accumulate) — DuckDB's list_reduce mis-evaluates struct
+    accumulators (the round-3 playbook), so sequential fold state
+    unrolls into stages instead. Same two's-complement BIGINT ops as
+    the engine: bit-exact."""
+    mask = (1 << bits) - 1
+    stages = [
+        "h0 AS (SELECT l_orderkey, l_linenumber, "
+        f"CAST(l_partkey & {mask} AS BIGINT) AS x, "
+        f"CAST(l_suppkey & {mask} AS BIGINT) AS y, "
+        "CAST(0 AS BIGINT) AS d FROM lineitem)"
+    ]
+    k = 0
+    for i in reversed(range(bits)):
+        s = 1 << i
+        k += 1
+        stages.append(
+            f"p{k} AS (SELECT l_orderkey, l_linenumber, x, y, d, "
+            f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx, "
+            f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry FROM h{k - 1})"
+        )
+        stages.append(
+            f"h{k} AS (SELECT l_orderkey, l_linenumber, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s}-1-y ELSE y END) "
+            f"ELSE x END AS x, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s}-1-x ELSE x END) "
+            f"ELSE y END AS y, "
+            f"d + {s * s} * xor(3 * rx, ry) AS d FROM p{k})"
+        )
+    return (
+        "WITH "
+        + ", ".join(stages)
+        + f" SELECT l_orderkey, l_linenumber, d AS hkey FROM h{k}"
+    )
+
+
+@register("layout_hilbert_key", oracle=_hilbert_oracle_sql())
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve sort key over (l_partkey, l_suppkey) — the
+    locality upgrade over `layout_zorder_key`: adjacent key values are
+    adjacent grid cells (unit steps, no Z-block diagonal jumps), so
+    range-partitioned files cover compact blobs in BOTH dimensions
+    (`operators/layout.py:hilbert_key_2d`, the clustering newer
+    lakehouse OPTIMIZE implementations prefer). One aggregate-fold
+    expression per row, exact two's-complement BIGINT arithmetic; the
+    oracle replays the fold as unrolled CTE stages. Bijectivity on the
+    full 2^4-grid and the python-reference equality are pinned in
+    tests."""
+    from ..operators.layout import hilbert_key_2d
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        hilbert_key_2d("l_partkey", "l_suppkey").alias("hkey"),
+    )
