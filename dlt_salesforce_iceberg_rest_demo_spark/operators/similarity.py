@@ -839,6 +839,14 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+class EmptyCorpusError(ValueError):
+    """Raised by training operators when the corpus has no usable rows
+    (empty, or only zero-norm vectors) — a codebook cannot be fit.
+    Query-shaped callers (`pq_topk`) catch it and return an empty
+    result with the documented schema, matching how every scan-shaped
+    operator behaves on empty inputs."""
+
+
 def pq_fit(
     corpus: DataFrame,
     m: int = 8,
@@ -890,9 +898,16 @@ def pq_fit(
     # is undefined); the oracle filters the same rows.
     train = train.filter(_dot_fixed(F.col(vec_col), F.col(vec_col)) > 0)
 
-    dim = len(corpus.select(vec_col).first()[0])
+    dim_row = corpus.select(vec_col).first()
+    if dim_row is None:
+        raise EmptyCorpusError("pq_fit: corpus is empty - cannot train a codebook")
+    dim = len(dim_row[0])
     dsub = dim // m
     seed_rows = train.orderBy(id_col).limit(n_codes).collect()
+    if not seed_rows:
+        raise EmptyCorpusError(
+            "pq_fit: corpus has no nonzero-norm vectors - cannot train a codebook"
+        )
     seeds = np.array(
         [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
     )
@@ -1006,7 +1021,23 @@ def pq_topk(
     over the shortlist - the standard PQ recall fix, and only
     ``shortlist*k*|Q|`` full vectors are ever touched after the scan.
     """
-    books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
+    try:
+        books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
+    except EmptyCorpusError:
+        # Empty / all-zero-norm corpus: no candidates exist. Return an
+        # empty result with the documented schema instead of crashing -
+        # the behavior every scan-shaped query has on empty inputs.
+        # (pq_build_index keeps raising: failing a BUILD step loudly is
+        # the correct contract there.)
+        score_col, score_t = (
+            ("cosine", "double") if rerank else ("adc_score", "bigint")
+        )
+        return (
+            queries.select(F.col(id_col).alias("query_id")).limit(0)
+            .crossJoin(corpus.select(F.col(id_col).alias("corpus_id")).limit(0))
+            .withColumn(score_col, F.lit(None).cast(score_t))
+            .withColumn("rank", F.lit(None).cast("long"))
+        )
     enc = _pq_encode_udf(books)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")

@@ -1,0 +1,95 @@
+"""Empty-input robustness: every registry query must EXECUTE against
+0-row tables (schema-preserved empty twins of the sf0.001 lake) —
+returning an empty (or constant-row aggregate) result, never raising.
+
+Why this matters at 100 TB: empty inputs are not an edge case there —
+incremental loads produce empty partitions and date slices routinely,
+and a pipeline that crashes on them (a bare ``first()[0]``, a
+``collect()[0]``, a max() unwrap) takes the whole job down. The sweep
+found two real crashes when introduced (the PQ queries' codebook
+training dereferenced ``first()`` on the empty corpus); the fix
+(`similarity.EmptyCorpusError` + pq_topk's empty-result path) is
+pinned here and in the dedicated schema test below.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dlt_salesforce_iceberg_rest_demo_spark.plans.registry import REGISTRY
+from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """Schema-identical 0-row twins of every fixture table."""
+    dst = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+def test_every_registry_query_survives_empty_tables(spark, empty_sf_dir):
+    failures = []
+    for name in sorted(REGISTRY):
+        try:
+            REGISTRY[name].spark(spark, empty_sf_dir).count()
+        except Exception as e:  # noqa: BLE001 - collecting all offenders
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    assert not failures, "queries crashed on empty inputs:\n" + "\n".join(failures)
+
+
+def test_pq_topk_empty_corpus_schema_matches_nonempty(spark):
+    """pq_topk on an empty corpus returns an EMPTY DataFrame whose
+    schema equals the non-empty result's — both rerank modes (the
+    empty path is hand-built, so drift would break downstream
+    consumers silently)."""
+    from pyspark.sql import Row
+
+    from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+    vecs = [Row(vec_id=i, embedding=[float(i + 1), 0.5, 0.25, 1.0]) for i in range(20)]
+    corpus = spark.createDataFrame(vecs)
+    queries = spark.createDataFrame(vecs[:2])
+    empty = corpus.limit(0)
+    for rerank in (True, False):
+        full = similarity.pq_topk(
+            corpus, queries, k=2, m=2, n_codes=4, rerank=rerank
+        )
+        none = similarity.pq_topk(
+            empty, queries, k=2, m=2, n_codes=4, rerank=rerank
+        )
+        # names + types are the contract (nullability of a 0-row frame
+        # is inconsequential and differs: lit(None) vs computed cols)
+        assert [(f.name, f.dataType) for f in none.schema.fields] == [
+            (f.name, f.dataType) for f in full.schema.fields
+        ]
+        assert none.count() == 0 and full.count() > 0
+
+
+def test_pq_fit_raises_clear_error_on_empty_and_zero_norm(spark):
+    """pq_fit (and the BUILD path that reuses it) must fail loudly and
+    legibly on untrainable corpora — empty, or only zero-norm rows."""
+    from pyspark.sql import Row
+
+    from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(similarity.EmptyCorpusError, match="empty"):
+        similarity.pq_fit(empty, m=2, n_codes=4)
+    zeros = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0])]
+    )
+    with pytest.raises(similarity.EmptyCorpusError, match="zero-norm"):
+        similarity.pq_fit(zeros, m=2, n_codes=4)
