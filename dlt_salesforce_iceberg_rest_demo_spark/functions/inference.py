@@ -37,8 +37,12 @@ def md5_score(texts: pd.Series) -> pd.Series:
     (toxicity, quality, reward model) would load."""
     import hashlib
 
+    # NULL text scores NULL (NaN -> Spark NULL via Arrow) — row-complete
+    # output, same as the oracle's md5(NULL) -> NULL propagation.
     return texts.map(
-        lambda s: int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) / 2**32
+        lambda s: None
+        if s is None
+        else int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) / 2**32
     ).astype("float64")
 
 

@@ -87,6 +87,12 @@ def decode_image_features(
         for pdf in batches:
             feats = []
             for b in pdf["payload"]:
+                # NULL payloads decode to NULL features (row-complete
+                # output, like a failed-decode row in production — the
+                # kernel must never crash the batch on one bad blob).
+                if b is None:
+                    feats.append(None)
+                    continue
                 arr = np.frombuffer(b, dtype=np.uint8)
                 hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
                     "float64"
@@ -96,7 +102,10 @@ def decode_image_features(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                     "features": feats,
                 }
             )
@@ -880,8 +889,13 @@ def write_binary_fixtures(
 
     import hashlib
 
+    # NULL text cannot encode to bytes: those docs yield no fixture
+    # file (same row-skipping a production lake does for null blobs);
+    # the oracle twins select with the identical IS NOT NULL filter.
     rows = (
-        docs.filter((F.col(id_col) % modulus) == 0)
+        docs.filter(
+            ((F.col(id_col) % modulus) == 0) & F.col(text_col).isNotNull()
+        )
         .select(id_col, text_col)
         .collect()
     )

@@ -377,6 +377,7 @@ def kmeans_fit(
     """
     import math
 
+    corpus = _non_null_vectors(corpus, vec_col)
     centroids = [
         [int(math.floor(float(x) * KMEANS_SCALE)) for x in r[vec_col]]
         for r in corpus.orderBy(id_col).limit(n_centroids).collect()
@@ -520,6 +521,8 @@ def ivf_topk(
     the list id, so shuffle volume tracks list sizes (corpus/n_centroids
     on balanced data), not corpus x queries.
     """
+    corpus = _non_null_vectors(corpus, vec_col)
+    queries = _non_null_vectors(queries, vec_col)
     centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -594,6 +597,7 @@ def ivf_build(
     swaps the whole index in one snapshot per table and time travel
     keeps the previous index readable. Returns the centroid matrix.
     """
+    corpus = _non_null_vectors(corpus, vec_col)
     centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
     flat = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -839,6 +843,21 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL vectors have no geometry: every vector operator that feeds
+    them to numpy kernels or driver-side fits drops them up front
+    (production corpora carry nulls routinely — a failed embedding
+    job, a late column — and ``len(None)`` inside an Arrow batch takes
+    the whole job down). The driver-gate comparisons run on null-free
+    fixture corpora, so oracle results are unchanged; an oracle twin
+    fed null-bearing data must add ``embedding IS NOT NULL`` to its
+    corpus scan to match. JVM-expression paths (brute-force cosine,
+    LSH) need no
+    filter: SQL null semantics propagate and the final threshold/rank
+    predicates drop the null rows."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 class EmptyCorpusError(ValueError):
     """Raised by training operators when the corpus has no usable rows
     (empty, or only zero-norm vectors) — a codebook cannot be fit.
@@ -883,6 +902,7 @@ def pq_fit(
     ``TestProductQuantization``)."""
     import numpy as np
 
+    corpus = _non_null_vectors(corpus, vec_col)
     if train_fraction < 1.0:
         keep = int(train_fraction * 10_000)
         bucket = (
@@ -1021,6 +1041,8 @@ def pq_topk(
     over the shortlist - the standard PQ recall fix, and only
     ``shortlist*k*|Q|`` full vectors are ever touched after the scan.
     """
+    corpus = _non_null_vectors(corpus, vec_col)
+    queries = _non_null_vectors(queries, vec_col)
     try:
         books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
     except EmptyCorpusError:
@@ -1213,6 +1235,7 @@ def pq_query(
     by exact fixed-point cosine (same output contract as
     :func:`pq_topk`); omit it for the ADC-only mode where the full
     vectors are not kept."""
+    queries = _non_null_vectors(queries, vec_col)
     rows = lake.read(f"{index_name}__books").collect()
     by_j: dict[int, dict[int, dict[int, int]]] = {}
     for r in rows:
@@ -1386,6 +1409,8 @@ def mmr_topk(
     Returns (query_id, corpus_id, mmr_rank, relevance, mmr_score);
     pinned in pytest against a pure-Python reference.
     """
+    corpus = _non_null_vectors(corpus, vec_col)
+    queries = _non_null_vectors(queries, vec_col)
     short = cosine_topk(
         corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col,
         exact_decimal=True,

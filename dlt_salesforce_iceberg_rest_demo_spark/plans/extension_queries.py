@@ -792,7 +792,8 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BINFILE_ORACLE = """
-WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+WITH sel AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 20 = 0 AND text IS NOT NULL),
 per AS (
   SELECT doc_id,
     list_aggregate(list_transform(generate_series(1, least(length(text), 256)),
@@ -865,7 +866,7 @@ SELECT doc_id,
        CAST(16 AS BIGINT) AS width,
        CAST(16 AS BIGINT) AS height,
        CAST(256 AS BIGINT) AS n_pixels
-FROM documents WHERE doc_id % 20 = 0
+FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL
 """
 
 

@@ -219,7 +219,7 @@ p AS (
                     * CAST(e.embedding[j.k + 1] AS DOUBLE) * 1e12)
               AS BIGINT) AS prod
   FROM embeddings e CROSS JOIN idx i CROSS JOIN idx j
-  WHERE j.k >= i.k)
+  WHERE j.k >= i.k AND e.embedding IS NOT NULL)
 SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
        CAST(SUM(prod) AS BIGINT) AS gram_fixed,
        CAST(CAST(SUM(prod) AS BIGINT) AS DOUBLE) / 1e12 AS gram
@@ -247,7 +247,13 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order."""
     from pyspark.sql import functions as F
 
-    emb = t(spark, sf_dir, "embeddings").select("embedding")
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("embedding")
+        # NULL vectors have no geometry: dropped here and in the oracle
+        # (the numpy fold would otherwise crash on np.asarray(None)).
+        .filter(F.col("embedding").isNotNull())
+    )
 
     def gram_partials(batches):
         import numpy as np

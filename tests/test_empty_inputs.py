@@ -93,3 +93,50 @@ def test_pq_fit_raises_clear_error_on_empty_and_zero_norm(spark):
     )
     with pytest.raises(similarity.EmptyCorpusError, match="zero-norm"):
         similarity.pq_fit(zeros, m=2, n_codes=4)
+
+
+@pytest.fixture(scope="module")
+def null_payload_sf_dir(spark, tmp_path_factory):
+    """The sf0.001 lake with NULLs injected into the payload columns
+    (every 7th document's text, every 7th embedding) — keys stay
+    non-null. The degenerate shape a production corpus carries
+    routinely (failed embedding jobs, late columns, bad blobs)."""
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("null_sf")
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                    F.col("text")
+                ),
+            )
+        elif t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+                    F.col("embedding")
+                ),
+            )
+        df.write.mode("overwrite").parquet(str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_every_registry_query_survives_null_payloads(
+    spark, null_payload_sf_dir
+):
+    """No query may crash on NULL text/embedding payloads. The sweep
+    found ten real crashes when introduced (len(None)/None.encode in
+    vector fits, decode kernels, fixture writers); the fixes — the
+    similarity._non_null_vectors entry filter, null-safe md5_score,
+    null-feature decode rows, null-skipping fixture writer — are
+    pinned here."""
+    failures = []
+    for name in sorted(REGISTRY):
+        try:
+            REGISTRY[name].spark(spark, null_payload_sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    assert not failures, "queries crashed on null payloads:\n" + "\n".join(failures)
