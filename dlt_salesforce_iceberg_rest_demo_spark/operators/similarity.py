@@ -377,7 +377,17 @@ def kmeans_fit(
     """
     import math
 
-    corpus = _non_null_vectors(corpus, vec_col)
+    # NULL and non-finite vectors have no geometry: both are dropped
+    # from the fit (a NaN element would crash the driver-side integer
+    # init and poison every centroid it touches; sklearn raises on the
+    # same input). pq_fit gets this for free — its zero-norm filter's
+    # fixed-point arithmetic nulls out non-finite rows.
+    finite = ~F.exists(
+        F.col(vec_col),
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    corpus = _non_null_vectors(corpus, vec_col).filter(finite)
     centroids = [
         [int(math.floor(float(x) * KMEANS_SCALE)) for x in r[vec_col]]
         for r in corpus.orderBy(id_col).limit(n_centroids).collect()

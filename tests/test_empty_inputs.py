@@ -16,8 +16,17 @@ from __future__ import annotations
 
 import pytest
 
-from dlt_salesforce_iceberg_rest_demo_spark.plans.registry import REGISTRY
+from dlt_salesforce_iceberg_rest_demo_spark.plans.registry import (
+    REGISTRY,
+    query_fns,
+)
 from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+# Importing registry.py alone leaves REGISTRY unpopulated (queries
+# register when the plans modules load); query_fns() forces the load.
+# Without this every sweep below would pass VACUOUSLY over zero
+# queries — each sweep also asserts the count as a belt-and-braces.
+query_fns()
 
 from .conftest import SF_DIR
 
@@ -39,6 +48,7 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 
 def test_every_registry_query_survives_empty_tables(spark, empty_sf_dir):
+    assert len(REGISTRY) >= 250  # vacuous-sweep guard
     failures = []
     for name in sorted(REGISTRY):
         try:
@@ -133,6 +143,7 @@ def test_every_registry_query_survives_null_payloads(
     similarity._non_null_vectors entry filter, null-safe md5_score,
     null-feature decode rows, null-skipping fixture writer — are
     pinned here."""
+    assert len(REGISTRY) >= 250  # vacuous-sweep guard
     failures = []
     for name in sorted(REGISTRY):
         try:
@@ -140,3 +151,68 @@ def test_every_registry_query_survives_null_payloads(
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
     assert not failures, "queries crashed on null payloads:\n" + "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def nonfinite_sf_dir(spark, tmp_path_factory):
+    """Embeddings poisoned with all-NaN (every 11th) and all-Inf
+    (every 13th) vectors — the failed-embedding-job shape."""
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("nan_sf")
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 11 == 0,
+                    F.transform(
+                        "embedding",
+                        lambda x: F.lit(float("nan")).cast("float"),
+                    ),
+                )
+                .when(
+                    F.col("vec_id") % 13 == 0,
+                    F.transform(
+                        "embedding",
+                        lambda x: F.lit(float("inf")).cast("float"),
+                    ),
+                )
+                .otherwise(F.col("embedding")),
+            )
+        df.write.mode("overwrite").parquet(str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_vector_queries_survive_nonfinite_embeddings(spark, nonfinite_sf_dir):
+    """NaN/Inf vectors must never CRASH a query (kmeans_fit's integer
+    init did, poisoning sklearn-style; now both are dropped from fits
+    — no geometry). Scoring paths are garbage-tolerant by SQL/IEEE
+    semantics, identically in Spark and the oracle engine."""
+    vector_queries = [
+        n
+        for n in sorted(REGISTRY)
+        if any(
+            p in n
+            for p in (
+                "similarity",
+                "embedding",
+                "gram",
+                "dbscan",
+                "maxsim",
+                "random_projection",
+                "quantize",
+            )
+        )
+    ]
+    assert len(vector_queries) >= 20
+    failures = []
+    for name in vector_queries:
+        try:
+            REGISTRY[name].spark(spark, nonfinite_sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    assert not failures, (
+        "queries crashed on non-finite embeddings:\n" + "\n".join(failures)
+    )
