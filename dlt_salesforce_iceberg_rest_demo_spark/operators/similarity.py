@@ -941,6 +941,11 @@ def pq_fit(
     seeds = np.array(
         [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
     )
+    # A codebook cannot have more centroids than training vectors: a
+    # corpus smaller than n_codes caps the effective code count (the
+    # same implicit k-reduction kmeans_fit's limit() gives) instead of
+    # indexing past the seed matrix.
+    n_codes = min(n_codes, len(seed_rows))
     sq, _ = _quantize_unit_np(seeds)
     books = [
         [[int(x) for x in sq[c, j * dsub : (j + 1) * dsub]]

@@ -216,3 +216,33 @@ def test_vector_queries_survive_nonfinite_embeddings(spark, nonfinite_sf_dir):
     assert not failures, (
         "queries crashed on non-finite embeddings:\n" + "\n".join(failures)
     )
+
+
+@pytest.fixture(scope="module")
+def single_row_sf_dir(spark, tmp_path_factory):
+    """Every table truncated to ONE row — the k > n regime for every
+    fit (codebooks, centroids, top-k, variance-style stats)."""
+    dst = tmp_path_factory.mktemp("one_sf")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(1).write.mode("overwrite").parquet(
+            str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+def test_every_registry_query_survives_single_row_tables(
+    spark, single_row_sf_dir
+):
+    """No query may crash when every table has one row (fits must cap
+    k at the corpus size — PQ indexed past its seed matrix when
+    introduced; kmeans already self-caps via limit())."""
+    assert len(REGISTRY) >= 250  # vacuous-sweep guard
+    failures = []
+    for name in sorted(REGISTRY):
+        try:
+            REGISTRY[name].spark(spark, single_row_sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    assert not failures, (
+        "queries crashed on single-row tables:\n" + "\n".join(failures)
+    )
