@@ -77,6 +77,18 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _full_width(spark) -> int:
+    """Target partition count for USER-specified hash repartitions
+    (which AQE neither coalesces nor skew-splits): the larger of core
+    count and ``spark.sql.shuffle.partitions``, so the exchange is
+    never narrower than the cluster's tuned shuffle width."""
+    try:
+        conf_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):  # "auto" under some AQE setups
+        conf_width = 0
+    return max(spark.sparkContext.defaultParallelism, conf_width)
+
+
 def shingles(col: Column | str, n: int = 2) -> Column:
     """Word n-gram shingle array (distinct), the dedup unit.
 
@@ -210,7 +222,13 @@ def prefix_jaccard_pairs(
     # exempt from AQE coalescing and satisfies the self-join's
     # distribution requirement, so the join reuses it (ReusedExchange
     # on the other side) with no extra shuffle at any scale.
-    target = docs.sparkSession.sparkContext.defaultParallelism
+    # Width = max(cores, spark.sql.shuffle.partitions): a user
+    # repartition is also exempt from AQE skew-join SPLITTING, so
+    # pinning it at defaultParallelism alone would cap shuffle width
+    # below the configured partition count on a real cluster (round-6
+    # ADVICE) — taking the max keeps the small-SF anti-coalesce fix a
+    # no-op change locally while honoring the tuned width at scale.
+    target = _full_width(docs.sparkSession)
     p = (
         ranked.select("doc", "m", F.posexplode("prefix").alias("p0", "s"))
         .select("doc", "m", "s", (F.col("m") - F.col("p0") - 1).alias("r"))

@@ -939,6 +939,61 @@ def write_binary_fixtures(
     return len(rows)
 
 
+def _jpeg_sof0_dims_sql(col: str = "content", max_segments: int = 40) -> str:
+    """JVM-side JPEG dimension parse as a SQL expression: walk the
+    marker-segment chain BY DECLARED LENGTH FIELDS (ITU T.81 §B.1) —
+    SOI, then each segment is FF <marker> <len:u16> <payload>, hopping
+    ``off -> off + 2 + len`` — until the baseline SOF0 (FFC0, precision
+    8) yields height/width, or SOS/EOI/desync yields NULL. Unlike the
+    previous anchored-regexp scan over the hex string, a stray FF C0
+    byte pair INSIDE an APPn/EXIF/COM payload is never even visited, so
+    it cannot hijack the dims no matter what bytes follow it (round-6
+    ADVICE fix; the stray/nibble regression tests pin both codecs'
+    cases).
+
+    Shape: one ``aggregate`` fold over a bounded step sequence with a
+    (offset, h, w, done) struct accumulator — per-row work is
+    O(max_segments) 1-2 byte substrings, independent of payload size
+    (entropy data is never touched). Headers with more than
+    ``max_segments`` segments before SOF0 (pathological EXIF stacks)
+    return NULL dims rather than garbage. Fill bytes (repeated FF) and
+    the standalone TEM/RSTn markers are stepped over per the spec."""
+    u8 = (
+        lambda p: f"CAST(conv(hex(substring({col}, CAST(({p}) AS INT), 1)), "
+        f"16, 10) AS BIGINT)"
+    )
+    u16 = (
+        lambda p: f"CAST(conv(hex(substring({col}, CAST(({p}) AS INT), 2)), "
+        f"16, 10) AS BIGINT)"
+    )
+    keep = "named_struct('off', a.off, 'h', a.h, 'w', a.w, 'done', true)"
+    sof0_ok = f"{u8('a.off + 4')} = 8 AND a.off + 8 <= length({col})"
+    step = f"""CASE
+      WHEN a.done OR a.off IS NULL OR a.off + 1 > length({col}) THEN {keep}
+      WHEN {u8('a.off')} <> 255 THEN {keep}
+      WHEN {u8('a.off + 1')} = 255
+        THEN named_struct('off', a.off + 1, 'h', a.h, 'w', a.w, 'done', false)
+      WHEN {u8('a.off + 1')} = 192 THEN named_struct('off', a.off,
+        'h', CASE WHEN {sof0_ok} THEN {u16('a.off + 5')} END,
+        'w', CASE WHEN {sof0_ok} THEN {u16('a.off + 7')} END,
+        'done', true)
+      WHEN {u8('a.off + 1')} = 216 OR {u8('a.off + 1')} = 1
+           OR ({u8('a.off + 1')} BETWEEN 208 AND 215)
+        THEN named_struct('off', a.off + 2, 'h', a.h, 'w', a.w, 'done', false)
+      WHEN {u8('a.off + 1')} = 217 OR {u8('a.off + 1')} = 218 THEN {keep}
+      ELSE named_struct('off', a.off + 2 + {u16('a.off + 2')},
+                        'h', a.h, 'w', a.w, 'done', false)
+    END"""
+    return (
+        f"aggregate(sequence(1, {max_segments}), "
+        "named_struct('off', CAST(3 AS BIGINT), 'h', CAST(NULL AS BIGINT), "
+        "'w', CAST(NULL AS BIGINT), 'done', false), "
+        f"(a, i) -> {step}, "
+        "a -> named_struct('h', nullif(a.h, CAST(0 AS BIGINT)), "
+        "'w', nullif(a.w, CAST(0 AS BIGINT))))"
+    )
+
+
 def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFrame:
     """REAL multimodal ingestion: ``spark.read.format("binaryFile")``
     over a directory of image/audio files into the payload+meta schema
@@ -949,15 +1004,12 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     big-endian u32s at offsets 17/21 (after the 8-byte signature and
     IHDR length+tag), WAV sample rate is the little-endian u32 at
     offset 25 (RIFF fmt chunk) reassembled byte-reversed via hex/conv,
-    JPEG height/width come from the SOF0 segment, located with a
-    byte-ALIGNED anchored regexp over the hex string — the lazy
-    ``(?:..)*?`` prefix consumes whole byte pairs, so a stray nibble
-    sequence straddling two bytes can never match, and the ``08``
-    precision byte after the segment length validates the hit as a
-    real baseline SOF0 (a stray FF C0 pair inside an earlier DQT/APPn
-    segment only survives if it is also followed by a plausible
-    length+precision). No match, or zero-valued dims, yields NULL
-    width/height rather than garbage.
+    JPEG height/width come from a real SEGMENT-CHAIN WALK by declared
+    length fields (:func:`_jpeg_sof0_dims_sql`) — a stray FF C0 inside
+    an APPn/EXIF/COM payload is never visited, so it cannot hijack the
+    dims regardless of the bytes after it. No baseline SOF0 before
+    SOS/EOI, desync, or zero-valued dims yields NULL width/height
+    rather than garbage.
     At scale binaryFile partitions by file and prunes on
     pathGlobFilter; spark.sql.files.maxPartitionBytes bounds (rows x
     payload) per task.
@@ -978,18 +1030,12 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     is_png = F.expr("substring(content, 2, 3)") == F.lit(b"PNG")
     is_bmp = F.expr("substring(content, 1, 2)") == F.lit(b"BM")
     is_jpg = F.hex(F.expr("substring(content, 1, 2)")) == F.lit("FFD8")
-    # SOF0 = FFC0 <len:u16> <precision:08> <height:u16> <width:u16>.
-    # The anchored lazy pair-prefix forces a byte-aligned hit (nibble
-    # sequences straddling bytes cannot match) and the 08 precision
-    # byte validates it as baseline SOF0; regexp_extract returns ''
-    # on no match, which conv() maps to NULL. Zero dims -> NULL too.
-    _sof0_re = "^(?:[0-9A-F]{2})*?FFC0[0-9A-F]{4}08([0-9A-F]{4})([0-9A-F]{4})"
-    jpg_u16 = lambda group: F.nullif(  # noqa: E731
-        F.conv(
-            F.regexp_extract(F.hex(F.col("content")), _sof0_re, group), 16, 10
-        ).cast("long"),
-        F.lit(0),
-    )
+    # SOF0 = FFC0 <len:u16> <precision:08> <height:u16> <width:u16>,
+    # reached by hopping the segment chain's declared lengths (the
+    # interpreted fold re-evaluates per field — two evaluations of a
+    # ~40-step header walk per jpg row, negligible next to the file
+    # scan). Zero dims -> NULL inside the walk's finish lambda.
+    jpg_dims = F.expr(_jpeg_sof0_dims_sql("content"))
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -1013,11 +1059,11 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
             .alias("modality"),
             F.when(is_png, be_u32(17))
             .when(is_bmp, le_u32(19))
-            .when(is_jpg, jpg_u16(2))
+            .when(is_jpg, jpg_dims["w"])
             .alias("width"),
             F.when(is_png, be_u32(21))
             .when(is_bmp, le_u32(23))
-            .when(is_jpg, jpg_u16(1))
+            .when(is_jpg, jpg_dims["h"])
             .alias("height"),
             F.when(~(is_png | is_bmp | is_jpg), le_u32(25)).alias("sample_rate"),
         ).alias("meta"),

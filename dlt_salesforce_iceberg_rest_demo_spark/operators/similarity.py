@@ -380,14 +380,8 @@ def kmeans_fit(
     # NULL and non-finite vectors have no geometry: both are dropped
     # from the fit (a NaN element would crash the driver-side integer
     # init and poison every centroid it touches; sklearn raises on the
-    # same input). pq_fit gets this for free — its zero-norm filter's
-    # fixed-point arithmetic nulls out non-finite rows.
-    finite = ~F.exists(
-        F.col(vec_col),
-        lambda x: F.isnan(x.cast("double"))
-        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
-    )
-    corpus = _non_null_vectors(corpus, vec_col).filter(finite)
+    # same input).
+    corpus = _non_null_vectors(corpus, vec_col, finite=True)
     centroids = [
         [int(math.floor(float(x) * KMEANS_SCALE)) for x in r[vec_col]]
         for r in corpus.orderBy(id_col).limit(n_centroids).collect()
@@ -427,15 +421,22 @@ def _quantize_unit_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     step is a single correctly-rounded IEEE op or integer arithmetic,
     so numpy, Spark SQL (:func:`_quantized_unit`) and the DuckDB
     oracle all land on the identical integers. Returns (uq int64
-    matrix, nonzero-norm mask); zero-norm rows are left as zeros and
-    masked out."""
+    matrix, nonzero-norm mask); zero-norm AND non-finite rows are left
+    as zeros and masked out."""
+    # Non-finite rows are masked BEFORE the int64 cast: floor(NaN*...)
+    # cast to int64 is platform-defined garbage (and numpy warns), so
+    # safety must be by construction, not by the garbage happening to
+    # fail the norm test downstream. A row with ANY NaN/Inf element
+    # lands in the zero-norm mask exactly like a zero vector.
+    finite = np.isfinite(mat).all(axis=1)
     fl = np.floor(mat * mat * FIXED_SCALE)
+    fl[~finite] = 0.0
     s = fl.astype(np.int64).sum(axis=1)
     norms = np.sqrt(s.astype(np.float64) / FIXED_SCALE)
-    nz = norms > 0
+    nz = (norms > 0) & finite
     unit = np.divide(mat, norms[:, None], where=nz[:, None])
+    unit[~nz] = 0.0
     uq = np.floor(unit * float(KMEANS_SCALE)).astype(np.int64)
-    uq[~nz] = 0
     return uq, nz
 
 
@@ -531,7 +532,10 @@ def ivf_topk(
     the list id, so shuffle volume tracks list sizes (corpus/n_centroids
     on balanced data), not corpus x queries.
     """
-    corpus = _non_null_vectors(corpus, vec_col)
+    # finite=True: non-finite corpus vectors are excluded from the
+    # CANDIDATE set, not just from centroid training (a NaN element
+    # otherwise scores NaN cosine and can surface in top-k).
+    corpus = _non_null_vectors(corpus, vec_col, finite=True)
     queries = _non_null_vectors(queries, vec_col)
     centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
     c = corpus.select(
@@ -607,7 +611,7 @@ def ivf_build(
     swaps the whole index in one snapshot per table and time travel
     keeps the previous index readable. Returns the centroid matrix.
     """
-    corpus = _non_null_vectors(corpus, vec_col)
+    corpus = _non_null_vectors(corpus, vec_col, finite=True)
     centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
     flat = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -853,7 +857,7 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+def _non_null_vectors(df: DataFrame, vec_col: str, finite: bool = False) -> DataFrame:
     """NULL vectors have no geometry: every vector operator that feeds
     them to numpy kernels or driver-side fits drops them up front
     (production corpora carry nulls routinely — a failed embedding
@@ -864,8 +868,24 @@ def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     corpus scan to match. JVM-expression paths (brute-force cosine,
     LSH) need no
     filter: SQL null semantics propagate and the final threshold/rank
-    predicates drop the null rows."""
-    return df.filter(F.col(vec_col).isNotNull())
+    predicates drop the null rows.
+
+    ``finite=True`` additionally drops vectors containing ANY NaN/Inf
+    element — the index-family entry filter (kmeans/IVF/PQ): a
+    non-finite vector can neither train a codebook nor be a meaningful
+    candidate, and excluding it at entry keeps fits and candidate sets
+    symmetric (previously only the FIT dropped them, so NaN-scored
+    garbage rows could surface in top-k results)."""
+    out = df.filter(F.col(vec_col).isNotNull())
+    if finite:
+        out = out.filter(
+            ~F.exists(
+                F.col(vec_col),
+                lambda x: F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+            )
+        )
+    return out
 
 
 class EmptyCorpusError(ValueError):
@@ -912,7 +932,7 @@ def pq_fit(
     ``TestProductQuantization``)."""
     import numpy as np
 
-    corpus = _non_null_vectors(corpus, vec_col)
+    corpus = _non_null_vectors(corpus, vec_col, finite=True)
     if train_fraction < 1.0:
         keep = int(train_fraction * 10_000)
         bucket = (
@@ -1056,7 +1076,7 @@ def pq_topk(
     over the shortlist - the standard PQ recall fix, and only
     ``shortlist*k*|Q|`` full vectors are ever touched after the scan.
     """
-    corpus = _non_null_vectors(corpus, vec_col)
+    corpus = _non_null_vectors(corpus, vec_col, finite=True)
     queries = _non_null_vectors(queries, vec_col)
     try:
         books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
@@ -1208,6 +1228,7 @@ def pq_build(
       cells (m x n_codes x dsub, tiny).
 
     Returns the codebooks."""
+    corpus = _non_null_vectors(corpus, vec_col, finite=True)
     books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
     enc = _pq_encode_udf(books)
     flat = (

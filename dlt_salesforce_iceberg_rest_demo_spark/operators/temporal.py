@@ -317,8 +317,9 @@ def asof_join(
 
     When several RIGHT rows share one timestamp inside a group, which
     payload is "latest" is partition-order-dependent; pass ``tie_col``
-    (a right column, highest value wins — the same contract as
-    :func:`asof_join_forward`) to make it deterministic. Without ties
+    (a right column, HIGHEST value wins; NULL tie values rank below
+    every non-NULL value — :func:`asof_join_forward` instead breaks
+    toward the smallest id) to make it deterministic. Without ties
     the parameter changes nothing.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
@@ -350,11 +351,14 @@ def asof_join(
         *[F.col(c) for c in left.columns if c != on],
     )
     unioned = r.select(l_tagged.columns).unionByName(l_tagged)
-    # Tie order only matters WITHIN the right side at one timestamp
-    # (left rows at the same instant all read the same carried payload)
-    # — nulls_last keeps the tie-less left rows out of the way.
+    # Tie order only matters WITHIN the right side at one timestamp:
+    # __side already segregates left rows (they sort after every right
+    # row at the same instant regardless of __tie). ``last()`` carries
+    # the row that sorts LAST, so ascending order makes the highest
+    # value win — and nulls_FIRST makes a right row whose tie value is
+    # NULL lose to every valued tie (nulls_last would let it win).
     order = ["__ts", "__side"] + (
-        [F.col("__tie").asc_nulls_last()] if tie_col is not None else []
+        [F.col("__tie").asc_nulls_first()] if tie_col is not None else []
     )
     w = (
         Window.partitionBy(on)

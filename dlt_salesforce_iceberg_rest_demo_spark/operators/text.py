@@ -829,6 +829,14 @@ def sparse_cosine_pairs(
     )
     dfreq = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
     if max_df_permil is not None:
+        # Denominator = ALL corpus rows (one extra count job per call),
+        # INCLUDING NULL-text / sub-n-token docs that contribute no
+        # shingles — deliberately mirrored by the oracle's COUNT(*)
+        # subquery. A shingle-bearing-docs denominator (count d after
+        # tokenization) would tighten the effective cap on dirty
+        # corpora; it's a one-line swap here and in the oracle if that
+        # contract is ever wanted (round-6 ADVICE: documented choice,
+        # no change required for parity).
         n_docs = docs.count()
         keep = F.col("df") * 1000 <= F.lit(int(max_df_permil) * n_docs)
     else:

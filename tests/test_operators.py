@@ -131,6 +131,64 @@ class TestSimilarity:
             assert cosines == sorted(cosines, reverse=True)
 
 
+class TestNonFiniteCandidates:
+    """Round-6 ADVICE fix: the index family (kmeans/IVF/PQ) excludes
+    non-finite corpus vectors from CANDIDATES, not just from centroid
+    training — symmetric with `_non_null_vectors` dropping NULL rows."""
+
+    def _corpus(self, spark, poison):
+        rows = [
+            Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 5) + 0.25
+                                     for j in range(8)])
+            for i in range(30)
+        ]
+        rows.append(Row(vec_id=999, embedding=poison))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    @pytest.mark.parametrize(
+        "poison",
+        [[float("nan")] * 8,
+         [float("inf")] * 8,
+         [1.0, float("nan")] + [0.5] * 6],  # PARTIALLY finite row
+        ids=["all-nan", "all-inf", "one-nan"],
+    )
+    def test_ivf_and_pq_never_surface_nonfinite_corpus_rows(self, spark, poison):
+        corpus = self._corpus(spark, poison)
+        q = corpus.filter(F.col("vec_id") < 3)
+        ivf = similarity.ivf_topk(corpus, q, k=5, n_centroids=4, iters=1)
+        assert all(r.corpus_id != 999 for r in ivf.collect())
+        pq = similarity.pq_topk(corpus, q, k=5, m=4, n_codes=4, iters=1)
+        assert all(r.corpus_id != 999 for r in pq.collect())
+
+    def test_quantize_unit_masks_nonfinite_rows_warning_free(self):
+        """Non-finite rows land in the zero-norm mask BY CONSTRUCTION
+        (masked before the int64 cast) — no NaN-cast RuntimeWarning,
+        no platform-defined garbage."""
+        import warnings
+
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.similarity import (
+            _quantize_unit_np,
+        )
+
+        m = np.array(
+            [
+                [3.0, 4.0],
+                [float("nan"), 1.0],
+                [float("inf"), 2.0],
+                [0.0, 0.0],
+                [1.0, float("-inf")],
+            ]
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            uq, nz = _quantize_unit_np(m)
+        assert nz.tolist() == [True, False, False, False, False]
+        assert uq[1:].tolist() == [[0, 0]] * 4
+        assert uq[0].tolist() == [600000, 800000]
+
+
 class TestText:
     def test_lang_id_on_real_language_samples(self, spark):
         samples = [
@@ -1370,6 +1428,43 @@ class TestBinaryCodecs:
         assert rows["junk.jpg"].width is None
         assert rows["junk.jpg"].height is None
         assert rows["junk.jpg"].format == "jpeg"
+
+    def test_jpeg_sof0_segment_walk_skips_plausible_fakes(
+        self, spark, tmp_path
+    ):
+        """Round-6 ADVICE fix: a stray FF C0 inside an APPn/EXIF payload
+        whose following bytes LOOK like a valid SOF0 (length + precision
+        0x08) used to hijack width/height under the regexp scan; the
+        segment-chain walk hops over the whole payload by its declared
+        length and never visits it. A file whose only FFC0 is such a
+        fake gets NULL dims, not the fake's."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        # fully plausible fake: FFC0 <len=000B> <prec=08> h=0x0099 w=0x0099
+        fake = b"\xff\xc0\x00\x0b\x08\x00\x99\x00\x99\x01"
+        app1 = b"\xff\xe1" + (len(fake) + 2).to_bytes(2, "big") + fake
+        sof0 = b"\xff\xc0\x00\x0b\x08\x00\x10\x00\x20\x01\x11\x00"
+        (tmp_path / "fake_then_real.jpg").write_bytes(
+            b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+        )
+        (tmp_path / "fake_only.jpg").write_bytes(
+            b"\xff\xd8" + app1 + b"\xff\xda\x00\x02" + b"\xff\xd9"
+        )
+        # a real encoder file still parses through the walk
+        (tmp_path / "real.jpg").write_bytes(
+            mm.encode_jpeg_gray(bytes(8 * 24), 8, 24)
+        )
+        rows = {
+            r.file_name: r.meta
+            for r in mm.ingest_binary_dir(
+                spark, str(tmp_path), glob="*.jpg"
+            ).collect()
+        }
+        got = rows["fake_then_real.jpg"]
+        assert (got.width, got.height) == (32, 16)
+        assert rows["fake_only.jpg"].width is None
+        assert rows["fake_only.jpg"].height is None
+        assert (rows["real.jpg"].width, rows["real.jpg"].height) == (8, 24)
 
     def test_bmp_decoder_refuses_v5_header_and_topdown(self):
         """A valid BMP with a V4/V5 header (palette not at byte 54) or

@@ -1045,6 +1045,26 @@ class TestAsofJoinProperty:
             ).collect()
             assert [row.rv_asof for row in out] == [222]
 
+    def test_null_tie_value_loses_to_every_valued_tie(self, spark):
+        """A right row whose tie_col value is NULL ranks BELOW all
+        non-NULL ties at the same timestamp (round-6 ADVICE fix: the
+        previous asc_nulls_last sort let the NULL row's payload win,
+        contradicting the highest-value-wins contract)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import temporal
+
+        l = spark.createDataFrame(
+            [Row(g=1, ts=10, lid=1)], "g long, ts long, lid long"
+        )
+        r = spark.createDataFrame(
+            [Row(g=1, ts=5, rv=111, seq=1), Row(g=1, ts=5, rv=999, seq=None)],
+            "g long, ts long, rv long, seq long",
+        ).repartition(4)
+        for _ in range(3):
+            out = temporal.asof_join(
+                l, r, on="g", right_cols=["rv"], tie_col="seq"
+            ).collect()
+            assert [row.rv_asof for row in out] == [111]
+
 
 class TestIncrementalMinhashProperty:
     @SETTINGS
