@@ -1337,14 +1337,35 @@ def containment_pairs(
     stats_a = docinfo.select(
         F.col("doc").alias("doc_a"), F.col("m").alias("ma"), F.col("nh").alias("nh_a")
     )
-    pairs_cold = (
-        inter_cold.join(stats_a, "doc_a")
-        # nh_a alone keeps the bound lossless (overlap <= cnt + nh_a);
-        # adding nh_b would buy a slightly tighter prune at the cost of
-        # a second stats join before the already-cheap bitmap verify.
-        .filter(den * (F.col("cnt_cold") + F.col("nh_a")) >= num * F.col("ma"))
-        .select("doc_a", "doc_b", "cnt_cold", "ma")
-    )
+    if n_hot:
+        # Both-sided lossless bound: overlap <= cnt_cold +
+        # min(nh_a, nh_b) — the shared-hot count can't exceed EITHER
+        # side's hot-set size. The second stats join rides the same
+        # broadcast docinfo the bitmap verify uses; pairs it rejects
+        # would otherwise carry two bitmap payloads through the verify
+        # joins. (A pair pruned here can still surface via the
+        # hot-prefix path with cnt_cold=0 — the popcount verify then
+        # rejects it, since popcount <= min(nh_a, nh_b).)
+        stats_b = docinfo.select(
+            F.col("doc").alias("doc_b"), F.col("nh").alias("nh_b")
+        )
+        pairs_cold = (
+            inter_cold.join(stats_a, "doc_a")
+            .join(stats_b, "doc_b")
+            .filter(
+                den * (F.col("cnt_cold") + F.least("nh_a", "nh_b"))
+                >= num * F.col("ma")
+            )
+            .select("doc_a", "doc_b", "cnt_cold", "ma")
+        )
+    else:
+        # No hot vocabulary: nh is 0 everywhere, the bound IS the exact
+        # final predicate — one stats join suffices.
+        pairs_cold = (
+            inter_cold.join(stats_a, "doc_a")
+            .filter(den * (F.col("cnt_cold") + F.col("nh_a")) >= num * F.col("ma"))
+            .select("doc_a", "doc_b", "cnt_cold", "ma")
+        )
 
     if n_hot:
         # Hot-only path: pairs whose entire qualifying overlap could sit
