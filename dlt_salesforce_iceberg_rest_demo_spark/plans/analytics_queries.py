@@ -637,18 +637,52 @@ def _bpe_merge_fold_sql(sw: str, m: str) -> str:
     """DuckDB replay of one BPE merge applied to a unit-separator
     -joined symbol string ``sw``: a left fold where the accumulator is
     the rebuilt string — if it currently ends with symbol ``m.l`` and
-    the next symbol is ``m.r``, the trailing ``l`` is replaced by
-    ``l||r`` (greedy left-to-right non-overlapping, the engine's
-    `_bpe_merge_expr` semantics: after a merge the new tail is
-    ``l||r != l``, so it can't be re-consumed). String state because
-    DuckDB v1.0's list_reduce mis-evaluates struct accumulators."""
+    the next symbol is ``m.r``, the trailing ``l`` is replaced by the
+    merged symbol (greedy left-to-right non-overlapping, the engine's
+    `_bpe_merge_expr` semantics: after a merge the new tail differs
+    from ``l``, so it can't be re-consumed). String state because
+    DuckDB v1.0's list_reduce mis-evaluates struct accumulators.
+
+    Symbols are CODEPOINT-ENCODED (see `_bpe_sym_encode_sql`), so the
+    merged symbol is ``l || '.' || r`` and the chr(31) delimiter can
+    never collide with symbol content — a literal chr(31) INSIDE a
+    word used to split one char-symbol into two empty symbols and
+    corrupt every downstream count (found by the round-6 adversarial-
+    strings sweep)."""
     return (
         f"list_reduce(list_concat([chr(31)], "
         f"str_split(trim({sw}, chr(31)), chr(31))), "
         f"(acc, x) -> CASE WHEN ends_with(acc, chr(31) || {m}.l || chr(31)) "
         f"AND x = {m}.r "
-        f"THEN acc[:len(acc) - len({m}.l) - 1] || {m}.l || {m}.r || chr(31) "
+        f"THEN acc[:len(acc) - len({m}.l) - 1] || {m}.l || '.' || {m}.r "
+        f"|| chr(31) "
         f"ELSE acc || x || chr(31) END)"
+    )
+
+
+def _bpe_sym_encode_sql(w: str) -> str:
+    """Initial symbol string for word ``w``: each character becomes its
+    DECIMAL CODEPOINT, codepoints inside one symbol join with '.', and
+    symbols join with chr(31). The alphabet of an encoded symbol is
+    [0-9.], so NO text character — including chr(31) itself and other
+    C0 controls — can collide with either separator, and the encoding
+    is injective (dot-separated decimal parses uniquely back to the
+    char sequence). Decode at the boundaries with
+    `_bpe_sym_decode_sql`."""
+    return (
+        f"chr(31) || array_to_string(list_transform(str_split({w}, ''), "
+        f"c -> CAST(unicode(c) AS VARCHAR)), chr(31)) || chr(31)"
+    )
+
+
+def _bpe_sym_decode_sql(sym: str) -> str:
+    """Inverse of `_bpe_sym_encode_sql` for ONE symbol: dot-split the
+    decimal codepoints back to characters. Used for the rank tie-break
+    (the engine orders REAL symbol strings — UTF-8/codepoint order in
+    both engines) and for the merge-table output columns."""
+    return (
+        f"array_to_string(list_transform(str_split({sym}, '.'), "
+        f"cp -> chr(CAST(cp AS INTEGER))), '')"
     )
 
 
@@ -679,8 +713,9 @@ def _bpe_train_ctes(n_rounds: int, batch: int) -> tuple[str, list[str]]:
   FROM (SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
   WHERE len(w) > 0 GROUP BY w),
 s0 AS MATERIALIZED (
-  SELECT chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31)
-           AS sw,
+  SELECT """
+        + _bpe_sym_encode_sql("w")
+        + """ AS sw,
          freq
   FROM tok)"""
     ]
@@ -697,7 +732,9 @@ p{r} AS MATERIALIZED (
           FROM {prev})) GROUP BY 1, 2),
 rk{r} AS MATERIALIZED (
   SELECT l, r, cnt,
-         ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk FROM p{r}),
+         ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                            {_bpe_sym_decode_sql('l')},
+                            {_bpe_sym_decode_sql('r')}) AS rk FROM p{r}),
 a{r}1 AS MATERIALIZED (SELECT l, r, cnt FROM rk{r} WHERE rk = 1)"""
         )
         round_adopted = [f"a{r}1"]
@@ -707,7 +744,7 @@ a{r}1 AS MATERIALIZED (SELECT l, r, cnt FROM rk{r} WHERE rk = 1)"""
                 for i, name in enumerate(round_adopted, 1)
             )
             used = ", ".join(
-                f"u{i}.l, u{i}.r, u{i}.l || u{i}.r"
+                f"u{i}.l, u{i}.r, u{i}.l || '.' || u{i}.r"
                 for i in range(1, len(round_adopted) + 1)
             )
             parts.append(
@@ -744,12 +781,13 @@ s{r} AS MATERIALIZED (
 def _bpe_oracle(n_rounds: int = 2, batch: int = 2) -> str:
     """Merge-table output of the trainer replay (`_bpe_train_ctes`)."""
     ctes, adopted = _bpe_train_ctes(n_rounds, batch)
+    dl, dr = _bpe_sym_decode_sql("l"), _bpe_sym_decode_sql("r")
     rows = [
         (
             f"SELECT CAST({i} AS BIGINT) AS merge_rank, "
-            f'l AS "left", r AS "right", cnt AS pair_count FROM {name}'
+            f'{dl} AS "left", {dr} AS "right", cnt AS pair_count FROM {name}'
             if i == 1
-            else f"SELECT CAST({i} AS BIGINT), l, r, cnt FROM {name}"
+            else f"SELECT CAST({i} AS BIGINT), {dl}, {dr}, cnt FROM {name}"
         )
         for i, name in enumerate(adopted, 1)
     ]
@@ -1248,7 +1286,7 @@ def _bpe_encode_oracle(n_rounds: int = 2, batch: int = 3) -> str:
     merge folds in rank order, n_word_tokens = surviving symbol count,
     then word occurrences join back and aggregate per document."""
     ctes, adopted = _bpe_train_ctes(n_rounds, batch)
-    fold = "chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31)"
+    fold = _bpe_sym_encode_sql("w")
     for name in adopted:
         fold = _bpe_merge_fold_sql(fold, f"m_{name}")
     # f-twins (1-row no-op COALESCE), not the raw adopted CTEs: an

@@ -1,0 +1,169 @@
+"""Adversarial-string robustness — the FIFTH degenerate-input axis
+(after empty / NULL-payload / non-finite / single-row in
+test_empty_inputs.py): every registry query must EXECUTE against text
+columns poisoned with embedded separators, control characters (incl.
+chr(31), the oracle fold delimiter), 2- and 4-byte UTF-8, SQL/regex
+metacharacters, and empty/whitespace-only strings — and the md5-domain
+text operators (shingles, fingerprints, BPE, packing, sparse cosine)
+must KEEP their oracle equivalence on the poisoned twin, not merely
+survive it.
+
+Why this matters at 100 TB: the reference's corpus is CRM free text
+(names, notes, emails faked by Snowfakery recipes —
+``data/salesforce_medium_scale.recipe.yml``), where embedded tabs,
+newlines, emoji, and stray control bytes are routine, and a tokenizer
+or cross-engine fold that silently disagrees between engines on those
+rows corrupts dedup/contamination decisions corpus-wide without ever
+raising.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dlt_salesforce_iceberg_rest_demo_spark.plans import oracle_sqls
+from dlt_salesforce_iceberg_rest_demo_spark.plans.registry import (
+    REGISTRY,
+    query_fns,
+)
+from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
+
+# Importing registry.py alone leaves REGISTRY unpopulated; query_fns()
+# forces the plans modules to load (the vacuous-sweep lesson).
+query_fns()
+
+from .conftest import SF_DIR, assert_frames_match
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+# One poison per shape class. Every string here is storable in parquet
+# and readable identically by Spark and DuckDB (both read the same
+# files), so any oracle divergence below is an ENGINE-SEMANTICS gap
+# (tokenization, regex, casefold, hash), not an I/O artifact.
+POISONS = [
+    "",  # empty string (not NULL — that's the second axis)
+    "   ",  # whitespace-only
+    "tab\tseparated\ttokens here",  # embedded tab
+    "line\nbreak and\rcarriage returns",  # newline / CR
+    "unit\x1fseparator\x1fchars inside",  # chr(31): the oracle fold delimiter
+    "low\x01control\x02chars\x03 here",  # other C0 controls
+    "emoji \U0001f984\U0001f984 and \U0001d518\U0001d55f 4-byte runes",
+    "døcümëntš wîth àccents",  # 2-byte UTF-8
+    "quote'and\"double | pipe % percent _ under",  # SQL-pattern chars
+    "regex .*+?()[]{}^$\\ metacharacters",  # regex metacharacters
+    "a  double  space   run",  # empty tokens under split(' ')
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(spark, tmp_path_factory):
+    """The sf0.001 lake with documents.text poisoned deterministically:
+    every doc_id % 3 == 0 row is REPLACED by a poison string, every
+    doc_id % 3 == 1 row gets a poison EMBEDDED after its real text
+    (mixed clean/adversarial tokens in one document), and the remaining
+    third stays clean so joins/pairs still produce work."""
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("adv_sf")
+    pick = F.element_at(
+        F.array(*[F.lit(p) for p in POISONS]),
+        (F.col("doc_id") % len(POISONS) + 1).cast("int"),
+    )
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 3 == 0, pick)
+                .when(
+                    F.col("doc_id") % 3 == 1,
+                    F.concat_ws(" ", F.col("text"), pick),
+                )
+                .otherwise(F.col("text")),
+            )
+        df.write.mode("overwrite").parquet(str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def adversarial_duck(adversarial_sf_dir):
+    """DuckDB oracle views over the POISONED twin."""
+    con = duckdb.connect()
+    for name in TABLES:
+        # Spark writes each table as a DIRECTORY of part files.
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{adversarial_sf_dir}/{name}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_every_registry_query_survives_adversarial_text(
+    spark, adversarial_sf_dir
+):
+    """No query may crash on adversarial text payloads."""
+    assert len(REGISTRY) >= 250  # vacuous-sweep guard
+    failures = []
+    for name in sorted(REGISTRY):
+        try:
+            REGISTRY[name].spark(spark, adversarial_sf_dir).count()
+        except Exception as e:  # noqa: BLE001 - collecting all offenders
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    assert not failures, (
+        "queries crashed on adversarial text:\n" + "\n".join(failures)
+    )
+
+
+# Byte-level multimodal oracles replay payload bytes as ord(char) per
+# text character — exact only on the generator's pure-ASCII corpus
+# (pinned by test_fixture_invariants_oracles_depend_on). On multi-byte
+# UTF-8 the Spark side encodes real UTF-8 while the replay counts
+# characters, so these are EXCLUDED from the poisoned re-drive (the
+# no-crash sweep above still covers them; their ASCII-exactness stays
+# pinned by the main oracle suite).
+ORACLE_REDRIVE_EXCLUDE_PREFIXES = ("multimodal_",)
+
+
+def _poisoned_oracle_names() -> list[str]:
+    query_fns()
+    return sorted(
+        n
+        for n, sql in oracle_sqls().items()
+        if "documents" in sql
+        and not n.startswith(ORACLE_REDRIVE_EXCLUDE_PREFIXES)
+    )
+
+
+@pytest.mark.parametrize("name", _poisoned_oracle_names())
+def test_text_oracles_hold_on_adversarial_text(
+    spark, adversarial_duck, adversarial_sf_dir, name
+):
+    """Every documents-reading oracle query must stay HASH-EXACT against
+    DuckDB on the poisoned twin: tokenization, shingle md5 domains,
+    BPE/packing fold replays, regex scans, and casefolds must agree
+    between engines on separators, control chars (incl. the chr(31)
+    fold delimiter), and multi-byte UTF-8 — not just on the clean
+    ASCII fixture corpus."""
+    q = REGISTRY[name]
+    spark_df = q.spark(spark, adversarial_sf_dir)
+    oracle_pdf = adversarial_duck.execute(q.oracle).df()
+    assert_frames_match(spark_df, oracle_pdf, f"{name}[adversarial]")
+
+
+def test_poisoned_redrive_is_not_vacuous(spark, adversarial_sf_dir):
+    """Most re-driven queries must still return rows on the poisoned
+    twin (2/3 of documents are poisoned but 1/3 stays clean): an
+    all-empty re-drive would prove schema only."""
+    names = _poisoned_oracle_names()
+    assert len(names) >= 45
+    nonempty = sum(
+        1
+        for n in names
+        if REGISTRY[n].spark(spark, adversarial_sf_dir).count() > 0
+    )
+    assert nonempty >= len(names) // 2, f"only {nonempty} non-empty"
