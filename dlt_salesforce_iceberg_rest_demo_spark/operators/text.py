@@ -630,8 +630,13 @@ def bpe_train_merges(
     exactly how production BPE trainers stay tractable at 100 TB. Per
     round: adjacent-pair counts (explode of zipped neighbors, weighted
     by word frequency, overlapping occurrences counted — reference
-    semantics), argmax with deterministic (count, pair) tie-break, and
-    the merge applied to symbol arrays via a Catalyst fold
+    semantics), argmax with the deterministic (count DESC, left, right)
+    tie-break — the SAME convention as the batched trainer and the SQL
+    oracle replay, so ``bpe_train_merges_batched(batch_size=1)`` equals
+    this trainer exactly even when top counts tie (the previous
+    max-struct argmax broke ties toward the LARGEST pair; found by the
+    round-6 batched-vs-unbatched property test) — and the merge
+    applied to symbol arrays via a Catalyst fold
     (:func:`_bpe_merge_expr`) — no Python in any loop. Only the single
     winning pair is collected per round (two strings).
 
@@ -663,8 +668,9 @@ def bpe_train_merges(
         top = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("cnt"))
-            .agg(F.max(F.struct(F.col("cnt"), F.col("p"))).alias("m"))
-            .select("m.cnt", "m.p.l", "m.p.r")
+            .select("cnt", "p.l", "p.r")
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
             .collect()
         )
         if not top or top[0]["cnt"] is None:

@@ -1242,3 +1242,250 @@ class TestCountMinProperty:
         assert set(got) == set(true)
         for key, est in got.items():
             assert est >= true[key]
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer/encoder properties (round 6): the sequential trainer, the
+# batched trainer, and the encoder each replay exactly against a
+# pure-Python reference on ARBITRARY corpora — and batch_size=1 equals
+# the sequential trainer even when top counts tie (the docstring claim,
+# previously violated: the sequential argmax broke ties toward the
+# LARGEST pair via max(struct) while the batched ranking walks
+# (cnt DESC, l, r) — a 2-letter alphabet makes such ties routine).
+# ---------------------------------------------------------------------------
+
+_bpe_corpus = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+BPE_SETTINGS = settings(
+    max_examples=6,  # every example pays several Spark jobs (one per round)
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_bpe_apply(sym: tuple, l: str, r: str) -> tuple:
+    """Greedy left-to-right non-overlapping single-merge application."""
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_bpe_state(texts: list):
+    from collections import Counter
+
+    freq = Counter(
+        w for t in texts for w in t.lower().split(" ") if w
+    )
+    return freq, {w: tuple(w) for w in freq}
+
+
+def _py_pair_counts(freq, vocab):
+    from collections import Counter
+
+    pc = Counter()
+    for w, sym in vocab.items():
+        for i in range(len(sym) - 1):  # overlapping occurrences count
+            pc[(sym[i], sym[i + 1])] += freq[w]
+    return pc
+
+
+def _py_bpe_train(texts: list, n_merges: int):
+    """Sequential reference: per round, exact pair counts, argmax with
+    the (cnt DESC, l, r) tie-break, greedy merge application."""
+    freq, vocab = _py_bpe_state(texts)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = _py_pair_counts(freq, vocab)
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        vocab = {w: _py_bpe_apply(s, l, r) for w, s in vocab.items()}
+    return merges
+
+
+def _py_bpe_train_batched(texts: list, n_merges: int, batch: int):
+    """Batched reference: rank (cnt DESC, l, r), walk greedily adopting
+    symbol-disjoint pairs up to the batch size, apply adopted merges
+    sequentially in adoption order, recount per batch."""
+    freq, vocab = _py_bpe_state(texts)
+    merges = []
+    while len(merges) < n_merges:
+        pc = _py_pair_counts(freq, vocab)
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = min(batch, n_merges - len(merges))
+        used: set = set()
+        adopted = []
+        for (l, r), cnt in ranked:
+            if len(adopted) >= want:
+                break
+            if l in used or r in used:
+                continue
+            adopted.append((l, r, cnt))
+            used.update((l, r, l + r))
+        if not adopted:
+            break
+        for l, r, cnt in adopted:
+            merges.append((len(merges) + 1, l, r, cnt))
+            vocab = {w: _py_bpe_apply(s, l, r) for w, s in vocab.items()}
+    return merges
+
+
+def _bpe_docs_df(spark, texts: list):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+class TestBpeTrainProperty:
+    @BPE_SETTINGS
+    @given(corpus=_bpe_corpus)
+    def test_sequential_equals_python_reference(self, spark, corpus):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        texts = [" ".join(ws) for ws in corpus]
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in t_ops.bpe_train_merges(
+                _bpe_docs_df(spark, texts), n_merges=4
+            ).orderBy("merge_rank").collect()
+        ]
+        assert got == _py_bpe_train(texts, 4)
+
+    @BPE_SETTINGS
+    @given(corpus=_bpe_corpus)
+    def test_batched_batch1_equals_sequential(self, spark, corpus):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        texts = [" ".join(ws) for ws in corpus]
+        docs = _bpe_docs_df(spark, texts)
+        seq = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in t_ops.bpe_train_merges(docs, n_merges=4)
+            .orderBy("merge_rank").collect()
+        ]
+        b1 = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in t_ops.bpe_train_merges_batched(
+                docs, n_merges=4, batch_size=1
+            ).orderBy("merge_rank").collect()
+        ]
+        assert b1 == seq
+
+    @BPE_SETTINGS
+    @given(corpus=_bpe_corpus)
+    def test_batched_equals_python_batch_rule(self, spark, corpus):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        texts = [" ".join(ws) for ws in corpus]
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in t_ops.bpe_train_merges_batched(
+                _bpe_docs_df(spark, texts), n_merges=4, batch_size=2
+            ).orderBy("merge_rank").collect()
+        ]
+        assert got == _py_bpe_train_batched(texts, 4, 2)
+
+
+class TestBpeEncodeProperty:
+    @BPE_SETTINGS
+    @given(corpus=_bpe_corpus)
+    def test_encode_equals_python_replay(self, spark, corpus):
+        """bpe_encode under a trained merge table == applying the
+        merges in rank order per word in Python: (n_words, n_tokens)
+        per document, for arbitrary corpora."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        texts = [" ".join(ws) for ws in corpus]
+        docs = _bpe_docs_df(spark, texts)
+        merges = _py_bpe_train_batched(texts, 4, 2)
+        got = {
+            r.doc_id: (r.n_words, r.n_tokens)
+            for r in t_ops.bpe_encode(
+                docs, [(l, r) for _, l, r, _ in merges]
+            ).collect()
+        }
+        want = {}
+        for i, t in enumerate(texts):
+            words = [w for w in t.lower().split(" ") if w]
+            if not words:
+                continue  # wordless docs drop from the encode output
+            n_tok = 0
+            for w in words:
+                sym = tuple(w)
+                for _, l, r, _ in merges:
+                    sym = _py_bpe_apply(sym, l, r)
+                n_tok += len(sym)
+            want[i] = (len(words), n_tok)
+        assert got == want
+
+
+class TestScd2ReferenceProperty:
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),          # key
+                st.sampled_from(["a", "b", "c", None]),          # attr
+                st.integers(min_value=0, max_value=5),           # ts (ties!)
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_full_table_equals_python_reference(self, spark, obs):
+        """Beyond the run/chain laws: the ENTIRE SCD2 output (runs,
+        validity bounds, observation counts, currency flags) equals a
+        pure-Python gaps-and-islands replay — including NULL attribute
+        observations (null-safe run equality) and timestamp ties broken
+        by the id column."""
+        from collections import defaultdict
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.scd import (
+            scd2_from_snapshots,
+        )
+
+        rows = [(k, a, ts, i) for i, (k, a, ts) in enumerate(obs)]
+        df = spark.createDataFrame(rows, "k long, attr string, ts long, id long")
+        got = {
+            (r.k, r.valid_from): (r.attr, r.valid_to, r.is_current,
+                                  r.n_observations)
+            for r in scd2_from_snapshots(df, "k", "attr", "ts", "id").collect()
+        }
+
+        by_key = defaultdict(list)
+        for k, a, ts, i in rows:
+            by_key[k].append((ts, i, a))
+        want = {}
+        for k, seq in by_key.items():
+            seq.sort()  # (ts, id) order
+            runs = []  # [attr, valid_from, n_obs]
+            for ts, _, a in seq:
+                if runs and runs[-1][0] == a:  # None == None: null-safe
+                    runs[-1][2] += 1
+                else:
+                    runs.append([a, ts, 1])
+            for j, (a, vf, n) in enumerate(runs):
+                nxt = runs[j + 1][1] if j + 1 < len(runs) else None
+                want[(k, vf)] = (a, nxt, j == len(runs) - 1, n)
+        assert got == want

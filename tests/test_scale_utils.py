@@ -338,6 +338,53 @@ class TestHilbertLayout:
             assert a.hi <= b.lo  # disjoint curve ranges per partition
         assert sum(r.area for r in h) <= sum(r.area for r in z)
 
+    def test_random_rectangle_scans_fragment_less_than_zorder(self, spark):
+        """The locality claim as a QUERY property (round 6): a range
+        scan over a random axis-aligned rectangle touches the cells
+        whose curve keys form some set of contiguous runs; each run is
+        one key-range scan (one file/row-group seek under a
+        range-partitioned layout). Over 60 seeded random rectangles on
+        a 32x32 grid, Hilbert's total run count must be strictly lower
+        than Z-order's (Moon et al. 2001, 'Analysis of the clustering
+        properties of the Hilbert space-filling curve') — keys computed
+        by the OPERATORS' own Spark expressions, analysis in Python."""
+        import random
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.layout import (
+            hilbert_key_2d,
+            zorder_key,
+        )
+
+        rows = [(x, y) for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        keyed = df.select(
+            "x", "y",
+            hilbert_key_2d("x", "y", bits=5).alias("h"),
+            zorder_key(["x", "y"], bits=5).alias("z"),
+        ).collect()
+        hk = {(r.x, r.y): r.h for r in keyed}
+        zk = {(r.x, r.y): r.z for r in keyed}
+
+        def runs(keys: list) -> int:
+            ks = sorted(keys)
+            return 1 + sum(1 for a, b in zip(ks, ks[1:]) if b != a + 1)
+
+        rng = random.Random(42)
+        tot_h = tot_z = 0
+        for _ in range(60):
+            x0 = rng.randint(0, 31)
+            x1 = rng.randint(x0, 31)
+            y0 = rng.randint(0, 31)
+            y1 = rng.randint(y0, 31)
+            cells = [
+                (x, y)
+                for x in range(x0, x1 + 1)
+                for y in range(y0, y1 + 1)
+            ]
+            tot_h += runs([hk[c] for c in cells])
+            tot_z += runs([zk[c] for c in cells])
+        assert tot_h < tot_z, (tot_h, tot_z)
+
 
 class TestBloomFilter:
     def test_no_false_negatives_and_fpp_bound(self, spark):
