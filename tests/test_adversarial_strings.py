@@ -56,6 +56,7 @@ POISONS = [
     "quote'and\"double | pipe % percent _ under",  # SQL-pattern chars
     "regex .*+?()[]{}^$\\ metacharacters",  # regex metacharacters
     "a  double  space   run",  # empty tokens under split(' ')
+    "DØCÜMËNTŠ WÎTH ÀCCENTS",  # uppercase non-ASCII through lower()
 ]
 
 
@@ -153,6 +154,31 @@ def test_text_oracles_hold_on_adversarial_text(
     spark_df = q.spark(spark, adversarial_sf_dir)
     oracle_pdf = adversarial_duck.execute(q.oracle).df()
     assert_frames_match(spark_df, oracle_pdf, f"{name}[adversarial]")
+
+
+def test_casefold_parity_boundary_is_pinned(spark, duck):
+    """lower() parity between the engines is an INPUT-DOMAIN contract,
+    not a theorem: Java applies full Unicode case mapping (context-
+    sensitive final sigma, Turkish İ -> 'i' + combining dot) while
+    DuckDB's utf8proc applies simple 1:1 mapping — so oracle-backed
+    text queries are exact for case-mapping-STABLE text (all of ASCII,
+    accented Latin, non-final Greek...), and the two known divergent
+    classes are pinned HERE so a change in either engine surfaces as
+    this test failing, not as an opaque hash mismatch. POISONS stays
+    inside the stable domain on purpose (the uppercase-accents poison
+    exercises lower() cross-engine on every documents oracle)."""
+    from pyspark.sql import functions as F
+
+    cases = ["İ", "ΑΣ", "DØCÜ WÎTH", "ÅA", "ǅ", "ẞ"]
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    sp = {r.raw: r.lo for r in df.select("raw", F.lower("raw").alias("lo")).collect()}
+    dk = {c: duck.execute("SELECT lower(?)", [c]).fetchone()[0] for c in cases}
+    # stable classes: identical in both engines
+    for c in ["DØCÜ WÎTH", "ÅA", "ǅ", "ẞ"]:
+        assert sp[c] == dk[c], c
+    # pinned divergences: Java full mapping vs utf8proc simple mapping
+    assert sp["İ"] == "i̇" and dk["İ"] == "i"
+    assert sp["ΑΣ"] == "ας" and dk["ΑΣ"] == "ασ"  # final sigma
 
 
 def test_poisoned_redrive_is_not_vacuous(spark, adversarial_sf_dir):
