@@ -60,23 +60,31 @@ POISONS = [
 ]
 
 
+def _poison_col(id_col: str):
+    from pyspark.sql import functions as F
+
+    return F.element_at(
+        F.array(*[F.lit(p) for p in POISONS]),
+        (F.col(id_col) % len(POISONS) + 1).cast("int"),
+    )
+
+
 @pytest.fixture(scope="module")
 def adversarial_sf_dir(spark, tmp_path_factory):
-    """The sf0.001 lake with documents.text poisoned deterministically:
-    every doc_id % 3 == 0 row is REPLACED by a poison string, every
-    doc_id % 3 == 1 row gets a poison EMBEDDED after its real text
-    (mixed clean/adversarial tokens in one document), and the remaining
-    third stays clean so joins/pairs still produce work."""
+    """The sf0.001 lake with its free-text columns poisoned
+    deterministically — documents.text AND customer.c_name (the
+    edit-distance / pseudonymization / sample domains): every
+    id % 3 == 0 row is REPLACED by a poison string, every id % 3 == 1
+    row gets a poison EMBEDDED after its real value (mixed
+    clean/adversarial tokens in one cell), and the remaining third
+    stays clean so joins/pairs still produce work."""
     from pyspark.sql import functions as F
 
     dst = tmp_path_factory.mktemp("adv_sf")
-    pick = F.element_at(
-        F.array(*[F.lit(p) for p in POISONS]),
-        (F.col("doc_id") % len(POISONS) + 1).cast("int"),
-    )
     for t in TABLES:
         df = load_table(spark, SF_DIR, t)
         if t == "documents":
+            pick = _poison_col("doc_id")
             df = df.withColumn(
                 "text",
                 F.when(F.col("doc_id") % 3 == 0, pick)
@@ -85,6 +93,17 @@ def adversarial_sf_dir(spark, tmp_path_factory):
                     F.concat_ws(" ", F.col("text"), pick),
                 )
                 .otherwise(F.col("text")),
+            )
+        elif t == "customer":
+            pick = _poison_col("c_custkey")
+            df = df.withColumn(
+                "c_name",
+                F.when(F.col("c_custkey") % 3 == 0, pick)
+                .when(
+                    F.col("c_custkey") % 3 == 1,
+                    F.concat_ws(" ", F.col("c_name"), pick),
+                )
+                .otherwise(F.col("c_name")),
             )
         df.write.mode("overwrite").parquet(str(dst / f"{t}.parquet"))
     return str(dst)
@@ -135,7 +154,7 @@ def _poisoned_oracle_names() -> list[str]:
     return sorted(
         n
         for n, sql in oracle_sqls().items()
-        if "documents" in sql
+        if ("documents" in sql or "c_name" in sql)
         and not n.startswith(ORACLE_REDRIVE_EXCLUDE_PREFIXES)
     )
 
