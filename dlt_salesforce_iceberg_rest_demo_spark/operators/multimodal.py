@@ -696,8 +696,9 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     DC-prediction entropy decode with byte-unstuffing, dequantize,
     un-zigzag, orthonormal IDCT, level shift, clamp, pad crop.
     Returns (width, height, pixel bytes) — same contract as the
-    PNG/BMP twins. Progressive (SOF2), multi-component, 16-bit quant
-    tables and restart intervals raise NotImplementedError."""
+    PNG/BMP twins. Both DQT precisions decode (8-bit, and the 16-bit
+    Pq=1 tables foreign encoders emit); progressive (SOF2),
+    multi-component and restart intervals raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -722,10 +723,16 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                quant[tq] = list(body[i + 1 : i + 65])
-                i += 65
+                if pq == 1:  # 16-bit big-endian entries (foreign files)
+                    quant[tq] = list(
+                        struct.unpack(">64H", body[i + 1 : i + 129])
+                    )
+                    i += 129
+                elif pq == 0:
+                    quant[tq] = list(body[i + 1 : i + 65])
+                    i += 65
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xC0:

@@ -1357,6 +1357,35 @@ class TestBinaryCodecs:
         )
         assert err.max() <= 16  # quantization-scale error on smooth data
 
+    def test_jpeg_decoder_reads_16bit_quant_tables(self):
+        """Foreign encoders emit Pq=1 (16-bit big-endian) DQT entries;
+        the decoder must read them (round 6 — previously
+        NotImplementedError). Surgery: widen our encoder's 8-bit table
+        to 16 bits in place; the decode must be pixel-identical."""
+        import struct
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes(range(64)) * 4  # 16x16
+        base = mm.encode_jpeg_gray(pix, 16, 16)
+        dqt = base.find(b"\xff\xdb")
+        (ln,) = struct.unpack(">H", base[dqt + 2 : dqt + 4])
+        assert ln == 67  # 2 len + 1 pq/tq + 64 entries
+        vals = base[dqt + 5 : dqt + 5 + 64]
+        wide = (
+            base[:dqt]
+            + b"\xff\xdb"
+            + struct.pack(">H", 2 + 1 + 128)
+            + bytes([0x10 | (base[dqt + 4] & 0x0F)])
+            + struct.pack(">64H", *vals)
+            + base[dqt + 4 + ln - 2 :]
+        )
+        assert mm.decode_jpeg_gray(wide) == mm.decode_jpeg_gray(base)
+        with pytest.raises(ValueError, match="invalid DQT precision"):
+            bad = bytearray(wide)
+            bad[dqt + 4] = 0x20 | (bad[dqt + 4] & 0x0F)
+            mm.decode_jpeg_gray(bytes(bad))
+
     def test_jpeg_decoder_refuses_progressive_and_multicomponent(self):
         import struct
 
