@@ -603,12 +603,22 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-pad to byte edge (F.1.2.3)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding; a resulting 0xFF data byte is stuffed
+        like any other) and emit the RSTn marker UNstuffed — markers
+        are not entropy data (ITU T.81 §F.1.2.3 / §B.2.1)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def encode_jpeg_gray(
     pixels: bytes,
     width: int,
     height: int,
     quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG, single grayscale component: 8x8
     blocks (edge-replicated padding), orthonormal float DCT, scalar
@@ -616,7 +626,12 @@ def encode_jpeg_gray(
     near-lossless setting the fixtures use, so the decode round-trip
     error is DCT float rounding only, |err| <= 2), zigzag, DC
     differential + standard Annex K Huffman coding, byte stuffing,
-    JFIF container (SOI APP0 DQT SOF0 DHT DHT SOS ... EOI)."""
+    JFIF container (SOI APP0 DQT SOF0 DHT DHT [DRI] SOS ... EOI).
+
+    ``restart_interval`` > 0 emits a DRI segment and cyclic RST0-7
+    markers every that-many MCUs (byte-aligned, DC prediction reset) —
+    the error-resilience/parallel-decode feature most camera JPEGs
+    carry."""
     import struct
 
     import numpy as np
@@ -642,8 +657,13 @@ def encode_jpeg_gray(
         return size, bits, size
 
     prev_dc = 0
+    mcu = 0
     for by in range(0, img.shape[0], 8):
         for bx in range(0, img.shape[1], 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart((mcu // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu += 1
             block = img[by : by + 8, bx : bx + 8]
             coef = dct @ block @ dct.T
             qc = np.round(coef / qm).astype(np.int64)
@@ -684,6 +704,11 @@ def encode_jpeg_gray(
         + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
         + seg(0xFFC4, dht_dc)
         + seg(0xFFC4, dht_ac)
+        + (
+            seg(0xFFDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
         + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
         + w.flush()
         + b"\xff\xd9"
@@ -697,8 +722,10 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     un-zigzag, orthonormal IDCT, level shift, clamp, pad crop.
     Returns (width, height, pixel bytes) — same contract as the
     PNG/BMP twins. Both DQT precisions decode (8-bit, and the 16-bit
-    Pq=1 tables foreign encoders emit); progressive (SOF2),
-    multi-component and restart intervals raise NotImplementedError."""
+    Pq=1 tables foreign encoders emit), and DRI/RSTn restart intervals
+    decode (segment split, per-restart byte alignment + DC reset);
+    progressive (SOF2) and multi-component raise
+    NotImplementedError."""
     import struct
 
     import numpy as np
@@ -711,6 +738,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     comp_q = 0
     scan_start = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -753,7 +781,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 huff[(tc, th)] = {(l, c): s for s, (c, l) in codes.items()}
                 i += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             dc_t, ac_t = data[pos + 4 + 2] >> 4, data[pos + 4 + 2] & 0xF
             scan_start = pos + 2 + ln
@@ -762,22 +790,41 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     if scan_start is None or width is None:
         raise ValueError("truncated JPEG")
 
-    # Entropy-coded bytes: unstuff FF00 -> FF; stop at the next marker.
-    raw = bytearray()
+    # Entropy-coded bytes: unstuff FF00 -> FF; RST0-7 markers split the
+    # stream into restart SEGMENTS (each starts byte-aligned with DC
+    # prediction 0); any other marker ends the scan.
+    segments: list[bytearray] = [bytearray()]
     i = scan_start
     while i < len(data):
         b = data[i]
         if b == 0xFF:
-            if i + 1 < len(data) and data[i + 1] == 0x00:
-                raw.append(0xFF)
+            nxt = data[i + 1] if i + 1 < len(data) else None
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
                 i += 2
                 continue
             break
-        raw.append(b)
+        segments[-1].append(b)
         i += 1
 
+    seg_idx = 0
+    raw = segments[0]
     bitpos = 0
     nbits_total = len(raw) * 8
+
+    def next_segment() -> None:
+        nonlocal seg_idx, raw, bitpos, nbits_total, prev_dc
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("missing restart marker")
+        raw = segments[seg_idx]
+        bitpos = 0
+        nbits_total = len(raw) * 8
+        prev_dc = 0  # DC prediction resets at every restart (§F.2.1.3.1)
 
     def read_bit() -> int:
         nonlocal bitpos
@@ -813,8 +860,12 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     bw, bh = (width + 7) // 8, (height + 7) // 8
     out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     prev_dc = 0
+    mcu = 0
     for byi in range(bh):
         for bxi in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                next_segment()
+            mcu += 1
             flat = np.zeros(64, dtype=np.float64)
             size = read_symbol(dc_table)
             diff = extend(read_bits(size), size) if size else 0

@@ -1386,6 +1386,39 @@ class TestBinaryCodecs:
             bad[dqt + 4] = 0x20 | (bad[dqt + 4] & 0x0F)
             mm.decode_jpeg_gray(bytes(bad))
 
+    def test_jpeg_restart_intervals_round_trip(self):
+        """DRI/RSTn (round 6 — previously NotImplementedError): encode
+        with restart intervals and decode back; pixels must equal the
+        no-restart encoding's decode exactly (restarts change framing,
+        never content). Checks marker presence, cyclic RST numbering,
+        odd intervals (restart mid-row), and a truncated-segment
+        error."""
+        import pytest
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes((x * 7 + 13) % 256 for x in range(24 * 16))  # 24x16: 6 MCUs
+        plain = mm.decode_jpeg_gray(mm.encode_jpeg_gray(pix, 24, 16))
+        for ri in (1, 2, 3, 5):
+            data = mm.encode_jpeg_gray(pix, 24, 16, restart_interval=ri)
+            assert b"\xff\xdd" in data
+            n_rst = sum(
+                data.count(bytes([0xFF, 0xD0 + k])) for k in range(8)
+            )
+            assert n_rst == (6 - 1) // ri
+            assert mm.decode_jpeg_gray(data) == plain
+        # 9 restarts exercise the cyclic wrap RST7 -> RST0
+        wide = bytes((x * 3 + 5) % 256 for x in range(88 * 8))  # 11 MCUs
+        data = mm.encode_jpeg_gray(wide, 88, 8, restart_interval=1)
+        assert bytes([0xFF, 0xD0]) in data and bytes([0xFF, 0xD7]) in data
+        assert mm.decode_jpeg_gray(data) == mm.decode_jpeg_gray(
+            mm.encode_jpeg_gray(wide, 88, 8)
+        )
+        # a stream whose restart marker was stripped must fail loudly
+        broken = data.replace(bytes([0xFF, 0xD0]), b"", 1)
+        with pytest.raises(ValueError):
+            mm.decode_jpeg_gray(broken)
+
     def test_jpeg_decoder_refuses_progressive_and_multicomponent(self):
         import struct
 
