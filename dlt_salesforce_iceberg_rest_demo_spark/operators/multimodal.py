@@ -715,17 +715,495 @@ def encode_jpeg_gray(
     )
 
 
+def _jpeg_optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table for one scan (T.81 §K.2,
+    the jpeg_gen_optimal_table algorithm): merge the two
+    least-frequent symbols repeatedly (ties toward the larger symbol,
+    giving it the longer code), count code lengths, fold lengths > 16
+    down (the JPEG limit), and reserve the all-1s code via a
+    pseudo-symbol 256 so padding bits can never form a valid code.
+    Returns (BITS[1..16], HUFFVAL) as the DHT segment encodes them.
+    Progressive AC scans NEED this — their EOBn symbols don't exist in
+    the fixed Annex K baseline table."""
+    freq = list(freq) + [1]  # pseudo-symbol 256 claims the all-1s code
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        c1, v = -1, None
+        for i, f in enumerate(freq):
+            if f > 0 and (v is None or f <= v):
+                v, c1 = f, i
+        c2, v = -1, None
+        for i, f in enumerate(freq):
+            if f > 0 and i != c1 and (v is None or f <= v):
+                v, c2 = f, i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for size in codesize:
+        if size:
+            bits[size] += 1
+    for i in range(32, 16, -1):  # length-limit to 16 (figure K.3)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the pseudo-symbol's code (the all-1s slot)
+    huffval = [
+        sym
+        for length in range(1, 33)
+        for sym in range(256)
+        if codesize[sym] == length
+    ]
+    return bits[1:17], huffval
+
+
+# libjpeg's standard grayscale progression: DC at Al=1, AC split into
+# two spectral bands at Al=2, an AC refinement to Al=1, the DC
+# refinement bit, and the final AC refinement to full precision.
+JPEG_PROGRESSIVE_SCANS: "list[tuple[int, int, int, int]]" = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+]
+
+
+def encode_jpeg_gray_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quant: list[int] | None = None,
+    scans: "list[tuple[int, int, int, int]] | None" = None,
+) -> bytes:
+    """PROGRESSIVE JPEG (SOF2), single grayscale component: the same
+    DCT/quantization front end as :func:`encode_jpeg_gray`, then the
+    coefficients stream out over multiple scans of (Ss, Se, Ah, Al) —
+    spectral selection (frequency bands) and successive approximation
+    (bit planes), T.81 §G.1. DC-first scans diff-code the
+    point-transformed DC; AC-first scans run-length code each band with
+    EOB-RUN batching across all-zero blocks (EOBn codes); refinement
+    scans emit one correction bit per already-nonzero coefficient and
+    ±1<<Al for newly significant ones, with correction bits buffered
+    through ZRL/EOB runs exactly as the decoder consumes them (the
+    libjpeg encode_mcu_AC_refine discipline). Progressive coding is
+    LOSSLESS given the quantized coefficients, so the decode is
+    bit-identical to the baseline encoding's decode — pinned by the
+    round-trip tests across scan scripts.
+
+    ``scans`` defaults to :data:`JPEG_PROGRESSIVE_SCANS`; a custom
+    script must put each coefficient's first scan before its
+    refinements with Al stepping down by 1 (not validated here beyond
+    what decoding enforces)."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be exactly width*height bytes")
+    q = list(quant) if quant is not None else [1] * 64
+    script = [tuple(s) for s in (scans if scans is not None else JPEG_PROGRESSIVE_SCANS)]
+    zz = _jpeg_zigzag()
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dct = _jpeg_dct_matrix()
+    qm = np.array(q, dtype=np.float64).reshape(8, 8)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph, pw = -height % 8, -width % 8
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+
+    blocks = []
+    for by in range(0, img.shape[0], 8):
+        for bx in range(0, img.shape[1], 8):
+            coef = dct @ img[by : by + 8, bx : bx + 8] @ dct.T
+            blocks.append(
+                np.round(coef / qm).astype(np.int64).reshape(64)[zz]
+            )
+
+    def run_ac_first(ss, se, al, put_sym, put_bits) -> None:
+        """AC first-pass body via callbacks (counting pass builds the
+        optimized table, emitting pass writes the stream)."""
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                put_sym(nb << 4)
+                if nb:
+                    put_bits(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        for c in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(c[k])
+                ta = (t if t >= 0 else -t) >> al
+                if ta == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    put_sym(0xF0)
+                    r -= 16
+                size = ta.bit_length()
+                put_sym((r << 4) | size)
+                v = ta if t >= 0 else -ta
+                put_bits((v if v >= 0 else v + (1 << size) - 1)
+                         & ((1 << size) - 1), size)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:  # EOB14 ceiling
+                    flush_eob()
+        flush_eob()
+
+    def run_ac_refine(ss, se, al, put_sym, put_bits) -> None:
+        """AC refinement body (the libjpeg encode_mcu_AC_refine
+        discipline): correction bits buffer through ZRL/EOB runs in the
+        exact order the decoder consumes them."""
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                put_sym(nb << 4)
+                if nb:
+                    put_bits(eobrun & ((1 << nb) - 1), nb)
+                for b in be_bits:
+                    put_bits(b, 1)
+                be_bits.clear()
+                eobrun = 0
+
+        for c in blocks:
+            absv = {
+                k: (int(c[k]) if c[k] >= 0 else -int(c[k])) >> al
+                for k in range(ss, se + 1)
+            }
+            eob_pos = ss - 1  # last NEWLY-significant position
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob_pos = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_pos:
+                    flush_eob()
+                    put_sym(0xF0)
+                    r -= 16
+                    for b in br:
+                        put_bits(b, 1)
+                    br.clear()
+                if t > 1:  # history coefficient: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                put_sym((r << 4) | 1)
+                put_bits(1 if c[k] > 0 else 0, 1)
+                for b in br:
+                    put_bits(b, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def encode_scan(ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        w = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first (arithmetic-shift transform)
+            pred = 0
+            for c in blocks:
+                v = int(c[0]) >> al
+                diff = v - pred
+                pred = v
+                size = abs(diff).bit_length()
+                w.put(*dc_codes[size])
+                if size:
+                    w.put((diff if diff >= 0 else diff + (1 << size) - 1)
+                          & ((1 << size) - 1), size)
+            return sos + w.flush()
+        if ss == 0:  # DC refine: the next lower bit, one per block
+            for c in blocks:
+                w.put((int(c[0]) >> al) & 1, 1)
+            return sos + w.flush()
+        # AC scans use EOBn codes, which the fixed Annex K table lacks:
+        # two passes — count symbols, build the per-scan OPTIMIZED
+        # Huffman table (emitted as this scan's DHT), then encode.
+        run = run_ac_first if ah == 0 else run_ac_refine
+        freq = [0] * 256
+        run(ss, se, al, lambda s: freq.__setitem__(s, freq[s] + 1),
+            lambda v, n: None)
+        tbits, tvals = _jpeg_optimal_table(freq)
+        codes = _jpeg_codes(tbits, tvals)
+        run(ss, se, al, lambda s: w.put(*codes[s]),
+            lambda v, n: w.put(v, n))
+        dht = seg(0xFFC4, bytes([0x10]) + bytes(tbits) + bytes(tvals))
+        return dht + sos + w.flush()
+
+    zz_q = bytes(q[i] for i in zz)
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + zz_q)
+        + seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + b"".join(encode_scan(*s) for s in script)
+        + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one scan's restart segments (already
+    unstuffed). ``next_segment`` re-aligns to the next restart segment
+    — decoding state resets (DC prediction, EOB run) are the caller's
+    job (§F.2.1.3.1)."""
+
+    def __init__(self, segments: "list[bytearray]") -> None:
+        self.segments = segments
+        self.idx = 0
+        self.raw = segments[0]
+        self.bitpos = 0
+
+    def next_segment(self) -> None:
+        self.idx += 1
+        if self.idx >= len(self.segments):
+            raise ValueError("missing restart marker")
+        self.raw = self.segments[self.idx]
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        if self.bitpos >= len(self.raw) * 8:
+            raise ValueError("bitstream exhausted")
+        b = (self.raw[self.bitpos >> 3] >> (7 - (self.bitpos & 7))) & 1
+        self.bitpos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: "dict[tuple[int, int], int]") -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a ``size``-bit magnitude to its signed
+    value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_entropy_segments(
+    data: bytes, start: int
+) -> "tuple[list[bytearray], int]":
+    """Collect one scan's entropy-coded bytes from ``start``: unstuff
+    FF00 -> FF; RST0-7 markers split the stream into restart SEGMENTS
+    (each begins byte-aligned); any other marker ends the scan. Returns
+    (segments, position of the terminating marker/end of data)."""
+    segments: list[bytearray] = [bytearray()]
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else None
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break
+        segments[-1].append(b)
+        i += 1
+    return segments, i
+
+
+def _jpeg_baseline_scan(coefs, segments, dc_table, ac_table, ri: int) -> None:
+    """Sequential-DCT scan: DC diff + AC runs per block into the
+    (zigzag-ordered) coefficient buffer."""
+    rd = _JpegBitReader(segments)
+    prev_dc = 0
+    for blk in range(len(coefs)):
+        if ri and blk and blk % ri == 0:
+            rd.next_segment()
+            prev_dc = 0
+        c = coefs[blk]
+        size = rd.symbol(dc_table)
+        prev_dc += _jpeg_extend(rd.bits(size), size) if size else 0
+        c[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = rd.symbol(ac_table)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index overflow")
+            c[k] = _jpeg_extend(rd.bits(size), size)
+            k += 1
+
+
+def _jpeg_refine_ac(c, rd, ss, se, al, eobrun, ac_table) -> int:
+    """One block of an AC successive-approximation REFINEMENT scan
+    (T.81 §G.2; the libjpeg decode_mcu_AC_refine shape): newly
+    significant coefficients arrive as ±1<<Al, already-nonzero ones get
+    one correction bit each (in position order, interleaved with the
+    run walk), EOB runs carry the remaining blocks' correction bits.
+    Returns the remaining EOB-run count."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.symbol(ac_table)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                s = p1 if rd.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.bits(r)
+                break  # rest of band joins the EOB-run tail below
+            # advance past r zero-HISTORY coefficients, appending a
+            # correction bit to each nonzero-history one on the way
+            while k <= se:
+                if c[k] != 0:
+                    if rd.bit() and (c[k] & p1) == 0:
+                        c[k] += p1 if c[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                c[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the remainder of the band
+            if c[k] != 0:
+                if rd.bit() and (c[k] & p1) == 0:
+                    c[k] += p1 if c[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    coefs, segments, table, ss, se, ah, al, ri: int
+) -> None:
+    """One progressive scan (T.81 §G.2) over the coefficient buffer:
+    DC first / DC refine / AC first (with EOB runs) / AC refine.
+    ``table`` is the DC table for first DC scans, the AC table for AC
+    scans, unused for DC refinement."""
+    rd = _JpegBitReader(segments)
+    pred = 0
+    eobrun = 0
+    for blk in range(len(coefs)):
+        if ri and blk and blk % ri == 0:
+            rd.next_segment()
+            pred = 0
+            eobrun = 0
+        c = coefs[blk]
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            if ah == 0:  # DC first: diff-coded, point-transformed
+                size = rd.symbol(table)
+                pred += _jpeg_extend(rd.bits(size), size) if size else 0
+                c[0] = pred << al
+            else:  # DC refine: one bit per block (two's complement |=)
+                if rd.bit():
+                    c[0] |= 1 << al
+        elif ah == 0:  # AC first
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rd.symbol(table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # EOBn: this block is one
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                c[k] = _jpeg_extend(rd.bits(s), s) << al
+                k += 1
+        else:  # AC refine
+            eobrun = _jpeg_refine_ac(c, rd, ss, se, al, eobrun, table)
+
+
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Real baseline JPEG decode (grayscale, sequential DCT): segment
-    walk, DQT/DHT table builds from the stream itself, Huffman +
-    DC-prediction entropy decode with byte-unstuffing, dequantize,
-    un-zigzag, orthonormal IDCT, level shift, clamp, pad crop.
-    Returns (width, height, pixel bytes) — same contract as the
-    PNG/BMP twins. Both DQT precisions decode (8-bit, and the 16-bit
-    Pq=1 tables foreign encoders emit), and DRI/RSTn restart intervals
-    decode (segment split, per-restart byte alignment + DC reset);
-    progressive (SOF2) and multi-component raise
-    NotImplementedError."""
+    """Real JPEG decode (grayscale): segment walk, DQT/DHT table builds
+    from the stream itself, entropy decode with byte-unstuffing into a
+    coefficient buffer, dequantize, un-zigzag, orthonormal IDCT, level
+    shift, clamp, pad crop. Returns (width, height, pixel bytes) —
+    same contract as the PNG/BMP twins.
+
+    Decodes BOTH process families for single-component images:
+    baseline sequential (SOF0) and PROGRESSIVE (SOF2) with spectral
+    selection + successive approximation — multi-scan coefficient
+    accumulation, EOB runs, AC refinement correction bits (T.81 §G.2).
+    Both DQT precisions decode (8-bit and the 16-bit Pq=1 tables
+    foreign encoders emit), and DRI/RSTn restart intervals decode in
+    every scan type. Lossless-sequential/arithmetic SOFs and
+    multi-component images raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -737,9 +1215,10 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     comp_q = 0
-    scan_start = None
     restart_interval = 0
-    while pos < len(data):
+    progressive = False
+    coefs = None
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
@@ -761,9 +1240,13 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                     i += 65
                 else:
                     raise ValueError(f"invalid DQT precision {pq}")
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential (SOF0)")
-        elif marker == 0xC0:
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) or progressive (SOF2) huffman DCT"
+            )
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8 or ncomp != 1:
                 raise NotImplementedError("only 8-bit single-component")
@@ -783,114 +1266,49 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
-            dc_t, ac_t = data[pos + 4 + 2] >> 4, data[pos + 4 + 2] & 0xF
-            scan_start = pos + 2 + ln
-            break
+            if width is None:
+                raise ValueError("SOS before SOF")
+            if body[0] != 1:
+                raise NotImplementedError("single-component scans only")
+            dc_t, ac_t = body[2] >> 4, body[2] & 0xF
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0xF
+            if coefs is None:
+                bw, bh = (width + 7) // 8, (height + 7) // 8
+                coefs = np.zeros((bh * bw, 64), dtype=np.int64)
+            segments, pos = _jpeg_entropy_segments(data, pos + 2 + ln)
+            if progressive:
+                table = (
+                    huff[(0, dc_t)]
+                    if ss == 0 and ah == 0
+                    else (huff[(1, ac_t)] if ss > 0 else None)
+                )
+                _jpeg_progressive_scan(
+                    coefs, segments, table, ss, se, ah, al, restart_interval
+                )
+            else:
+                if ss != 0 or se != 63 or ah or al:
+                    raise ValueError("invalid baseline scan header")
+                _jpeg_baseline_scan(
+                    coefs, segments, huff[(0, dc_t)], huff[(1, ac_t)],
+                    restart_interval,
+                )
+            continue  # pos already advanced to the terminating marker
         pos += 2 + ln
-    if scan_start is None or width is None:
+    if coefs is None or width is None:
         raise ValueError("truncated JPEG")
 
-    # Entropy-coded bytes: unstuff FF00 -> FF; RST0-7 markers split the
-    # stream into restart SEGMENTS (each starts byte-aligned with DC
-    # prediction 0); any other marker ends the scan.
-    segments: list[bytearray] = [bytearray()]
-    i = scan_start
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < len(data) else None
-            if nxt == 0x00:
-                segments[-1].append(0xFF)
-                i += 2
-                continue
-            if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                segments.append(bytearray())
-                i += 2
-                continue
-            break
-        segments[-1].append(b)
-        i += 1
-
-    seg_idx = 0
-    raw = segments[0]
-    bitpos = 0
-    nbits_total = len(raw) * 8
-
-    def next_segment() -> None:
-        nonlocal seg_idx, raw, bitpos, nbits_total, prev_dc
-        seg_idx += 1
-        if seg_idx >= len(segments):
-            raise ValueError("missing restart marker")
-        raw = segments[seg_idx]
-        bitpos = 0
-        nbits_total = len(raw) * 8
-        prev_dc = 0  # DC prediction resets at every restart (§F.2.1.3.1)
-
-    def read_bit() -> int:
-        nonlocal bitpos
-        if bitpos >= nbits_total:
-            raise ValueError("bitstream exhausted")
-        b = (raw[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-        bitpos += 1
-        return b
-
-    def read_bits(n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | read_bit()
-        return v
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    def extend(v: int, size: int) -> int:
-        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-    dc_table, ac_table = huff[(0, dc_t)], huff[(1, ac_t)]
     zz = _jpeg_zigzag()
     qm = np.array(quant[comp_q], dtype=np.float64)
     dct = _jpeg_dct_matrix()
     bw, bh = (width + 7) // 8, (height + 7) // 8
     out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
-    mcu = 0
-    for byi in range(bh):
-        for bxi in range(bw):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                next_segment()
-            mcu += 1
-            flat = np.zeros(64, dtype=np.float64)
-            size = read_symbol(dc_table)
-            diff = extend(read_bits(size), size) if size else 0
-            prev_dc += diff
-            flat[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_symbol(ac_table)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                flat[k] = extend(read_bits(size), size)
-                k += 1
-            # zz_q is zigzag-ordered in the stream; flat is too.
-            block = np.zeros(64, dtype=np.float64)
-            block[zz] = flat * qm
-            block = block.reshape(8, 8)
-            pix = dct.T @ block @ dct + 128.0
-            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
+    for blk in range(bh * bw):
+        byi, bxi = divmod(blk, bw)
+        block = np.zeros(64, dtype=np.float64)
+        block[zz] = coefs[blk] * qm  # both are zigzag-ordered
+        pix = dct.T @ block.reshape(8, 8) @ dct + 128.0
+        out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
     clipped = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, clipped.tobytes()
 
@@ -1001,8 +1419,8 @@ def _jpeg_sof0_dims_sql(col: str = "content", max_segments: int = 40) -> str:
     """JVM-side JPEG dimension parse as a SQL expression: walk the
     marker-segment chain BY DECLARED LENGTH FIELDS (ITU T.81 §B.1) —
     SOI, then each segment is FF <marker> <len:u16> <payload>, hopping
-    ``off -> off + 2 + len`` — until the baseline SOF0 (FFC0, precision
-    8) yields height/width, or SOS/EOI/desync yields NULL. Unlike the
+    ``off -> off + 2 + len`` — until a SOF0/SOF2 frame header
+    (precision 8) yields height/width, or SOS/EOI/desync yields NULL. Unlike the
     previous anchored-regexp scan over the hex string, a stray FF C0
     byte pair INSIDE an APPn/EXIF/COM payload is never even visited, so
     it cannot hijack the dims no matter what bytes follow it (round-6
@@ -1031,7 +1449,8 @@ def _jpeg_sof0_dims_sql(col: str = "content", max_segments: int = 40) -> str:
       WHEN {u8('a.off')} <> 255 THEN {keep}
       WHEN {u8('a.off + 1')} = 255
         THEN named_struct('off', a.off + 1, 'h', a.h, 'w', a.w, 'done', false)
-      WHEN {u8('a.off + 1')} = 192 THEN named_struct('off', a.off,
+      WHEN {u8('a.off + 1')} = 192 OR {u8('a.off + 1')} = 194
+        THEN named_struct('off', a.off,
         'h', CASE WHEN {sof0_ok} THEN {u16('a.off + 5')} END,
         'w', CASE WHEN {sof0_ok} THEN {u16('a.off + 7')} END,
         'done', true)

@@ -1419,7 +1419,72 @@ class TestBinaryCodecs:
         with pytest.raises(ValueError):
             mm.decode_jpeg_gray(broken)
 
-    def test_jpeg_decoder_refuses_progressive_and_multicomponent(self):
+    def test_jpeg_progressive_round_trip_default_script(self):
+        """SOF2 decode (round 6 — previously NotImplementedError):
+        progressive coding is lossless given the quantized
+        coefficients, so decoding the progressive encoding must be
+        BIT-IDENTICAL to decoding the baseline encoding — busy content,
+        non-multiple-of-8 dims, both quant settings."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes((x * 37 + (x // 29) * 11) % 256 for x in range(29 * 21))
+        for q in (None, mm.JPEG_STD_LUMA_QUANT):
+            base = mm.decode_jpeg_gray(mm.encode_jpeg_gray(pix, 29, 21, quant=q))
+            prog = mm.encode_jpeg_gray_progressive(pix, 29, 21, quant=q)
+            assert b"\xff\xc2" in prog
+            assert prog.count(b"\xff\xda") == 6  # the 6-scan script
+            assert mm.decode_jpeg_gray(prog) == base
+        # deterministic bytes
+        assert mm.encode_jpeg_gray_progressive(
+            pix, 29, 21
+        ) == mm.encode_jpeg_gray_progressive(pix, 29, 21)
+
+    def test_jpeg_progressive_custom_scan_scripts(self):
+        """Spectral-selection-only, deep successive approximation, and
+        many-band scripts all decode to the same pixels; smooth content
+        exercises long EOB runs (all-zero high bands across blocks),
+        busy content exercises ZRL + refinement correction paths."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        scripts = [
+            [(0, 0, 0, 0), (1, 63, 0, 0)],  # spectral selection only
+            [(0, 0, 0, 3), (0, 0, 3, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+             (1, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)],  # deep SA
+            [(0, 0, 0, 1), (0, 0, 1, 0)]
+            + [(a, b, 0, 0) for a, b in
+               [(1, 2), (3, 7), (8, 20), (21, 40), (41, 63)]],  # many bands
+        ]
+        smooth = bytes(min(255, (x % 40) + (x // 40)) for x in range(40 * 24))
+        busy = bytes((x * 73 + (x // 17) * 41) % 256 for x in range(40 * 24))
+        for pix in (smooth, busy):
+            base = mm.decode_jpeg_gray(mm.encode_jpeg_gray(pix, 40, 24))
+            for script in scripts:
+                got = mm.decode_jpeg_gray(
+                    mm.encode_jpeg_gray_progressive(pix, 40, 24, scans=script)
+                )
+                assert got == base, script
+
+    def test_jpeg_progressive_ingest_and_decode_stats(self, spark, tmp_path):
+        """A progressive file flows through the whole Spark path:
+        binaryFile ingest parses dims JVM-side from the SOF2 header
+        (the segment walk accepts C0 and C2), and decode stats route
+        through the multi-scan decoder — equal to the baseline twin's
+        stats on the same pixels."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes([9] * (16 * 24))
+        (tmp_path / "p.jpg").write_bytes(
+            mm.encode_jpeg_gray_progressive(pix, 16, 24)
+        )
+        df = mm.ingest_binary_dir(spark, str(tmp_path), glob="*.jpg")
+        row = df.collect()[0]
+        assert row.meta.format == "jpeg"
+        assert (row.meta.width, row.meta.height) == (16, 24)
+        stats = mm.decode_binary_stats(df).collect()[0]
+        assert (stats.modality, stats.n_values) == ("image", 16 * 24)
+        assert stats.val_sum == 9 * 16 * 24  # constant image: exact
+
+    def test_jpeg_decoder_refuses_unsupported_processes(self):
         import struct
 
         import pytest
@@ -1428,14 +1493,21 @@ class TestBinaryCodecs:
 
         base = bytearray(mm.encode_jpeg_gray(bytes(64), 8, 8))
         sof = base.find(b"\xff\xc0")
-        prog = bytearray(base)
-        prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-        with pytest.raises(NotImplementedError, match="baseline"):
-            mm.decode_jpeg_gray(bytes(prog))
+        ext = bytearray(base)
+        ext[sof + 1] = 0xC1  # SOF0 -> SOF1 (extended sequential)
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            mm.decode_jpeg_gray(bytes(ext))
         multi = bytearray(base)
         multi[sof + 9] = 3  # ncomp 1 -> 3
         with pytest.raises(NotImplementedError, match="single-component"):
             mm.decode_jpeg_gray(bytes(multi))
+        # a BASELINE scan header mislabeled as progressive (SOF2) is a
+        # malformed stream, not an unsupported feature: Se=63 in a DC
+        # scan must fail loudly (round 6 — SOF2 itself now decodes)
+        prog = bytearray(base)
+        prog[sof + 1] = 0xC2
+        with pytest.raises(ValueError, match="Se=0"):
+            mm.decode_jpeg_gray(bytes(prog))
         assert struct.unpack(">HH", base[sof + 5 : sof + 9]) == (8, 8)
 
     def test_jpeg_ingest_meta_jvm_side_and_decode_stats(self, spark, tmp_path):
