@@ -7,6 +7,17 @@ order), which perturbs the last ulp. The fix used everywhere here:
 cast the per-row double to a fixed-scale DECIMAL (exact, same rounding
 of the identical per-row IEEE value in both engines), sum the decimals
 (exact, order-independent), and cast the result back to DOUBLE.
+
+Portability envelope (measured by the round-6 extreme-numerics sweep,
+pinned in tests/test_extreme_numerics.py): the per-row double->decimal
+cast is identical between engines only while |x| * 10^scale < 2^53 —
+Spark converts via Java's shortest-decimal rendering, DuckDB by
+multiplying the double by 10^scale (a rounding double op) — i.e.
+~9e9 for scale 6. Past ~1e12 the cast overflows DECIMAL(18,6)
+outright (Spark NULLs it, ANSI off; DuckDB raises). Fixture money
+domains sit far inside. Also: never use a bare CAST(double AS BIGINT)
+in an oracle pair — Spark truncates, DuckDB rounds half-even; use the
+explicit floor(x + 0.5) convention on both sides.
 """
 
 from __future__ import annotations

@@ -827,7 +827,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_join_maintenance",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, l.l_suppkey,
-           CAST(l.l_quantity AS BIGINT) AS quantity
+           CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS quantity
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     """,
 )
@@ -845,7 +845,9 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
         "l_suppkey",
-        F.col("l_quantity").cast("long").alias("quantity"),
+        # floor(x + 0.5), not a bare cast: the Spark-truncates /
+        # DuckDB-rounds cast boundary (round-6 numerics sweep)
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("quantity"),
     )
 
     def bucket(col: str):

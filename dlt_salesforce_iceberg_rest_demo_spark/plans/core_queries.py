@@ -539,16 +539,25 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CEIL(l_extendedprice) AS DOUBLE) AS price_ceil,
            CAST(FLOOR(l_extendedprice) AS DOUBLE) AS price_floor,
            CAST(ROUND(l_discount * 100, 0) AS DOUBLE) AS disc_pct,
-           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
-           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
-           ROUND(LN(l_extendedprice + 1), 6) AS price_ln
+           CAST(FLOOR(l_quantity + 0.5) AS BIGINT) % 7 AS qty_mod7,
+           ROUND(SQRT(GREATEST(l_extendedprice, 0)), 6) AS price_sqrt,
+           ROUND(LN(GREATEST(l_extendedprice, 0) + 1), 6) AS price_ln
     FROM lineitem
     """,
 )
 def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function surface. sqrt/ln rounded to 6dp: Java Math vs C libm
-    may differ in the last ulp; rounding absorbs it deterministically."""
+    may differ in the last ulp; rounding absorbs it deterministically.
+
+    Two hardenings from the extreme-numerics sweep (round 6), both
+    no-ops on the generator's nonnegative integral-quantity data:
+    qty_mod7 goes through the explicit floor(x+0.5) convention
+    (Spark's CAST(double AS BIGINT) TRUNCATES while DuckDB's ROUNDS
+    half-even — the pinned cast boundary), and sqrt/ln take
+    GREATEST(x, 0) so negative prices yield a defined value in both
+    engines instead of Spark NaN vs a DuckDB raise."""
     li = t(spark, sf_dir, "lineitem")
+    nn_price = F.greatest(F.col("l_extendedprice"), F.lit(0.0))
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -559,9 +568,9 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # diverges between Java BigDecimal HALF_UP and C libm at .005
         # boundaries; near-integers can't sit on a boundary.
         F.round(F.col("l_discount") * 100, 0).cast("double").alias("disc_pct"),
-        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        (F.floor(F.col("l_quantity") + 0.5).cast("long") % 7).alias("qty_mod7"),
+        F.round(F.sqrt(nn_price), 6).alias("price_sqrt"),
+        F.round(F.log(nn_price + 1), 6).alias("price_ln"),
     )
 
 
@@ -1355,7 +1364,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ints AS (
       SELECT l_returnflag,
-             CAST(l_quantity AS BIGINT) AS qi,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qi,
              CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pi
       FROM lineitem),
     m AS (
@@ -1396,7 +1405,11 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely. Single-pass partial aggregation, same shape as the
     native kernels at any scale."""
     l = t(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("long")
+    # floor(x + 0.5), not a bare int cast: Spark's CAST(double AS
+    # BIGINT) truncates while DuckDB's rounds half-even — explicit on
+    # BOTH sides so non-integral quantities keep the oracle exact
+    # (round-6 extreme-numerics sweep).
+    x = F.floor(F.col("l_quantity") + 0.5)
     y = F.floor(F.col("l_extendedprice") * 100 + 0.5)
     m = l.select("l_returnflag", x.alias("qi"), y.alias("pi")).groupBy(
         "l_returnflag"

@@ -651,7 +651,11 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_product_profit",
     oracle=f"""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           {sql_dsum("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity", "sum_profit")}
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                    - 60 * CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                         * CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -671,19 +675,28 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Four dimension hops broadcast around a single lineitem->orders
     shuffle; the LIKE filter prunes part BEFORE the broadcast, so the
-    hash table only holds qualifying parts. The profit expression is
-    written with identical association order in both engines, then
-    decimal-stabilized, so parallel partial aggregation cannot
-    perturb the sum.
+    hash table only holds qualifying parts. The profit arithmetic is
+    EXACT-INTEGER ten-thousandths of a dollar — pc*(100-dp) - 60*rc*q
+    over floor(x*100 + 0.5) cents — summed without rounding and
+    divided once at the end: the per-row DOUBLE form
+    price*(1-disc) - 0.6*retail*qty cast to DECIMAL(18,6) carried the
+    pinned near-tie rounding fragility (Java shortest-repr HALF_UP vs
+    DuckDB exact-binary rounding), which the round-6 extreme-numerics
+    sweep actually tripped; on 2-dp money the two forms are equal, and
+    the integer form is portable for any input while
+    sum |pc*(100-dp)| stays under 2^53 (fixture scales: ~1e15).
     """
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.6
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    profit_tenk = cents("l_extendedprice") * (
+        100 - cents("l_discount")
+    ) - F.lit(60) * cents("p_retailprice") * F.floor(
+        F.col("l_quantity") + 0.5
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -693,7 +706,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(dsum(profit, "sum_profit"))
+        .agg((F.sum(profit_tenk).cast("double") / 10000).alias("sum_profit"))
     )
 
 
