@@ -1489,3 +1489,326 @@ class TestScd2ReferenceProperty:
                 nxt = runs[j + 1][1] if j + 1 < len(runs) else None
                 want[(k, vf)] = (a, nxt, j == len(runs) - 1, n)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 second tranche: the remaining example-based text/temporal
+# operators, each replayed against a pure-Python reference on
+# hypothesis-generated inputs.
+# ---------------------------------------------------------------------------
+
+
+class TestFingerprintProperty:
+    @SETTINGS
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.sampled_from(list("ab cé\U0001f984")),
+                min_size=0,
+                max_size=24,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_matches_python_winnowing_replay(self, spark, texts):
+        """content_md5 / h60 / winnow_min equal the python replay on
+        arbitrary strings — including empty strings, sub-k-gram
+        strings (one whole-string shingle) and multi-byte UTF-8
+        (Spark substr is CHARACTER-based; md5 hashes the UTF-8
+        bytes, exactly like python md5 over the encoded slice)."""
+        import hashlib
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        def md5(s: str) -> str:
+            return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+        def h60(s: str) -> int:
+            return int(md5(s)[1:16], 16)
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=s) for i, s in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.content_md5, r.h60, r.winnow_min)
+            for r in t_ops.fingerprint(df).collect()
+        }
+        want = {}
+        for i, s in enumerate(texts):
+            n = max(len(s) - 7, 1)
+            want[i] = (
+                md5(s),
+                h60(s),
+                min(h60(s[j : j + 8]) for j in range(n)),
+            )
+        assert got == want
+
+
+class TestGapfillProperty:
+    # half-unit values: exact under the DECIMAL(18,6) stabilization
+    # cast, so the python replay can sum them exactly as Fractions
+    obs = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),        # user
+            st.integers(min_value=0, max_value=60 * 60 * 30),  # ts offset s
+            st.integers(min_value=-40, max_value=40),     # value * 2
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda o: (o[0], o[1]),
+    )
+
+    @staticmethod
+    def _df(spark, obs):
+        return spark.createDataFrame(
+            [
+                Row(
+                    user_id=u,
+                    ts=off,
+                    value=v / 2.0,
+                    event_id=i,
+                )
+                for i, (u, off, v) in enumerate(obs)
+            ],
+            "user_id long, ts long, value double, event_id long",
+        ).select(
+            "user_id",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("ts")).alias("ts"),
+            "value",
+            "event_id",
+        )
+
+    @staticmethod
+    def _buckets(obs):
+        from collections import defaultdict
+        from fractions import Fraction
+
+        HOUR = 3600
+        by = defaultdict(lambda: [0, Fraction(0)])
+        for u, off, v in obs:
+            b = (1_700_000_000 + off) // HOUR * HOUR
+            by[(u, b)][0] += 1
+            by[(u, b)][1] += Fraction(v, 2)
+        return by
+
+    @SETTINGS
+    @given(obs=obs)
+    def test_locf_matches_python_replay(self, spark, obs):
+        """gapfill (LOCF): dense per-user hourly grid between the
+        user's first and last bucket, 0-event empty buckets, forward-
+        filled value — equal to the python replay for arbitrary
+        event sets."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import temporal
+
+        HOUR = 3600
+        got = {
+            (r.user_id, int(r.bucket_ts.timestamp())): (
+                r.n_events,
+                r.bucket_value,
+                r.filled_value,
+            )
+            for r in temporal.gapfill(self._df(spark, obs)).collect()
+        }
+        by = self._buckets(obs)
+        want = {}
+        for u in {o[0] for o in obs}:
+            bs = sorted(b for (uu, b) in by if uu == u)
+            last = None
+            for b in range(bs[0], bs[-1] + 1, HOUR):
+                if (u, b) in by:
+                    n, s = by[(u, b)]
+                    val = float(s)
+                    last = val
+                    want[(u, b)] = (n, val, last)
+                else:
+                    want[(u, b)] = (0, None, last)
+        assert got == want
+
+    @SETTINGS
+    @given(obs=obs)
+    def test_interpolate_matches_python_replay(self, spark, obs):
+        """gapfill_interpolate: linear interpolation between known
+        buckets with edge clamping — the python replay applies the
+        IDENTICAL IEEE op sequence (prev + (next-prev) * frac on
+        microsecond deltas), so equality is exact, not approximate."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import temporal
+
+        HOUR = 3600
+        got = {
+            (r.user_id, int(r.bucket_ts.timestamp())): (
+                r.bucket_value,
+                r.interp_value,
+            )
+            for r in temporal.gapfill_interpolate(
+                self._df(spark, obs)
+            ).collect()
+        }
+        by = self._buckets(obs)
+        want = {}
+        for u in {o[0] for o in obs}:
+            bs = sorted(b for (uu, b) in by if uu == u)
+            known = [(b, float(by[(u, b)][1])) for b in bs]
+            for b in range(bs[0], bs[-1] + 1, HOUR):
+                if (u, b) in by:
+                    want[(u, b)] = (float(by[(u, b)][1]),) * 2
+                    continue
+                prev = max((kb for kb, _ in known if kb < b), default=None)
+                nxt = min((kb for kb, _ in known if kb > b), default=None)
+                pv = dict(known).get(prev)
+                nv = dict(known).get(nxt)
+                if prev is None:
+                    iv = nv
+                elif nxt is None:
+                    iv = pv
+                else:
+                    frac = float((b - prev) * 1_000_000) / float(
+                        (nxt - prev) * 1_000_000
+                    )
+                    iv = pv + (nv - pv) * frac
+                want[(u, b)] = (None, iv)
+        assert got == want
+
+
+class TestMixToTargetProperty:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=60),  # doc_id
+                st.sampled_from(["en", "de", "fr", "xx"]),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda d: d[0],
+        ),
+        shares=st.fixed_dictionaries(
+            {"en": st.integers(min_value=1, max_value=900),
+             "de": st.integers(min_value=1, max_value=900)}
+        ),
+    )
+    def test_kept_set_equals_python_replay(self, spark, docs, shares):
+        """mix_to_target's kept set is EXACTLY the python replay of
+        the all-integer md5 filter: feasible total T =
+        min_g floor(n_g*1000/share_g); keep iff
+        bucket * 1000 * n_g < 1e6 * T * share_g; groups missing from
+        the recipe drop entirely. Deterministic — no distributional
+        slack needed."""
+        import hashlib
+        from collections import Counter
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, lang=g) for i, g in docs],
+            "doc_id long, lang string",
+        )
+        got = {
+            r.doc_id for r in t_ops.mix_to_target(df, shares).collect()
+        }
+        n_g = Counter(g for _, g in docs)
+        present = {g: n_g[g] for g in shares if n_g.get(g)}
+        if not present:
+            assert got == set()
+            return
+        t_cap = min(n * 1000 // shares[g] for g, n in present.items())
+        want = set()
+        for i, g in docs:
+            if g not in shares:
+                continue
+            bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+            if bucket * 1000 * n_g[g] < 1_000_000 * t_cap * shares[g]:
+                want.add(i)
+        assert got == want
+
+
+class TestChunkDocumentsProperty:
+    @SETTINGS
+    @given(
+        texts=st.lists(
+            st.text(alphabet=st.sampled_from(list("ab ")), min_size=0,
+                    max_size=40),
+            min_size=1,
+            max_size=5,
+        ),
+        window=st.integers(min_value=1, max_value=6),
+        stride=st.integers(min_value=1, max_value=6),
+    )
+    def test_matches_python_sliding_windows(self, spark, texts, window, stride):
+        """chunk_documents == the python sliding-window replay for any
+        (window, stride), including texts with empty tokens (double
+        spaces: split(' ') keeps them, concat_ws re-joins them) and
+        sub-window documents (exactly one chunk)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=s) for i, s in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+            for r in t_ops.chunk_documents(
+                df, window=window, stride=stride
+            ).collect()
+        }
+        want = {}
+        for i, s in enumerate(texts):
+            tk = s.split(" ")
+            last_start = max(len(tk) - window + 1, 1)
+            for start in range(1, last_start + 1, stride):
+                want[(i, (start - 1) // stride)] = (
+                    " ".join(tk[start - 1 : start - 1 + window]),
+                    min(window, len(tk) - start + 1),
+                )
+        assert got == want
+
+
+class TestContaminationProperty:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=9),
+            min_size=1,
+            max_size=5,
+        ),
+        bench=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=9),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+    def test_matches_python_ngram_overlap(self, spark, docs, bench):
+        """contamination == |distinct doc 3-grams ∩ benchmark 3-grams|
+        / |distinct doc 3-grams| replayed in python; docs with fewer
+        than 3 tokens produce no grams and drop from the output."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        ddf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        bdf = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(bench)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
+            for r in t_ops.contamination(ddf, bdf).collect()
+        }
+
+        def grams(ws):
+            toks = " ".join(ws).lower().split(" ")
+            if len(toks) < 3:
+                return set()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        bg = set().union(*(grams(ws) for ws in bench))
+        want = {}
+        for i, ws in enumerate(docs):
+            g = grams(ws)
+            if not g:
+                continue
+            hit = len(g & bg)
+            want[i] = (len(g), hit, hit / len(g))
+        assert got == want
