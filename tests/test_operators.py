@@ -1464,6 +1464,43 @@ class TestBinaryCodecs:
                 )
                 assert got == base, script
 
+    def test_jpeg_progressive_randomized_scan_scripts(self):
+        """Seeded stress: 25 random (dims, pixels, quant, scan script)
+        combinations — random DC successive-approximation chains,
+        random spectral band splits, random AC approximation depths —
+        every progressive encoding must decode bit-identically to the
+        baseline encoding's decode (progressive coding is lossless
+        given the coefficients; any bit error desyncs the Huffman
+        stream and fails loudly rather than approximately)."""
+        import random
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = random.Random(99)
+        for _ in range(25):
+            w = rng.choice([8, 16, 17, 24, 31])
+            h = rng.choice([8, 16, 23])
+            pix = bytes(rng.randrange(256) for _ in range(w * h))
+            al_dc = rng.randint(0, 2)
+            scans = [(0, 0, 0, al_dc)] + [
+                (0, 0, a, a - 1) for a in range(al_dc, 0, -1)
+            ]
+            cuts = sorted(rng.sample(range(2, 63), rng.randint(0, 2)))
+            lo, bands = 1, []
+            for c in cuts:
+                bands.append((lo, c))
+                lo = c + 1
+            bands.append((lo, 63))
+            al_ac = rng.randint(0, 2)
+            scans += [(a, b, 0, al_ac) for a, b in bands]
+            scans += [(1, 63, a, a - 1) for a in range(al_ac, 0, -1)]
+            q = mm.JPEG_STD_LUMA_QUANT if rng.random() < 0.5 else None
+            base = mm.decode_jpeg_gray(mm.encode_jpeg_gray(pix, w, h, quant=q))
+            got = mm.decode_jpeg_gray(
+                mm.encode_jpeg_gray_progressive(pix, w, h, quant=q, scans=scans)
+            )
+            assert got == base, (w, h, scans)
+
     def test_jpeg_progressive_ingest_and_decode_stats(self, spark, tmp_path):
         """A progressive file flows through the whole Spark path:
         binaryFile ingest parses dims JVM-side from the SOF2 header
