@@ -166,6 +166,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     total = 0.0
     for name in names:
         fns[name](spark, sf_dir).count()  # warm: codegen/JIT/footers
@@ -177,9 +178,10 @@ def main() -> None:
         _drop_leaked_blocks()
         dt = sorted(runs)[1]  # median of 3
         timings[name] = round(dt, 4)
+        mins[name] = round(min(runs), 4)
         total += dt
 
-    full_payload, compact = build_payloads(timings, total, sf)
+    full_payload, compact = build_payloads(timings, total, sf, mins)
     # Full per-query map goes to disk only: the driver's stdout capture
     # window is ~2 kB from the END of the stream, so the 73-query map
     # (~4.6 kB) got front-truncated in rounds 1 AND 2 ("parsed": null).
@@ -192,17 +194,34 @@ def main() -> None:
 
 
 def build_payloads(
-    timings: dict[str, float], total: float, sf: float
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    mins: dict[str, float] | None = None,
 ) -> tuple[str, str]:
     """Return (full_json, compact_json). The compact line must stay
     under ~1.5 kB so the driver's tail-of-stdout capture never
-    truncates it mid-JSON."""
+    truncates it mid-JSON.
+
+    ``noise_gap`` = sum over queries of (median-of-3 - min-of-3): a
+    steady-state indicator. On a quiet machine the three timed runs of
+    a query are near-identical, so the gap stays small (~1-3 s across
+    the whole set); when the bench inherits another JVM's tail (GC /
+    page-cache pressure from a just-finished test suite), run-to-run
+    variance blows up and the gap grows several-fold — a contaminated
+    run self-identifies without changing the headline metric."""
+    mins = mins or {}
+    noise_gap = round(
+        sum(v - mins.get(k, v) for k, v in timings.items()), 3
+    )
     full_payload = json.dumps(
         {
             "metric": "headline_queries_total_wall_clock",
             "value": round(total, 3),
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
+            "min_of_3": {k: round(v, 3) for k, v in mins.items()},
+            "noise_gap": noise_gap,
             "sf": sf,
         },
         separators=(",", ":"),
@@ -220,6 +239,7 @@ def build_payloads(
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "noise_gap": noise_gap,
             "queries": slowest,
             "details": "BENCH.json",
         },

@@ -104,7 +104,8 @@ def test_bench_stdout_line_fits_driver_capture():
     import bench
 
     fake = {f"query_with_a_reasonably_long_name_{i:03d}": i * 0.123 for i in range(120)}
-    full, compact = bench.build_payloads(fake, sum(fake.values()), 0.1)
+    mins = {k: v * 0.9 for k, v in fake.items()}
+    full, compact = bench.build_payloads(fake, sum(fake.values()), 0.1, mins)
     assert len(compact) < 1500, len(compact)
     parsed = json.loads(compact)
     assert parsed["metric"] == "headline_queries_total_wall_clock"
@@ -113,6 +114,33 @@ def test_bench_stdout_line_fits_driver_capture():
     assert len(parsed["queries"]) == 5  # slowest-5 preview
     # the full map still lands on disk, intact
     assert len(json.loads(full)["queries"]) == 120
+
+
+def test_bench_noise_gap_separates_cool_from_warm():
+    """noise_gap = sum(median - min) per query: a steady-state
+    indicator so a driver bench started right after a long suite
+    (JVM-tail contamination, observed rounds 3-6) self-identifies.
+    A cool run (runs nearly identical) must show a small gap; a warm
+    run (median far above min) a large one; and the field must appear
+    in BOTH payloads without breaking the 1.5 kB stdout budget."""
+    import json
+
+    import bench
+
+    timings = {f"q{i}": 1.0 for i in range(30)}
+    cool_mins = {k: 0.98 for k in timings}  # median ~ min
+    warm_mins = {k: 0.40 for k in timings}  # median ≫ min
+    full_c, compact_c = bench.build_payloads(timings, 30.0, 0.1, cool_mins)
+    full_w, compact_w = bench.build_payloads(timings, 30.0, 0.1, warm_mins)
+    gap_c = json.loads(compact_c)["noise_gap"]
+    gap_w = json.loads(compact_w)["noise_gap"]
+    assert gap_w > 10 * gap_c > 0
+    assert json.loads(full_w)["noise_gap"] == gap_w
+    assert json.loads(full_w)["min_of_3"]["q0"] == 0.40
+    # backward-compatible: mins omitted -> gap 0, payloads still valid
+    full_0, compact_0 = bench.build_payloads(timings, 30.0, 0.1)
+    assert json.loads(compact_0)["noise_gap"] == 0.0
+    assert len(compact_w) < 1500
 
 
 def test_fixture_invariants_oracles_depend_on(duck):
