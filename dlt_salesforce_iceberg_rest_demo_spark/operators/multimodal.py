@@ -1053,6 +1053,12 @@ def _jpeg_entropy_segments(
                 segments[-1].append(0xFF)
                 i += 2
                 continue
+            if nxt == 0xFF:
+                # T.81 B.1.1.2: markers may be PRECEDED by any number
+                # of 0xFF fill bytes; consume them so the caller's pos
+                # lands on the real marker, not a fill byte.
+                i += 1
+                continue
             if nxt is not None and 0xD0 <= nxt <= 0xD7:
                 segments.append(bytearray())
                 i += 2
@@ -1085,6 +1091,12 @@ def _jpeg_baseline_scan(coefs, segments, dc_table, ac_table, ri: int) -> None:
             if rs == 0xF0:  # ZRL
                 k += 16
                 continue
+            if size == 0:
+                # In a SEQUENTIAL scan only 0x00 (EOB) and 0xF0 (ZRL)
+                # have SSSS=0; any other is stream corruption — reject
+                # explicitly instead of reaching _jpeg_extend(v, 0)'s
+                # negative shift.
+                raise ValueError("invalid AC run/size symbol")
             k += run
             if k > 63:
                 raise ValueError("AC index overflow")
@@ -1222,6 +1234,9 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:
             break
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])

@@ -1663,3 +1663,143 @@ class TestBinaryCodecs:
         topdown[22:26] = struct.pack("<i", -4)  # negative height
         with pytest.raises(NotImplementedError, match="bottom-up"):
             mm.decode_bmp_gray(bytes(topdown))
+
+
+class TestJpegForeignGolden:
+    """Cross-validation against INDEPENDENT implementations (round-7
+    ADVICE): golden fixtures produced by foreign encoders (libjpeg
+    lineage — see tests/fixtures_jpeg/README.md) decoded by our codec,
+    and our encoder's files decoded by the JVM's javax.imageio (via
+    Spark's `image` data source — a decoder lineage entirely separate
+    from this repo). A mirrored spec misunderstanding between our
+    encoder and decoder survives self round-trips; it cannot survive
+    both directions of this test class. Tolerance is ±1 grey level:
+    T.81 does not pin IDCT rounding, so two correct decoders may
+    differ by one level on a few pixels (never more)."""
+
+    @staticmethod
+    def _fixture(name):
+        from pathlib import Path
+
+        return Path(__file__).parent / "fixtures_jpeg" / name
+
+    @staticmethod
+    def _imageio_gray(spark, path):
+        """Decode via the JVM's javax.imageio (Spark image source);
+        returns (width, height, np.uint8 pixels row-major)."""
+        import numpy as np
+
+        row = (
+            spark.read.format("image")
+            .load(str(path))
+            .select("image.*")
+            .collect()[0]
+        )
+        assert row.nChannels == 1, "golden fixture expected grayscale"
+        return row.width, row.height, np.frombuffer(bytes(row.data), np.uint8)
+
+    def test_foreign_progressive_grayscale_matches_imageio(self, spark):
+        """A real libjpeg-encoded progressive file (6-scan successive
+        approximation script, 300x215): our multi-scan decoder must
+        agree with javax.imageio within IDCT rounding on every pixel."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        p = self._fixture("spark_mllib_grayscale_progressive.jpg")
+        w, h, px = mm.decode_jpeg_gray(p.read_bytes())
+        jw, jh, jpx = self._imageio_gray(spark, p)
+        assert (w, h) == (jw, jh) == (300, 215)
+        diff = np.abs(
+            np.frombuffer(px, np.uint8).astype(int) - jpx.astype(int)
+        )
+        assert diff.max() <= 1
+        assert (diff == 0).mean() > 0.9  # measured 0.98 exact
+
+    def test_foreign_baseline_grayscale_exact(self):
+        """The 2x2 baseline foreign file decodes to the exact pixels
+        javax.imageio produces (verified: four 0x80 bytes)."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        p = self._fixture("ipython_2x2_baseline_gray.jpg")
+        assert mm.decode_jpeg_gray(p.read_bytes()) == (2, 2, b"\x80" * 4)
+
+    def test_our_encodings_decode_identically_in_imageio(
+        self, spark, tmp_path
+    ):
+        """The reverse direction: files from OUR encoders (baseline,
+        baseline+DRI/RSTn, progressive default script, progressive
+        custom script) must decode in javax.imageio to within ±1 of
+        our own decode — so the encoder emits streams foreign decoders
+        read, not streams only our decoder reads."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(13)
+        pix = rng.randint(0, 256, size=24 * 16, dtype=np.uint8).tobytes()
+        files = {
+            "base.jpg": mm.encode_jpeg_gray(pix, 24, 16),
+            "rst.jpg": mm.encode_jpeg_gray(pix, 24, 16, restart_interval=2),
+            "prog.jpg": mm.encode_jpeg_gray_progressive(pix, 24, 16),
+            "prog_custom.jpg": mm.encode_jpeg_gray_progressive(
+                pix, 24, 16,
+                scans=[(0, 0, 0, 0), (1, 31, 0, 1), (32, 63, 0, 1),
+                       (1, 31, 1, 0), (32, 63, 1, 0)],
+            ),
+        }
+        for name, data in files.items():
+            (tmp_path / name).write_bytes(data)
+        for name, data in files.items():
+            w, h, ours = mm.decode_jpeg_gray(data)
+            jw, jh, theirs = self._imageio_gray(spark, tmp_path / name)
+            assert (w, h) == (jw, jh) == (24, 16), name
+            diff = np.abs(
+                np.frombuffer(ours, np.uint8).astype(int)
+                - theirs.astype(int)
+            )
+            assert diff.max() <= 1, (name, diff.max())
+
+    def test_jpeg_fill_bytes_before_markers_tolerated(self):
+        """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes.
+        Round-7 ADVICE fix — fill bytes before the scan-terminating
+        marker (EOI, or the between-scans DHT of a progressive file)
+        used to leave pos on a fill byte and unpack garbage lengths."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        pix = bytes(range(64)) * 6
+        base = mm.encode_jpeg_gray(pix, 24, 16)
+        want = mm.decode_jpeg_gray(base)
+        # fill bytes before EOI (terminates the entropy segment scan)
+        assert base.endswith(b"\xff\xd9")
+        padded = base[:-2] + b"\xff" * 3 + b"\xff\xd9"
+        assert mm.decode_jpeg_gray(padded) == want
+        # fill bytes between header segments (marker-loop path)
+        assert base.startswith(b"\xff\xd8")
+        padded2 = b"\xff\xd8" + b"\xff\xff" + base[2:]
+        assert mm.decode_jpeg_gray(padded2) == want
+        # progressive: fill before the DHT that terminates scan 1 (a
+        # raw FF C4 cannot occur inside entropy data — FF is stuffed)
+        prog = mm.encode_jpeg_gray_progressive(pix, 24, 16)
+        want_p = mm.decode_jpeg_gray(prog)
+        sos1 = prog.index(b"\xff\xda")
+        dht2 = prog.index(b"\xff\xc4", sos1)
+        padded3 = prog[:dht2] + b"\xff\xff" + prog[dht2:]
+        assert mm.decode_jpeg_gray(padded3) == want_p
+
+    def test_jpeg_invalid_ac_symbol_explicit_error(self):
+        """Round-7 ADVICE fix: an AC run/size symbol with SSSS=0 and
+        RRRR not in (0, 15) is stream corruption; the sequential scan
+        must reject it explicitly, not via a negative-shift ValueError
+        inside EXTEND."""
+        import numpy as np
+        import pytest
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        coefs = np.zeros((1, 64), dtype=np.int64)
+        dc_table = {(1, 0): 0}          # one-bit code 0 -> size 0
+        ac_table = {(1, 0): 0x10}       # one-bit code 0 -> run 1, size 0
+        segments = [bytearray([0x00])]  # bits: DC '0', AC '0'
+        with pytest.raises(ValueError, match="invalid AC run/size"):
+            mm._jpeg_baseline_scan(coefs, segments, dc_table, ac_table, 0)
