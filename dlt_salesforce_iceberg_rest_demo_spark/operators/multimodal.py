@@ -498,9 +498,12 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
 # format and the first genuinely LOSSY/compressed one: DCT + scalar
 # quantization + canonical Huffman entropy coding, pure stdlib+numpy.
 # PNG covers lossless-compressed (zlib), BMP uncompressed, WAV PCM
-# audio; JPEG adds the transform-coded end of the codec spectrum.
-# Pillow-class formats (progressive/chroma JPEG, video) remain the
-# documented seam.
+# audio; JPEG adds the transform-coded end of the codec spectrum —
+# baseline AND progressive (T.81 §G.2), grayscale AND 3-component
+# YCbCr color with subsampled interleaved MCUs, cross-validated
+# against javax.imageio on foreign golden files (tests/fixtures_jpeg).
+# Library-gated seams that remain: CMYK/arithmetic JPEG, real
+# audio/video codecs.
 # ---------------------------------------------------------------------------
 
 # Standard Annex K luminance quantization table (T.81 Table K.1),
@@ -541,6 +544,40 @@ _JPEG_AC_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+# Standard Annex K chrominance tables (T.81 Tables K.2/K.4/K.6) for
+# the color encoder's second table slots: quant table 1 and Huffman
+# class/slot (0,1)/(1,1), exactly as JFIF color encoders emit them.
+JPEG_STD_CHROMA_QUANT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+_JPEG_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_CHROMA_VALS = list(range(12))
+_JPEG_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
 
 def _jpeg_zigzag() -> list[int]:
     """Row-major indices in zigzag scan order, generated (not
@@ -576,6 +613,101 @@ def _jpeg_dct_matrix():
     c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
     c[0] *= 1 / np.sqrt(2)
     return c / 2  # orthonormal DCT-II
+
+
+def _rgb_to_ycbcr(rgb):
+    """JFIF 1.02 §7 color transform, float64 on (h, w, 3) arrays;
+    returns (y, cb, cr) planes rounded+clamped to [0, 255] ints.
+    Grey inputs (R=G=B) map to (Y=R, 128, 128) EXACTLY: the luma
+    weights sum to 1 and both chroma rows to 0, so the fixtures'
+    grey-tile images survive the full color pipeline bit-for-bit."""
+    import numpy as np
+
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return tuple(
+        np.clip(np.round(p), 0, 255).astype(np.float64) for p in (y, cb, cr)
+    )
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """Inverse JFIF transform on float planes; returns interleaved
+    uint8 RGB (h, w, 3)."""
+    import numpy as np
+
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _jpeg_upsample(plane, fx: int, fy: int):
+    """Chroma upsampling with the same filter selection the libjpeg
+    decoder lineage (and so javax.imageio) applies: TRIANGULAR
+    ("fancy") interpolation for the h2v1 and h2v2 cases — 3/4·nearest
+    + 1/4·next-nearest with libjpeg's exact alternating integer
+    rounding and edge replication — and sample replication for every
+    other ratio (libjpeg jdsample.c implements fancy only for those
+    two). Integer-exact, so the decode stays deterministic."""
+    import numpy as np
+
+    p = plane.astype(np.int64)
+    if (fx, fy) == (2, 2):
+        # vertical 3:1 sums (values scaled x4), then horizontal 3:1
+        # with the +8/+7 alternating round of h2v2_fancy_upsample
+        vs = np.empty((p.shape[0] * 2, p.shape[1]), np.int64)
+        vs[0::2] = 3 * p + np.vstack([p[:1], p[:-1]])
+        vs[1::2] = 3 * p + np.vstack([p[1:], p[-1:]])
+        out = np.empty((vs.shape[0], vs.shape[1] * 2), np.int64)
+        out[:, 0::2] = (3 * vs + np.hstack([vs[:, :1], vs[:, :-1]]) + 8) >> 4
+        out[:, 1::2] = (3 * vs + np.hstack([vs[:, 1:], vs[:, -1:]]) + 7) >> 4
+        return out
+    if (fx, fy) == (2, 1):
+        out = np.empty((p.shape[0], p.shape[1] * 2), np.int64)
+        out[:, 0::2] = (3 * p + np.hstack([p[:, :1], p[:, :-1]]) + 1) >> 2
+        out[:, 1::2] = (3 * p + np.hstack([p[:, 1:], p[:, -1:]]) + 2) >> 2
+        return out
+    return np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+
+
+def _jpeg_emit_block(w, flat, prev_dc, dc_codes, ac_codes) -> int:
+    """Sequential-DCT entropy coding of ONE zigzag-ordered quantized
+    block (T.81 F.1.2): DC difference magnitude category + appended
+    bits, AC run/size symbols with ZRL for 16+ zero runs and EOB when
+    the tail is empty. Returns this block's DC (the next prediction).
+    Shared by the grayscale and color encoders — interleaving only
+    changes block ORDER and which table pair each block uses."""
+    diff = int(flat[0]) - prev_dc
+    size = abs(diff).bit_length()
+    w.put(*dc_codes[size])
+    if size:
+        w.put(
+            (diff if diff >= 0 else diff + (1 << size) - 1)
+            & ((1 << size) - 1),
+            size,
+        )
+    run = 0
+    last_nz = max((i for i in range(1, 64) if flat[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(flat[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size = abs(v).bit_length()
+        w.put(*ac_codes[(run << 4) | size])
+        w.put((v if v >= 0 else v + (1 << size) - 1) & ((1 << size) - 1), size)
+        run = 0
+    if last_nz < 63:
+        w.put(*ac_codes[0x00])  # EOB
+    return int(flat[0])
 
 
 class _BitWriter:
@@ -651,11 +783,6 @@ def encode_jpeg_gray(
 
     w = _BitWriter()
 
-    def put_magnitude(v: int) -> tuple[int, int, int]:
-        size = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        bits = v if v >= 0 else v + (1 << size) - 1
-        return size, bits, size
-
     prev_dc = 0
     mcu = 0
     for by in range(0, img.shape[0], 8):
@@ -668,28 +795,7 @@ def encode_jpeg_gray(
             coef = dct @ block @ dct.T
             qc = np.round(coef / qm).astype(np.int64)
             flat = qc.reshape(64)[zz]
-            diff = int(flat[0]) - prev_dc
-            prev_dc = int(flat[0])
-            size, bits, _ = put_magnitude(diff)
-            w.put(*dc_codes[size])
-            if size:
-                w.put(bits, size)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if flat[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(flat[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    w.put(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                size, bits, _ = put_magnitude(v)
-                w.put(*ac_codes[(run << 4) | size])
-                w.put(bits, size)
-                run = 0
-            if last_nz < 63:
-                w.put(*ac_codes[0x00])  # EOB
+            prev_dc = _jpeg_emit_block(w, flat, prev_dc, dc_codes, ac_codes)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -710,6 +816,153 @@ def encode_jpeg_gray(
             else b""
         )
         + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_color(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quant_luma: "list[int] | None" = None,
+    quant_chroma: "list[int] | None" = None,
+    subsampling: "tuple[int, int]" = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG, 3-component YCbCr color: JFIF RGB ->
+    YCbCr transform, chroma subsampling by box averaging (``
+    subsampling`` = luma's (H1, V1) sampling factors — (2, 2) is
+    4:2:0, (2, 1) 4:2:2, (1, 1) 4:4:4; chroma is always (1, 1)),
+    per-component quantization (table 0 luma / table 1 chroma;
+    defaults ALL-ONES both — the near-lossless setting, so a 4:4:4
+    round-trip error is color-transform + DCT rounding only and a
+    grey-valued input survives 4:2:0 EXACTLY since its chroma planes
+    are the constant 128), INTERLEAVED MCU scan order (T.81 A.2.3:
+    per MCU, all of component 1's H1xV1 blocks row-major, then Cb,
+    then Cr) with per-component DC prediction and the Annex K
+    luma/chroma Huffman table pairs, JFIF container (SOI APP0 DQT DQT
+    SOF0 DHTx4 [DRI] SOS ... EOI).
+
+    ``restart_interval`` > 0 emits DRI + cyclic RST0-7 every that-many
+    MCUs (byte-aligned; ALL components' DC predictions reset).
+
+    The reference pipeline has no multimodal surface at all (SURVEY
+    §2.7); this closes the encode side of the color seam so real
+    image-corpus shapes (camera JPEGs are 3-component 4:2:0) can be
+    generated, ingested and decoded end-to-end in tests and fixtures."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be exactly width*height*3 RGB bytes")
+    hs, vs = subsampling
+    if (hs, vs) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        raise ValueError("subsampling must be (1|2, 1|2)")
+    ql = list(quant_luma) if quant_luma is not None else [1] * 64
+    qc = list(quant_chroma) if quant_chroma is not None else [1] * 64
+    zz = _jpeg_zigzag()
+    dct = _jpeg_dct_matrix()
+    luma_codes = (
+        _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+        _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS),
+    )
+    chroma_codes = (
+        _jpeg_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS),
+        _jpeg_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS),
+    )
+
+    rgb = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    mcux, mcuy = -(-width // (8 * hs)), -(-height // (8 * vs))
+
+    def subsample(p):
+        """Box-average hs x vs tiles (edge-padded to tile multiples)."""
+        if (hs, vs) == (1, 1):
+            return p
+        ph, pw = -p.shape[0] % vs, -p.shape[1] % hs
+        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        return np.round(
+            p.reshape(p.shape[0] // vs, vs, p.shape[1] // hs, hs).mean(
+                axis=(1, 3)
+            )
+        )
+
+    def blockify(p, bh, bw, qtab):
+        """Pad a plane to its (bh x bw)-block grid and return the
+        zigzag-ordered quantized coefficients, row-major blocks."""
+        p = np.pad(
+            p,
+            ((0, bh * 8 - p.shape[0]), (0, bw * 8 - p.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = np.einsum("ij,njk,kl->nil", dct, blocks, dct.T)
+        qm = np.array(qtab, dtype=np.float64).reshape(8, 8)
+        qz = np.round(coef / qm).reshape(-1, 64)[:, zz].astype(np.int64)
+        return qz.reshape(bh, bw, 64)
+
+    planes = [
+        blockify(y, mcuy * vs, mcux * hs, ql),
+        blockify(subsample(cb), mcuy, mcux, qc),
+        blockify(subsample(cr), mcuy, mcux, qc),
+    ]
+    factors = [(hs, vs), (1, 1), (1, 1)]
+    codes = [luma_codes, chroma_codes, chroma_codes]
+
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart((mcu // restart_interval - 1) % 8)
+                pred = [0, 0, 0]
+            mcu += 1
+            for ci, (grid, (fh, fv)) in enumerate(zip(planes, factors)):
+                for dv in range(fv):
+                    for dh in range(fh):
+                        pred[ci] = _jpeg_emit_block(
+                            w,
+                            grid[my * fv + dv, mx * fh + dh],
+                            pred[ci],
+                            *codes[ci],
+                        )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + bytes(ql[i] for i in zz))
+        + seg(0xFFDB, b"\x01" + bytes(qc[i] for i in zz))
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(
+            0xFFC4,
+            bytes([0x01]) + bytes(_JPEG_DC_CHROMA_BITS) + bytes(_JPEG_DC_CHROMA_VALS),
+        )
+        + seg(
+            0xFFC4,
+            bytes([0x11]) + bytes(_JPEG_AC_CHROMA_BITS) + bytes(_JPEG_AC_CHROMA_VALS),
+        )
+        + (
+            seg(0xFFDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         + w.flush()
         + b"\xff\xd9"
     )
@@ -1069,39 +1322,54 @@ def _jpeg_entropy_segments(
     return segments, i
 
 
-def _jpeg_baseline_scan(coefs, segments, dc_table, ac_table, ri: int) -> None:
-    """Sequential-DCT scan: DC diff + AC runs per block into the
-    (zigzag-ordered) coefficient buffer."""
+def _jpeg_sequential_scan_mc(units, segments, ri: int) -> None:
+    """Sequential-DCT scan over decode UNITS — the layout-agnostic
+    core: a unit is one MCU's block list in interleaved scans, or a
+    single block in non-interleaved (Ns=1) scans, each entry a
+    ``(coef_row, comp)`` pair carrying that block's component (its
+    DC/AC tables and its own DC prediction chain, T.81 F.2.2.1).
+    ``ri`` restarts count UNITS (MCUs interleaved, blocks otherwise,
+    §F.2.1.3.1) and reset every component's prediction."""
     rd = _JpegBitReader(segments)
-    prev_dc = 0
-    for blk in range(len(coefs)):
-        if ri and blk and blk % ri == 0:
+    pred: "dict[int, int]" = {}
+    for ui, unit in enumerate(units):
+        if ri and ui and ui % ri == 0:
             rd.next_segment()
-            prev_dc = 0
-        c = coefs[blk]
-        size = rd.symbol(dc_table)
-        prev_dc += _jpeg_extend(rd.bits(size), size) if size else 0
-        c[0] = prev_dc
-        k = 1
-        while k < 64:
-            rs = rd.symbol(ac_table)
-            run, size = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            if size == 0:
-                # In a SEQUENTIAL scan only 0x00 (EOB) and 0xF0 (ZRL)
-                # have SSSS=0; any other is stream corruption — reject
-                # explicitly instead of reaching _jpeg_extend(v, 0)'s
-                # negative shift.
-                raise ValueError("invalid AC run/size symbol")
-            k += run
-            if k > 63:
-                raise ValueError("AC index overflow")
-            c[k] = _jpeg_extend(rd.bits(size), size)
-            k += 1
+            pred = {}
+        for c, comp in unit:
+            size = rd.symbol(comp["dc"])
+            diff = _jpeg_extend(rd.bits(size), size) if size else 0
+            pred[comp["cid"]] = dc = pred.get(comp["cid"], 0) + diff
+            c[0] = dc
+            k = 1
+            while k < 64:
+                rs = rd.symbol(comp["ac"])
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                if size == 0:
+                    # In a SEQUENTIAL scan only 0x00 (EOB) and 0xF0
+                    # (ZRL) have SSSS=0; any other is stream
+                    # corruption — reject explicitly instead of
+                    # reaching _jpeg_extend(v, 0)'s negative shift.
+                    raise ValueError("invalid AC run/size symbol")
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                c[k] = _jpeg_extend(rd.bits(size), size)
+                k += 1
+
+
+def _jpeg_baseline_scan(coefs, segments, dc_table, ac_table, ri: int) -> None:
+    """Single-component sequential scan (the grayscale path): each
+    block is its own unit, one table pair, one prediction chain."""
+    comp = {"cid": 0, "dc": dc_table, "ac": ac_table}
+    _jpeg_sequential_scan_mc(
+        ([(coefs[i], comp)] for i in range(len(coefs))), segments, ri
+    )
 
 
 def _jpeg_refine_ac(c, rd, ss, se, al, eobrun, ac_table) -> int:
@@ -1150,33 +1418,41 @@ def _jpeg_refine_ac(c, rd, ss, se, al, eobrun, ac_table) -> int:
     return eobrun
 
 
-def _jpeg_progressive_scan(
-    coefs, segments, table, ss, se, ah, al, ri: int
+def _jpeg_progressive_scan_mc(
+    units, segments, ss, se, ah, al, ri: int
 ) -> None:
-    """One progressive scan (T.81 §G.2) over the coefficient buffer:
-    DC first / DC refine / AC first (with EOB runs) / AC refine.
-    ``table`` is the DC table for first DC scans, the AC table for AC
-    scans, unused for DC refinement."""
+    """One progressive scan (T.81 §G.2) over decode units:
+    DC first / DC refine (which MAY be interleaved multi-component,
+    each component on its own prediction chain) / AC first (with EOB
+    runs) / AC refine. AC scans are single-component by construction
+    (§G.1.1.1.1 — Ns=1 when spectral selection excludes DC), so their
+    units carry exactly one block."""
     rd = _JpegBitReader(segments)
-    pred = 0
+    pred: "dict[int, int]" = {}
     eobrun = 0
-    for blk in range(len(coefs)):
-        if ri and blk and blk % ri == 0:
+    for ui, unit in enumerate(units):
+        if ri and ui and ui % ri == 0:
             rd.next_segment()
-            pred = 0
+            pred = {}
             eobrun = 0
-        c = coefs[blk]
         if ss == 0:
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
-            if ah == 0:  # DC first: diff-coded, point-transformed
-                size = rd.symbol(table)
-                pred += _jpeg_extend(rd.bits(size), size) if size else 0
-                c[0] = pred << al
-            else:  # DC refine: one bit per block (two's complement |=)
-                if rd.bit():
-                    c[0] |= 1 << al
-        elif ah == 0:  # AC first
+            for c, comp in unit:
+                if ah == 0:  # DC first: diff-coded, point-transformed
+                    size = rd.symbol(comp["dc"])
+                    diff = _jpeg_extend(rd.bits(size), size) if size else 0
+                    pred[comp["cid"]] = dc = pred.get(comp["cid"], 0) + diff
+                    c[0] = dc << al
+                else:  # DC refine: one bit per block (two's compl |=)
+                    if rd.bit():
+                        c[0] |= 1 << al
+            continue
+        if len(unit) != 1:
+            raise ValueError("progressive AC scans must be Ns=1")
+        c, comp = unit[0]
+        table = comp["ac"]
+        if ah == 0:  # AC first
             if eobrun:
                 eobrun -= 1
                 continue
@@ -1201,21 +1477,44 @@ def _jpeg_progressive_scan(
             eobrun = _jpeg_refine_ac(c, rd, ss, se, al, eobrun, table)
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Real JPEG decode (grayscale): segment walk, DQT/DHT table builds
-    from the stream itself, entropy decode with byte-unstuffing into a
-    coefficient buffer, dequantize, un-zigzag, orthonormal IDCT, level
-    shift, clamp, pad crop. Returns (width, height, pixel bytes) —
-    same contract as the PNG/BMP twins.
+def _jpeg_progressive_scan(
+    coefs, segments, table, ss, se, ah, al, ri: int
+) -> None:
+    """Single-component progressive scan (the grayscale path).
+    ``table`` is the DC table for first DC scans, the AC table for AC
+    scans, unused for DC refinement."""
+    comp = {"cid": 0, "dc": table, "ac": table}
+    _jpeg_progressive_scan_mc(
+        ([(coefs[i], comp)] for i in range(len(coefs))),
+        segments, ss, se, ah, al, ri,
+    )
 
-    Decodes BOTH process families for single-component images:
-    baseline sequential (SOF0) and PROGRESSIVE (SOF2) with spectral
-    selection + successive approximation — multi-scan coefficient
-    accumulation, EOB runs, AC refinement correction bits (T.81 §G.2).
-    Both DQT precisions decode (8-bit and the 16-bit Pq=1 tables
-    foreign encoders emit), and DRI/RSTn restart intervals decode in
-    every scan type. Lossless-sequential/arithmetic SOFs and
-    multi-component images raise NotImplementedError."""
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Real JPEG decode, 1- or 3-component: segment walk, DQT/DHT
+    table builds from the stream itself, entropy decode with
+    byte-unstuffing into per-component coefficient buffers,
+    dequantize, un-zigzag, orthonormal IDCT, chroma upsample, YCbCr ->
+    RGB (JFIF 1.02), level shift, clamp, pad crop. Returns
+    (width, height, channels, pixel bytes) — channels is 1 (grayscale
+    bytes) or 3 (interleaved RGB).
+
+    Decodes BOTH process families: baseline sequential (SOF0) and
+    PROGRESSIVE (SOF2) with spectral selection + successive
+    approximation (T.81 §G.2); INTERLEAVED multi-component MCU scans
+    (sampling factors where Hmax/Vmax divide evenly — 4:4:4, 4:2:2,
+    4:2:0, 4:1:1) and NON-interleaved Ns=1 scans (progressive AC
+    scans, and the per-component sequential/DC scans foreign encoders
+    emit); both DQT precisions (8-bit and the 16-bit Pq=1 tables);
+    DRI/RSTn restart intervals in every scan type (counting MCUs in
+    interleaved scans, blocks in non-interleaved, §F.2.1.3.1).
+    Chroma upsampling follows the libjpeg decoder lineage exactly
+    (triangular for 2x factors, replication otherwise — see
+    :func:`_jpeg_upsample`), cross-validated against javax.imageio on
+    the tests/fixtures_jpeg goldens. Lossless-sequential/arithmetic
+    SOFs,
+    CMYK (4-component), and non-dividing sampling factors raise
+    NotImplementedError."""
     import struct
 
     import numpy as np
@@ -1226,10 +1525,13 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     quant: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = 0
+    comps: "list[dict]" = []
+    by_cid: "dict[int, dict]" = {}
+    hmax = vmax = 1
+    mcux = mcuy = 0
     restart_interval = 0
     progressive = False
-    coefs = None
+    seen_scan = False
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -1263,11 +1565,39 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         elif marker in (0xC0, 0xC2):
             progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise NotImplementedError("only 8-bit single-component")
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampling unsupported")
-            comp_q = body[8]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "only grayscale (1) or YCbCr (3) components"
+                )
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF")
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                h, v = body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError("invalid sampling factor")
+                comps.append(
+                    {"cid": cid, "h": h, "v": v, "tq": body[8 + 3 * i]}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                raise NotImplementedError(
+                    "sampling factors must divide Hmax/Vmax"
+                )
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for c in comps:
+                # padded INTERLEAVED grid (encoders emit dummy blocks
+                # out to the MCU boundary) vs the smaller block count
+                # NON-interleaved scans actually code (T.81 A.2.2/A.2.3)
+                c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+                c["nb_w"] = -(-(-(-width * c["h"] // hmax)) // 8)
+                c["nb_h"] = -(-(-(-height * c["v"] // vmax)) // 8)
+                c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+                by_cid[c["cid"]] = c
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -1283,49 +1613,93 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:
             if width is None:
                 raise ValueError("SOS before SOF")
-            if body[0] != 1:
-                raise NotImplementedError("single-component scans only")
-            dc_t, ac_t = body[2] >> 4, body[2] & 0xF
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 0xF
-            if coefs is None:
-                bw, bh = (width + 7) // 8, (height + 7) // 8
-                coefs = np.zeros((bh * bw, 64), dtype=np.int64)
+            ns = body[0]
+            scomps = []
+            for i in range(ns):
+                c = by_cid.get(body[1 + 2 * i])
+                if c is None:
+                    raise ValueError("scan references unknown component")
+                c["dc"] = huff.get((0, body[2 + 2 * i] >> 4))
+                c["ac"] = huff.get((1, body[2 + 2 * i] & 0xF))
+                scomps.append(c)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            seen_scan = True
+            if ns == 1:
+                c = scomps[0]
+                units = (
+                    [(c["coef"][byi, bxi], c)]
+                    for byi in range(c["nb_h"])
+                    for bxi in range(c["nb_w"])
+                )
+            else:
+                units = (
+                    [
+                        (c["coef"][my * c["v"] + dv, mx * c["h"] + dh], c)
+                        for c in scomps
+                        for dv in range(c["v"])
+                        for dh in range(c["h"])
+                    ]
+                    for my in range(mcuy)
+                    for mx in range(mcux)
+                )
             segments, pos = _jpeg_entropy_segments(data, pos + 2 + ln)
             if progressive:
-                table = (
-                    huff[(0, dc_t)]
-                    if ss == 0 and ah == 0
-                    else (huff[(1, ac_t)] if ss > 0 else None)
-                )
-                _jpeg_progressive_scan(
-                    coefs, segments, table, ss, se, ah, al, restart_interval
+                _jpeg_progressive_scan_mc(
+                    units, segments, ss, se, ah, al, restart_interval
                 )
             else:
                 if ss != 0 or se != 63 or ah or al:
                     raise ValueError("invalid baseline scan header")
-                _jpeg_baseline_scan(
-                    coefs, segments, huff[(0, dc_t)], huff[(1, ac_t)],
-                    restart_interval,
-                )
+                _jpeg_sequential_scan_mc(units, segments, restart_interval)
             continue  # pos already advanced to the terminating marker
         pos += 2 + ln
-    if coefs is None or width is None:
+    if not seen_scan or width is None:
         raise ValueError("truncated JPEG")
 
     zz = _jpeg_zigzag()
-    qm = np.array(quant[comp_q], dtype=np.float64)
     dct = _jpeg_dct_matrix()
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    for blk in range(bh * bw):
-        byi, bxi = divmod(blk, bw)
-        block = np.zeros(64, dtype=np.float64)
-        block[zz] = coefs[blk] * qm  # both are zigzag-ordered
-        pix = dct.T @ block.reshape(8, 8) @ dct + 128.0
-        out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
-    clipped = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
-    return width, height, clipped.tobytes()
+    planes = []
+    for c in comps:
+        qm = np.array(quant[c["tq"]], dtype=np.float64)
+        used = c["coef"][: c["nb_h"], : c["nb_w"]].reshape(-1, 64)
+        blocks = np.zeros((used.shape[0], 64), dtype=np.float64)
+        blocks[:, zz] = used * qm  # both zigzag-ordered
+        pix = (
+            np.einsum(
+                "ij,njk,kl->nil", dct.T, blocks.reshape(-1, 8, 8), dct
+            )
+            + 128.0
+        )
+        plane = (
+            pix.reshape(c["nb_h"], c["nb_w"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["nb_h"] * 8, c["nb_w"] * 8)
+        )
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        plane = np.clip(np.round(plane[:ch, :cw]), 0, 255)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = _jpeg_upsample(plane, hmax // c["h"], vmax // c["v"])
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return width, height, 1, planes[0].astype(np.uint8).tobytes()
+    rgb = _ycbcr_to_rgb(*planes)
+    return width, height, 3, rgb.tobytes()
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Grayscale-contract wrapper over :func:`decode_jpeg` — returns
+    (width, height, pixel bytes), the PNG/BMP twins' shape. A
+    3-component stream is a CALLER error here (the generic stats path
+    uses decode_jpeg directly), so it raises ValueError rather than
+    silently dropping chroma."""
+    width, height, channels, pixels = decode_jpeg(data)
+    if channels != 1:
+        raise ValueError(
+            "not a grayscale JPEG (use decode_jpeg for color streams)"
+        )
+    return width, height, pixels
 
 
 def encode_wav_pcm8(samples: bytes, rate: int = 8000) -> bytes:
@@ -1362,12 +1736,14 @@ def write_binary_fixtures(
     text_col: str = "text",
     modulus: int = 20,
 ) -> int:
-    """Materialize REAL binary files (PNG + BMP + JPEG + WAV) derived
-    from the text corpus: every ``modulus``-th doc yields
+    """Materialize REAL binary files (PNG + BMP + JPEG gray/color +
+    WAV) derived from the text corpus: every ``modulus``-th doc yields
     doc_{id}.{png,bmp,jpg} (its first 256 utf-8 bytes as a 16x16
     grayscale image, zero-padded — identical pixels through three
-    codecs: zlib-lossless, uncompressed, DCT-lossy) and doc_{id}.wav
-    (its first 64 bytes as 8-bit PCM samples).
+    codecs: zlib-lossless, uncompressed, DCT-lossy), doc_{id}.jfif (a
+    3-component 4:2:0 color JPEG of grey 8x8 tiles from the first 4
+    text bytes — exact through the lossy pipeline by construction)
+    and doc_{id}.wav (its first 64 bytes as 8-bit PCM samples).
 
     Fixture-generation utility, driver-side by design: the subset is
     capped (|docs|/modulus files) and collected once. Production
@@ -1397,7 +1773,7 @@ def write_binary_fixtures(
     # would surface downstream as an opaque oracle hash mismatch. The
     # format-set prefix versions the marker, so dirs written before a
     # codec was added regenerate instead of silently missing files.
-    digest = "png+wav+bmp+jpg:" + hashlib.md5(
+    digest = "png+wav+bmp+jpg+jfif:" + hashlib.md5(
         "\x1f".join(
             f"{r[id_col]}\x1e{r[text_col]}"
             for r in sorted(rows, key=lambda r: r[id_col])
@@ -1421,6 +1797,23 @@ def write_binary_fixtures(
         # .jpg stays OUT of ingest_binary_dir's default glob and the
         # pixel-sum oracles; the JPEG twin query verifies it.
         (out / f"doc_{r[id_col]}.jpg").write_bytes(encode_jpeg_gray(pix, 16, 16))
+        # Color twin (.jfif so the gray queries' *.jpg globs never see
+        # it): a REAL 3-component 4:2:0 interleaved JPEG whose pixels
+        # are four 8x8 GREY tiles valued by the first 4 text bytes —
+        # grey + block-constant means the full color pipeline (RGB ->
+        # YCbCr, chroma subsample, MCU interleave, two table pairs) is
+        # EXACT, so the decoded value sum stays text-replayable by the
+        # DuckDB oracle despite JPEG being a lossy format.
+        tb = raw[:4].ljust(4, b"\x00")
+        gray16 = b"".join(
+            bytes([tb[ty * 2]]) * 8 + bytes([tb[ty * 2 + 1]]) * 8
+            for ty in range(2)
+            for _ in range(8)
+        )
+        rgb16 = b"".join(bytes([p, p, p]) for p in gray16)
+        (out / f"doc_{r[id_col]}.jfif").write_bytes(
+            encode_jpeg_color(rgb16, 16, 16, subsampling=(2, 2))
+        )
         (out / f"doc_{r[id_col]}.wav").write_bytes(
             encode_wav_pcm8(raw[:WAV_SAMPLE_CAP], rate=8000)
         )
@@ -1591,9 +1984,9 @@ def decode_binary_stats(mm: DataFrame) -> DataFrame:
                     n_values.append(w * h)
                     val_sum.append(int(sum(pix)))
                 elif b[:2] == b"\xff\xd8":
-                    w, h, pix = decode_jpeg_gray(b)
+                    w, h, nch, pix = decode_jpeg(b)
                     modality.append("image")
-                    n_values.append(w * h)
+                    n_values.append(w * h * nch)
                     val_sum.append(int(sum(pix)))
                 else:
                     _, samples = decode_wav_pcm8(b)

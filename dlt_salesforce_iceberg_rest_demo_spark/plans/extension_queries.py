@@ -912,6 +912,78 @@ def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CJPEG_ORACLE = """
+-- Every 20th doc gets a REAL 3-component 4:2:0 color JPEG
+-- (doc_{id}.jfif) whose pixels are four 8x8 GREY tiles valued by the
+-- doc's first 4 text bytes. Grey block-constant content is EXACT
+-- through the lossy color pipeline (RGB->YCbCr maps grey to
+-- (Y=g, 128, 128); constant blocks quantize losslessly at the
+-- all-ones tables; constant chroma survives 4:2:0 box-downsampling
+-- and triangular upsampling bit-for-bit), so unlike the grayscale
+-- JPEG twin the decoded VALUE SUM is text-replayable here:
+-- val_sum = 3 channels * 64 pixels/tile * sum(first 4 byte values)
+-- (documents.text is pure ASCII — a pinned fixture invariant — so
+-- ord(char) == byte). Dims come from the JVM segment-chain walk over
+-- a COLOR SOF0; n_values = 16*16*3 from the Python-side decode.
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(768 AS BIGINT) AS n_values,
+       CAST(192 * (
+         CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END +
+         CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END +
+         CASE WHEN length(text) >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END +
+         CASE WHEN length(text) >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END
+       ) AS BIGINT) AS val_sum
+FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL
+"""
+
+
+@register("multimodal_color_jpeg_ingest", oracle=_CJPEG_ORACLE)
+def multimodal_color_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR-codec ingestion twin (round 7): real 3-component YCbCr
+    4:2:0 JPEGs (pure-python encoder `multimodal.encode_jpeg_color` —
+    interleaved MCU scan order, per-component quant/Huffman table
+    pairs, JFIF color transform, box-averaged chroma subsampling)
+    written from every 20th doc, read back via binaryFile with a
+    ``*.jfif`` glob, dims parsed JVM-SIDE by the segment-chain walk
+    (which reads ANY SOF — here a 3-component SOF0), and the payload
+    decoded through the full color path (per-component entropy decode
+    -> dequant -> IDCT -> triangular chroma upsample -> YCbCr->RGB) in
+    the Arrow-batched stats pass. The fixtures are grey 8x8 tiles, so
+    the lossy pipeline is exact by construction and the oracle replays
+    width/height/n_values AND the decoded value sum from the source
+    text — a stronger contract than the grayscale JPEG twin's
+    (dims+count only). Codec fidelity on REAL color content is pinned
+    against javax.imageio in tests/fixtures_jpeg (foreign golden
+    files, both directions). Reference has no multimodal surface
+    (SURVEY §2.7); north-star scope."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    docs = t(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = str(Path(tempfile.gettempdir()) / f"spark_graft_binfix_{key}")
+    multimodal.write_binary_fixtures(docs, out_dir)
+    mm = multimodal.ingest_binary_dir(spark, out_dir, glob="*.jfif")
+    stats = multimodal.decode_binary_stats(mm).select(
+        "file_name", "n_values", "val_sum"
+    )
+    return (
+        mm.select(
+            "file_name",
+            F.regexp_extract("file_name", r"doc_(\d+)\.jfif", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .join(stats, "file_name")
+        .select("doc_id", "width", "height", "n_values", "val_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal.
 # ---------------------------------------------------------------------------

@@ -1272,9 +1272,10 @@ class TestBinaryCodecs:
         n2 = mm.write_binary_fixtures(docs, str(tmp_path / "fx"))
         assert n1 == n2 == 2
         names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
-        assert names == ["doc_0.bmp", "doc_0.jpg", "doc_0.png", "doc_0.wav",
-                         "doc_20.bmp", "doc_20.jpg", "doc_20.png",
-                         "doc_20.wav"]
+        assert names == ["doc_0.bmp", "doc_0.jfif", "doc_0.jpg",
+                         "doc_0.png", "doc_0.wav",
+                         "doc_20.bmp", "doc_20.jfif", "doc_20.jpg",
+                         "doc_20.png", "doc_20.wav"]
 
     def test_fixture_writer_regenerates_on_content_change(self, spark, tmp_path):
         """Equal doc COUNT with changed text must regenerate: the
@@ -1312,7 +1313,8 @@ class TestBinaryCodecs:
             spark.createDataFrame([Row(doc_id=0, text="keep")]), out
         )
         names = sorted(p.name for p in (tmp_path / "fx").glob("doc_*"))
-        assert names == ["doc_0.bmp", "doc_0.jpg", "doc_0.png", "doc_0.wav"]
+        assert names == ["doc_0.bmp", "doc_0.jfif", "doc_0.jpg",
+                         "doc_0.png", "doc_0.wav"]
 
     def test_jpeg_near_lossless_roundtrip_all_ones_quant(self):
         """At the all-ones quant table the only loss is DCT float
@@ -1534,10 +1536,17 @@ class TestBinaryCodecs:
         ext[sof + 1] = 0xC1  # SOF0 -> SOF1 (extended sequential)
         with pytest.raises(NotImplementedError, match="SOF0"):
             mm.decode_jpeg_gray(bytes(ext))
+        # round-7: 3-component YCbCr now DECODES, so claiming ncomp=3
+        # in a frame header that only carries one component spec is a
+        # MALFORMED stream (short SOF), not an unsupported feature
         multi = bytearray(base)
-        multi[sof + 9] = 3  # ncomp 1 -> 3
-        with pytest.raises(NotImplementedError, match="single-component"):
+        multi[sof + 9] = 3  # ncomp 1 -> 3, but SOF body stays 9 bytes
+        with pytest.raises(ValueError, match="truncated SOF"):
             mm.decode_jpeg_gray(bytes(multi))
+        cmyk = bytearray(base)
+        cmyk[sof + 9] = 4  # 4-component (CMYK/Adobe) stays a seam
+        with pytest.raises(NotImplementedError, match="grayscale"):
+            mm.decode_jpeg_gray(bytes(cmyk))
         # a BASELINE scan header mislabeled as progressive (SOF2) is a
         # malformed stream, not an unsupported feature: Se=63 in a DC
         # scan must fail loudly (round 6 — SOF2 itself now decodes)
@@ -1803,3 +1812,223 @@ class TestJpegForeignGolden:
         segments = [bytearray([0x00])]  # bits: DC '0', AC '0'
         with pytest.raises(ValueError, match="invalid AC run/size"):
             mm._jpeg_baseline_scan(coefs, segments, dc_table, ac_table, 0)
+
+
+class TestJpegColor:
+    """Round-7: 3-component YCbCr color JPEG — the last codec seam
+    implementable without image libraries (reference has no multimodal
+    surface at all; north-star scope). Encoder: JFIF color transform,
+    box-averaged chroma subsampling, interleaved MCU scan order,
+    per-component quant/Huffman table pairs (Annex K luma + chroma).
+    Decoder: the generalized multi-component path — per-component
+    coefficient grids with dummy blocks at MCU boundaries,
+    interleaved AND non-interleaved scans, libjpeg-exact triangular
+    chroma upsampling. Foreign-file fidelity is cross-validated
+    against javax.imageio in TestJpegForeignGolden/here."""
+
+    def test_grey_block_constant_exact_through_all_subsamplings(self):
+        """Grey 8x8-tile images survive the FULL lossy color pipeline
+        exactly: grey maps to (Y, 128, 128), constant blocks quantize
+        losslessly at ones-quant, constant chroma survives
+        subsample+upsample bit-for-bit. This exactness is what makes
+        the color fixture oracle text-replayable."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(3)
+        for W, H in [(16, 16), (17, 13), (33, 23)]:
+            tiles = np.kron(
+                rng.randint(0, 256, size=(-(-H // 8), -(-W // 8)), dtype=np.uint8),
+                np.ones((8, 8), np.uint8),
+            )[:H, :W]
+            rgbt = np.stack([tiles] * 3, -1)
+            for sub in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+                data = mm.encode_jpeg_color(
+                    rgbt.tobytes(), W, H, subsampling=sub
+                )
+                w, h, c, px = mm.decode_jpeg(data)
+                assert (w, h, c) == (W, H, 3)
+                out = np.frombuffer(px, np.uint8).reshape(H, W, 3)
+                assert (out == rgbt).all(), (W, H, sub)
+
+    def test_arbitrary_color_bounded_error_at_ones_quant(self):
+        """Worst-case random color content at the all-ones tables:
+        4:4:4 error is color-transform + DCT rounding only (<= 3 per
+        channel); decode is deterministic."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(7)
+        rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        data = mm.encode_jpeg_color(rgb.tobytes(), 16, 16, subsampling=(1, 1))
+        w, h, c, px = mm.decode_jpeg(data)
+        out = np.frombuffer(px, np.uint8).reshape(16, 16, 3)
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+        assert mm.decode_jpeg(data)[3] == px
+
+    def test_restart_intervals_round_trip_and_emit_rst(self):
+        """DRI/RSTn in the interleaved color scan: restarts reset ALL
+        components' DC predictions; the decode equals the plain
+        encoding's decode and real RSTn markers appear whenever there
+        is more than one restart segment."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(5)
+        rgb = rng.randint(0, 256, size=(23, 34, 3), dtype=np.uint8)
+        for sub in [(2, 2), (2, 1), (1, 1)]:
+            base = mm.decode_jpeg(
+                mm.encode_jpeg_color(rgb.tobytes(), 34, 23, subsampling=sub)
+            )
+            n_mcu = (-(-34 // (8 * sub[0]))) * (-(-23 // (8 * sub[1])))
+            for ri in (1, 2, 5):
+                data = mm.encode_jpeg_color(
+                    rgb.tobytes(), 34, 23, subsampling=sub,
+                    restart_interval=ri,
+                )
+                assert mm.decode_jpeg(data) == base, (sub, ri)
+                if n_mcu > ri:
+                    assert any(
+                        bytes([0xFF, 0xD0 + i]) in data for i in range(8)
+                    ), (sub, ri)
+
+    def test_standard_tables_lossy_deterministic_and_smaller(self):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rgb = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8).tobytes()
+        kw = dict(
+            quant_luma=mm.JPEG_STD_LUMA_QUANT,
+            quant_chroma=mm.JPEG_STD_CHROMA_QUANT,
+        )
+        d1 = mm.encode_jpeg_color(rgb, 24, 24, **kw)
+        assert d1 == mm.encode_jpeg_color(rgb, 24, 24, **kw)
+        assert len(d1) < len(mm.encode_jpeg_color(rgb, 24, 24))
+        w, h, c, px = mm.decode_jpeg(d1)
+        assert (w, h, c) == (24, 24, 3)
+
+    def test_foreign_color_goldens_match_imageio(self, spark):
+        """Real libjpeg-lineage COLOR files — baseline 4:2:0
+        interleaved (16x16 logo, 199x313 photo) and progressive 4:4:4
+        with NON-interleaved scans (493x58) — decode within ±3 of
+        javax.imageio (>=95% of samples exact): interleave order,
+        per-component tables, dummy blocks, progressive color scans
+        and the triangular upsampler all validated against an
+        independent decoder lineage."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        fixdir = TestJpegForeignGolden._fixture("")
+        for name in [
+            "cpython_logo_baseline_color420.jpg",
+            "spark_mllib_kitten_baseline_color420.jpg",
+            "nodejs_stripe_progressive_color444.jpg",
+        ]:
+            p = fixdir / name
+            row = (
+                spark.read.format("image")
+                .load(str(p))
+                .select("image.*")
+                .collect()[0]
+            )
+            assert row.nChannels == 3, name
+            theirs = (
+                np.frombuffer(bytes(row.data), np.uint8)
+                .reshape(row.height, row.width, 3)[..., ::-1]  # BGR->RGB
+                .astype(int)
+            )
+            w, h, c, px = mm.decode_jpeg(p.read_bytes())
+            assert (w, h, c) == (row.width, row.height, 3), name
+            ours = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+            diff = np.abs(ours - theirs)
+            assert diff.max() <= 3, (name, diff.max())
+            assert (diff == 0).mean() > 0.95, name
+
+    def test_our_color_encodings_decode_in_imageio(self, spark, tmp_path):
+        """Reverse direction: our color encoder's streams (4:4:4,
+        4:2:0, 4:2:2+DRI, standard tables) decode in javax.imageio to
+        within ±2 of our own decode."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(13)
+        rgb = rng.randint(0, 256, size=(23, 34, 3), dtype=np.uint8)
+        files = {
+            "c444.jpg": mm.encode_jpeg_color(
+                rgb.tobytes(), 34, 23, subsampling=(1, 1)
+            ),
+            "c420.jpg": mm.encode_jpeg_color(
+                rgb.tobytes(), 34, 23, subsampling=(2, 2)
+            ),
+            "c422rst.jpg": mm.encode_jpeg_color(
+                rgb.tobytes(), 34, 23, subsampling=(2, 1),
+                restart_interval=2,
+            ),
+            "c420std.jpg": mm.encode_jpeg_color(
+                rgb.tobytes(), 34, 23,
+                quant_luma=mm.JPEG_STD_LUMA_QUANT,
+                quant_chroma=mm.JPEG_STD_CHROMA_QUANT,
+            ),
+        }
+        for n, d in files.items():
+            (tmp_path / n).write_bytes(d)
+        for n, d in files.items():
+            w, h, c, px = mm.decode_jpeg(d)
+            ours = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+            row = (
+                spark.read.format("image")
+                .load(str(tmp_path / n))
+                .select("image.*")
+                .collect()[0]
+            )
+            assert (row.width, row.height, row.nChannels) == (w, h, 3), n
+            theirs = (
+                np.frombuffer(bytes(row.data), np.uint8)
+                .reshape(h, w, 3)[..., ::-1]
+                .astype(int)
+            )
+            assert np.abs(ours - theirs).max() <= 2, n
+
+    def test_color_ingest_dims_jvm_side_and_decode_stats(
+        self, spark, tmp_path
+    ):
+        """A color JPEG flows through the whole Spark path: the
+        segment-chain walk reads the 3-component SOF0 dims JVM-side,
+        and decode stats route through the color decoder
+        (n_values = w*h*3; grey tiles make val_sum exact)."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        tiles = np.kron(
+            np.array([[10, 20], [30, 40]], dtype=np.uint8),
+            np.ones((8, 8), np.uint8),
+        )
+        rgb = np.stack([tiles] * 3, -1)
+        (tmp_path / "c.jfif").write_bytes(
+            mm.encode_jpeg_color(rgb.tobytes(), 16, 16)
+        )
+        df = mm.ingest_binary_dir(spark, str(tmp_path), glob="*.jfif")
+        row = df.collect()[0]
+        assert row.meta.format == "jpeg"
+        assert (row.meta.width, row.meta.height) == (16, 16)
+        stats = mm.decode_binary_stats(df).collect()[0]
+        assert (stats.modality, stats.n_values) == ("image", 768)
+        assert stats.val_sum == 3 * 64 * (10 + 20 + 30 + 40)
+
+    def test_decode_jpeg_gray_rejects_color(self):
+        import numpy as np
+        import pytest
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rgb = np.zeros((8, 8, 3), np.uint8).tobytes()
+        data = mm.encode_jpeg_color(rgb, 8, 8)
+        with pytest.raises(ValueError, match="not a grayscale"):
+            mm.decode_jpeg_gray(data)
