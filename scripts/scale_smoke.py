@@ -59,6 +59,13 @@ HOT = [
     "dedup_minhash_lsh",
     "text_tfidf_top_terms",
     "text_pack_sequences",
+    # round-7: the two slowest bench headliners — iterative
+    # checkpoint loops (k-core peel, truss support peel) whose round
+    # depth is where a 100x surprise would hide. On the DISJOINT
+    # slice the 10x graph is 10 structurally-identical copies, so the
+    # peel depth (and hence the plan) must not grow with scale.
+    "graph_k_core_customers_parts",
+    "graph_k_truss_suppliers",
 ]
 
 # The df-split operators, re-measured on the saturated-vocabulary
