@@ -1812,3 +1812,187 @@ class TestContaminationProperty:
             hit = len(g & bg)
             want[i] = (len(g), hit, hit / len(g))
         assert got == want
+
+
+class TestBandJoinProperty:
+    """band_join (round-7 verdict task): the bucketized range join must
+    equal the O(|L|x|R|) bruteforce pair set for ARBITRARY timestamps
+    (including pre-epoch negatives — the _floordiv pmod trick),
+    degenerate zero-width bands (width clamps to 1; only exact ties
+    match), bands not containing zero, with and without equi-keys."""
+
+    BANDS = [(-30.0, 0.0), (0.0, 0.0), (-10.0, 10.0), (5.0, 15.0)]
+
+    @SETTINGS
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(1, 2), st.integers(-50, 80)),
+            min_size=0, max_size=12,
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(1, 2), st.integers(-50, 80)),
+            min_size=0, max_size=12,
+        ),
+        band=st.sampled_from(BANDS),
+        use_on=st.booleans(),
+    )
+    def test_equals_bruteforce_pairs(self, spark, lefts, rights, band, use_on):
+        lo, hi = band
+        lo_us, hi_us = int(lo * 1_000_000), int(hi * 1_000_000)
+        l = spark.createDataFrame(
+            [Row(g=g, t=t * 1_000_000, lid=i) for i, (g, t) in enumerate(lefts)],
+            "g long, t long, lid long",
+        ).select("g", "lid", F.timestamp_micros("t").alias("ts"))
+        r = spark.createDataFrame(
+            [Row(g=g, t=t * 1_000_000, rid=j) for j, (g, t) in enumerate(rights)],
+            "g long, t long, rid long",
+        ).select("g", "rid", F.timestamp_micros("t").alias("ts"))
+        out = temporal.band_join(
+            l, r, lower_seconds=lo, upper_seconds=hi,
+            on=["g"] if use_on else [],
+        )
+        got = sorted((x.lid, x.rid) for x in out.collect())
+        want = sorted(
+            (i, j)
+            for i, (g, t) in enumerate(lefts)
+            for j, (h, u) in enumerate(rights)
+            if (g == h or not use_on)
+            and t * 1_000_000 + lo_us <= u * 1_000_000 <= t * 1_000_000 + hi_us
+        )
+        assert got == want
+
+
+class TestMultiGrainRollupProperty:
+    """multi_grain_rollup (round-7 verdict task): the GROUPING SETS
+    single-scan expansion must equal a per-grain python replay —
+    bucket membership via UTC truncation and the dsum playbook's
+    decimal-stabilized sums (CAST(double AS DECIMAL(18,6)) is HALF_UP
+    on the shortest decimal repr, which python replays as
+    Decimal(repr(v)).quantize)."""
+
+    @SETTINGS
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(0, 5000),  # seconds*37 spread over ~2 days
+                st.floats(
+                    min_value=-1e6, max_value=1e6,
+                    allow_nan=False, width=64,
+                ),
+            ),
+            min_size=1, max_size=25,
+        )
+    )
+    def test_equals_python_replay(self, spark, events):
+        import datetime as dt
+        from decimal import ROUND_HALF_UP, Decimal
+
+        df = spark.createDataFrame(
+            [
+                Row(t=(1_500_000_000 + t * 37) * 1_000_000, value=v)
+                for t, v in events
+            ],
+            "t long, value double",
+        ).select(F.timestamp_micros("t").alias("ts"), "value")
+        out = temporal.multi_grain_rollup(df)
+        got = {
+            (x.grain, x.bucket_ts): (x.n_events, x.total_value)
+            for x in out.collect()
+        }
+
+        def trunc(d, grain):
+            if grain == "minute":
+                return d.replace(second=0, microsecond=0)
+            if grain == "hour":
+                return d.replace(minute=0, second=0, microsecond=0)
+            return d.replace(hour=0, minute=0, second=0, microsecond=0)
+
+        q = Decimal("0.000001")
+        want = {}
+        for grain in ("minute", "hour", "day"):
+            buckets = {}
+            for t, v in events:
+                d = dt.datetime.utcfromtimestamp(1_500_000_000 + t * 37)
+                buckets.setdefault(trunc(d, grain), []).append(v)
+            for b, vs in buckets.items():
+                total = sum(
+                    Decimal(repr(v)).quantize(q, ROUND_HALF_UP) for v in vs
+                )
+                want[(grain, b)] = (len(vs), float(total))
+        assert got == want
+
+
+class TestGapfillInterpolateProperty:
+    """gapfill_interpolate (round-7 verdict task): grid densification,
+    LOCF/NOCB edge clamps and the linear interpolation must equal a
+    python replay BIT-FOR-BIT — the interpolation is a fixed sequence
+    of IEEE ops on engine-identical inputs (the operator docstring's
+    oracle-portability claim, now pinned against arbitrary inputs,
+    not just the fixtures)."""
+
+    @SETTINGS
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(1, 2),       # user
+                st.integers(0, 72),      # hour slot
+                st.integers(0, 3599),    # offset inside the hour
+                st.floats(
+                    min_value=-1e6, max_value=1e6,
+                    allow_nan=False, width=64,
+                ),
+            ),
+            min_size=1, max_size=20,
+        )
+    )
+    def test_equals_python_replay(self, spark, events):
+        import datetime as dt
+        from decimal import ROUND_HALF_UP, Decimal
+
+        base = 1_500_000_000 - (1_500_000_000 % 3600)  # hour-aligned
+        df = spark.createDataFrame(
+            [
+                Row(
+                    user_id=g,
+                    t=(base + h * 3600 + off) * 1_000_000,
+                    value=v,
+                )
+                for g, h, off, v in events
+            ],
+            "user_id long, t long, value double",
+        ).select("user_id", F.timestamp_micros("t").alias("ts"), "value")
+        out = temporal.gapfill_interpolate(df, grain="hour")
+        got = {
+            (x.user_id, x.bucket_ts): (x.bucket_value, x.interp_value)
+            for x in out.collect()
+        }
+
+        q = Decimal("0.000001")
+        want = {}
+        by_user = {}
+        for g, h, off, v in events:
+            by_user.setdefault(g, {}).setdefault(h, []).append(v)
+        for g, hours in by_user.items():
+            known = {
+                h: float(
+                    sum(Decimal(repr(v)).quantize(q, ROUND_HALF_UP) for v in vs)
+                )
+                for h, vs in hours.items()
+            }
+            lo, hi = min(known), max(known)
+            for h in range(lo, hi + 1):
+                bucket = dt.datetime.utcfromtimestamp(base + h * 3600)
+                bv = known.get(h)
+                if bv is not None:
+                    want[(g, bucket)] = (bv, bv)
+                    continue
+                pt = max(k for k in known if k < h)
+                nt = min(k for k in known if k > h)
+                # identical IEEE sequence to the Spark plan: micros
+                # deltas as doubles, one divide, one mul, one add
+                frac = float((h - pt) * 3_600_000_000) / float(
+                    (nt - pt) * 3_600_000_000
+                )
+                interp = known[pt] + (known[nt] - known[pt]) * frac
+                want[(g, bucket)] = (None, interp)
+        assert got == want
