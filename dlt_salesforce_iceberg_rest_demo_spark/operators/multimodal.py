@@ -821,6 +821,60 @@ def encode_jpeg_gray(
     )
 
 
+def _jpeg_color_coef_grids(
+    pixels: bytes, width: int, height: int, ql, qc, hs: int, vs: int
+):
+    """Shared color front end (baseline + progressive encoders): JFIF
+    RGB -> YCbCr, box-averaged chroma subsampling, edge padding to the
+    MCU grid, vectorized DCT + quantization. Returns ([Y, Cb, Cr]
+    zigzag-ordered coefficient grids of shape (bh, bw, 64), mcux,
+    mcuy) — luma grid is (mcuy*vs, mcux*hs) blocks, chroma (mcuy,
+    mcux)."""
+    import numpy as np
+
+    zz = _jpeg_zigzag()
+    dct = _jpeg_dct_matrix()
+    rgb = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    mcux, mcuy = -(-width // (8 * hs)), -(-height // (8 * vs))
+
+    def subsample(p):
+        if (hs, vs) == (1, 1):
+            return p
+        ph, pw = -p.shape[0] % vs, -p.shape[1] % hs
+        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        return np.round(
+            p.reshape(p.shape[0] // vs, vs, p.shape[1] // hs, hs).mean(
+                axis=(1, 3)
+            )
+        )
+
+    def blockify(p, bh, bw, qtab):
+        p = np.pad(
+            p,
+            ((0, bh * 8 - p.shape[0]), (0, bw * 8 - p.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = np.einsum("ij,njk,kl->nil", dct, blocks, dct.T)
+        qm = np.array(qtab, dtype=np.float64).reshape(8, 8)
+        qz = np.round(coef / qm).reshape(-1, 64)[:, zz].astype(np.int64)
+        return qz.reshape(bh, bw, 64)
+
+    planes = [
+        blockify(y, mcuy * vs, mcux * hs, ql),
+        blockify(subsample(cb), mcuy, mcux, qc),
+        blockify(subsample(cr), mcuy, mcux, qc),
+    ]
+    return planes, mcux, mcuy
+
+
 def encode_jpeg_color(
     pixels: bytes,
     width: int,
@@ -873,47 +927,9 @@ def encode_jpeg_color(
         _jpeg_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS),
     )
 
-    rgb = (
-        np.frombuffer(pixels, dtype=np.uint8)
-        .reshape(height, width, 3)
-        .astype(np.float64)
+    planes, mcux, mcuy = _jpeg_color_coef_grids(
+        pixels, width, height, ql, qc, hs, vs
     )
-    y, cb, cr = _rgb_to_ycbcr(rgb)
-    mcux, mcuy = -(-width // (8 * hs)), -(-height // (8 * vs))
-
-    def subsample(p):
-        """Box-average hs x vs tiles (edge-padded to tile multiples)."""
-        if (hs, vs) == (1, 1):
-            return p
-        ph, pw = -p.shape[0] % vs, -p.shape[1] % hs
-        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
-        return np.round(
-            p.reshape(p.shape[0] // vs, vs, p.shape[1] // hs, hs).mean(
-                axis=(1, 3)
-            )
-        )
-
-    def blockify(p, bh, bw, qtab):
-        """Pad a plane to its (bh x bw)-block grid and return the
-        zigzag-ordered quantized coefficients, row-major blocks."""
-        p = np.pad(
-            p,
-            ((0, bh * 8 - p.shape[0]), (0, bw * 8 - p.shape[1])),
-            mode="edge",
-        ) - 128.0
-        blocks = (
-            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        )
-        coef = np.einsum("ij,njk,kl->nil", dct, blocks, dct.T)
-        qm = np.array(qtab, dtype=np.float64).reshape(8, 8)
-        qz = np.round(coef / qm).reshape(-1, 64)[:, zz].astype(np.int64)
-        return qz.reshape(bh, bw, 64)
-
-    planes = [
-        blockify(y, mcuy * vs, mcux * hs, ql),
-        blockify(subsample(cb), mcuy, mcux, qc),
-        blockify(subsample(cr), mcuy, mcux, qc),
-    ]
     factors = [(hs, vs), (1, 1), (1, 1)]
     codes = [luma_codes, chroma_codes, chroma_codes]
 
@@ -1029,6 +1045,109 @@ def _jpeg_optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
     return bits[1:17], huffval
 
 
+def _jpeg_prog_ac_first(blocks, ss, se, al, put_sym, put_bits) -> None:
+    """AC first-pass body of a progressive scan via callbacks (the
+    counting pass builds the per-scan optimized table, the emitting
+    pass writes the stream): run-length coding of the point-
+    transformed band with EOB-RUN batching across all-zero blocks
+    (T.81 §G.1.2.2). ``blocks`` is the scanned component's block
+    raster — progressive AC scans are single-component."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            put_sym(nb << 4)
+            if nb:
+                put_bits(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+
+    for c in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(c[k])
+            ta = (t if t >= 0 else -t) >> al
+            if ta == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                put_sym(0xF0)
+                r -= 16
+            size = ta.bit_length()
+            put_sym((r << 4) | size)
+            v = ta if t >= 0 else -ta
+            put_bits((v if v >= 0 else v + (1 << size) - 1)
+                     & ((1 << size) - 1), size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOB14 ceiling
+                flush_eob()
+    flush_eob()
+
+
+def _jpeg_prog_ac_refine(blocks, ss, se, al, put_sym, put_bits) -> None:
+    """AC refinement body (the libjpeg encode_mcu_AC_refine
+    discipline): correction bits buffer through ZRL/EOB runs in the
+    exact order the decoder consumes them."""
+    eobrun = 0
+    be_bits: "list[int]" = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            put_sym(nb << 4)
+            if nb:
+                put_bits(eobrun & ((1 << nb) - 1), nb)
+            for b in be_bits:
+                put_bits(b, 1)
+            be_bits.clear()
+            eobrun = 0
+
+    for c in blocks:
+        absv = {
+            k: (int(c[k]) if c[k] >= 0 else -int(c[k])) >> al
+            for k in range(ss, se + 1)
+        }
+        eob_pos = ss - 1  # last NEWLY-significant position
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob_pos = k
+        r = 0
+        br: "list[int]" = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_pos:
+                flush_eob()
+                put_sym(0xF0)
+                r -= 16
+                for b in br:
+                    put_bits(b, 1)
+                br.clear()
+            if t > 1:  # history coefficient: one correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            put_sym((r << 4) | 1)
+            put_bits(1 if c[k] > 0 else 0, 1)
+            for b in br:
+                put_bits(b, 1)
+            br.clear()
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
 # libjpeg's standard grayscale progression: DC at Al=1, AC split into
 # two spectral bands at Al=2, an AC refinement to Al=1, the DC
 # refinement bit, and the final AC refinement to full precision.
@@ -1093,101 +1212,10 @@ def encode_jpeg_gray_progressive(
             )
 
     def run_ac_first(ss, se, al, put_sym, put_bits) -> None:
-        """AC first-pass body via callbacks (counting pass builds the
-        optimized table, emitting pass writes the stream)."""
-        eobrun = 0
-
-        def flush_eob() -> None:
-            nonlocal eobrun
-            if eobrun:
-                nb = eobrun.bit_length() - 1
-                put_sym(nb << 4)
-                if nb:
-                    put_bits(eobrun & ((1 << nb) - 1), nb)
-                eobrun = 0
-
-        for c in blocks:
-            r = 0
-            for k in range(ss, se + 1):
-                t = int(c[k])
-                ta = (t if t >= 0 else -t) >> al
-                if ta == 0:
-                    r += 1
-                    continue
-                flush_eob()
-                while r > 15:
-                    put_sym(0xF0)
-                    r -= 16
-                size = ta.bit_length()
-                put_sym((r << 4) | size)
-                v = ta if t >= 0 else -ta
-                put_bits((v if v >= 0 else v + (1 << size) - 1)
-                         & ((1 << size) - 1), size)
-                r = 0
-            if r > 0:
-                eobrun += 1
-                if eobrun == 0x7FFF:  # EOB14 ceiling
-                    flush_eob()
-        flush_eob()
+        _jpeg_prog_ac_first(blocks, ss, se, al, put_sym, put_bits)
 
     def run_ac_refine(ss, se, al, put_sym, put_bits) -> None:
-        """AC refinement body (the libjpeg encode_mcu_AC_refine
-        discipline): correction bits buffer through ZRL/EOB runs in the
-        exact order the decoder consumes them."""
-        eobrun = 0
-        be_bits: list[int] = []
-
-        def flush_eob() -> None:
-            nonlocal eobrun
-            if eobrun:
-                nb = eobrun.bit_length() - 1
-                put_sym(nb << 4)
-                if nb:
-                    put_bits(eobrun & ((1 << nb) - 1), nb)
-                for b in be_bits:
-                    put_bits(b, 1)
-                be_bits.clear()
-                eobrun = 0
-
-        for c in blocks:
-            absv = {
-                k: (int(c[k]) if c[k] >= 0 else -int(c[k])) >> al
-                for k in range(ss, se + 1)
-            }
-            eob_pos = ss - 1  # last NEWLY-significant position
-            for k in range(ss, se + 1):
-                if absv[k] == 1:
-                    eob_pos = k
-            r = 0
-            br: list[int] = []
-            for k in range(ss, se + 1):
-                t = absv[k]
-                if t == 0:
-                    r += 1
-                    continue
-                while r > 15 and k <= eob_pos:
-                    flush_eob()
-                    put_sym(0xF0)
-                    r -= 16
-                    for b in br:
-                        put_bits(b, 1)
-                    br.clear()
-                if t > 1:  # history coefficient: one correction bit
-                    br.append(t & 1)
-                    continue
-                flush_eob()
-                put_sym((r << 4) | 1)
-                put_bits(1 if c[k] > 0 else 0, 1)
-                for b in br:
-                    put_bits(b, 1)
-                br.clear()
-                r = 0
-            if r > 0 or br:
-                eobrun += 1
-                be_bits.extend(br)
-                if eobrun == 0x7FFF:
-                    flush_eob()
-        flush_eob()
+        _jpeg_prog_ac_refine(blocks, ss, se, al, put_sym, put_bits)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1235,6 +1263,181 @@ def encode_jpeg_gray_progressive(
         + seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
         + seg(0xFFC4, dht_dc)
         + seg(0xFFC4, dht_ac)
+        + b"".join(encode_scan(*s) for s in script)
+        + b"\xff\xd9"
+    )
+
+
+# libjpeg's standard 3-component progression (jcparam.c): interleaved
+# DC for all components at Al=1, luma AC split into two bands at
+# Al=2, chroma AC full-band at Al=1, luma AC refine 2->1, the DC
+# refinement bit, then all AC refinements to full precision. Entries
+# are (component indices, Ss, Se, Ah, Al) with 0=Y, 1=Cb, 2=Cr.
+JPEG_PROGRESSIVE_SCANS_COLOR: "list[tuple[tuple[int, ...], int, int, int, int]]" = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_color_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quant_luma: "list[int] | None" = None,
+    quant_chroma: "list[int] | None" = None,
+    subsampling: "tuple[int, int]" = (2, 2),
+    scans: "list[tuple[tuple[int, ...], int, int, int, int]] | None" = None,
+) -> bytes:
+    """PROGRESSIVE color JPEG (SOF2, 3-component YCbCr): the same
+    color front end as :func:`encode_jpeg_color`, streamed out over a
+    multi-scan script — INTERLEAVED multi-component DC scans (each
+    component on its own prediction chain and standard DC table) and
+    NON-interleaved single-component AC scans (T.81 §G.1.1.1.1) over
+    each component's OWN block raster — the padded-grid dummy blocks
+    at MCU boundaries are coded only in the interleaved DC scans,
+    exactly as the decoder consumes them. AC scans carry per-scan
+    §K.2-OPTIMIZED Huffman tables (luma in slot 0, chroma in slot 1,
+    emitted as each scan's DHT). Progressive coding is lossless given
+    the quantized coefficients, so the decode is bit-identical to the
+    baseline color encoding's decode — pinned by round-trip tests and
+    cross-validated in javax.imageio.
+
+    ``scans`` defaults to :data:`JPEG_PROGRESSIVE_SCANS_COLOR`
+    (libjpeg's standard 10-scan color script); entries are
+    (component indices, Ss, Se, Ah, Al)."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be exactly width*height*3 RGB bytes")
+    hs, vs = subsampling
+    if (hs, vs) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        raise ValueError("subsampling must be (1|2, 1|2)")
+    ql = list(quant_luma) if quant_luma is not None else [1] * 64
+    qc = list(quant_chroma) if quant_chroma is not None else [1] * 64
+    script = [
+        (tuple(cs), ss, se, ah, al)
+        for cs, ss, se, ah, al in (
+            scans if scans is not None else JPEG_PROGRESSIVE_SCANS_COLOR
+        )
+    ]
+    zz = _jpeg_zigzag()
+    planes, mcux, mcuy = _jpeg_color_coef_grids(
+        pixels, width, height, ql, qc, hs, vs
+    )
+    factors = [(hs, vs), (1, 1), (1, 1)]
+    # per-component used (non-interleaved) block raster — smaller than
+    # the padded grid when dims aren't MCU-aligned (luma only; the
+    # chroma grid equals (mcuy, mcux) by the nested-ceil identity)
+    nb = [
+        (-(-(-(-height * fv // vs)) // 8), -(-(-(-width * fh // hs)) // 8))
+        for fh, fv in factors
+    ]
+    dc_codes = [
+        _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+        _jpeg_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS),
+        _jpeg_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS),
+    ]
+    table_slot = [0, 1, 1]
+    comp_ids = [1, 2, 3]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def mcu_blocks(cs):
+        """Interleaved block order: per MCU, each scan component's
+        fh x fv blocks row-major (T.81 A.2.3)."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in cs:
+                    fh, fv = factors[ci]
+                    for dv in range(fv):
+                        for dh in range(fh):
+                            yield ci, planes[ci][my * fv + dv, mx * fh + dh]
+
+    def encode_scan(cs, ss, se, ah, al) -> bytes:
+        sos = seg(
+            0xFFDA,
+            bytes([len(cs)])
+            + b"".join(
+                bytes([comp_ids[ci], (table_slot[ci] << 4) | table_slot[ci]])
+                for ci in cs
+            )
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+        w = _BitWriter()
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            blocks = (
+                mcu_blocks(cs)
+                if len(cs) > 1
+                else (
+                    (cs[0], planes[cs[0]][byi, bxi])
+                    for byi in range(nb[cs[0]][0])
+                    for bxi in range(nb[cs[0]][1])
+                )
+            )
+            if ah == 0:  # DC first
+                pred = [0, 0, 0]
+                for ci, c in blocks:
+                    v = int(c[0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    size = abs(diff).bit_length()
+                    w.put(*dc_codes[ci][size])
+                    if size:
+                        w.put(
+                            (diff if diff >= 0 else diff + (1 << size) - 1)
+                            & ((1 << size) - 1),
+                            size,
+                        )
+            else:  # DC refine
+                for ci, c in blocks:
+                    w.put((int(c[0]) >> al) & 1, 1)
+            return sos + w.flush()
+        if len(cs) != 1:
+            raise ValueError("progressive AC scans must be Ns=1")
+        ci = cs[0]
+        raster = [
+            planes[ci][byi, bxi]
+            for byi in range(nb[ci][0])
+            for bxi in range(nb[ci][1])
+        ]
+        run = _jpeg_prog_ac_first if ah == 0 else _jpeg_prog_ac_refine
+        freq = [0] * 256
+        run(raster, ss, se, al,
+            lambda s: freq.__setitem__(s, freq[s] + 1), lambda v, n: None)
+        tbits, tvals = _jpeg_optimal_table(freq)
+        codes = _jpeg_codes(tbits, tvals)
+        run(raster, ss, se, al,
+            lambda s: w.put(*codes[s]), lambda v, n: w.put(v, n))
+        dht = seg(
+            0xFFC4,
+            bytes([0x10 | table_slot[ci]]) + bytes(tbits) + bytes(tvals),
+        )
+        return dht + sos + w.flush()
+
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + bytes(ql[i] for i in zz))
+        + seg(0xFFDB, b"\x01" + bytes(qc[i] for i in zz))
+        + seg(0xFFC2, sof)
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(
+            0xFFC4,
+            bytes([0x01]) + bytes(_JPEG_DC_CHROMA_BITS) + bytes(_JPEG_DC_CHROMA_VALS),
+        )
         + b"".join(encode_scan(*s) for s in script)
         + b"\xff\xd9"
     )

@@ -2032,3 +2032,85 @@ class TestJpegColor:
         data = mm.encode_jpeg_color(rgb, 8, 8)
         with pytest.raises(ValueError, match="not a grayscale"):
             mm.decode_jpeg_gray(data)
+
+
+class TestJpegColorProgressive:
+    """Progressive COLOR encoder (round-7, completes the codec
+    matrix): interleaved multi-component DC scans + non-interleaved
+    per-component AC scans with per-scan optimal Huffman — decode must
+    be bit-identical to the baseline color encoding's decode
+    (progressive coding is lossless given the coefficients), and the
+    streams must decode in javax.imageio."""
+
+    def test_progressive_equals_baseline_decode(self):
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(21)
+        for W, H in [(16, 16), (17, 13), (34, 23)]:
+            rgb = rng.randint(0, 256, size=(H, W, 3), dtype=np.uint8)
+            for sub in [(2, 2), (2, 1), (1, 1)]:
+                base = mm.decode_jpeg(
+                    mm.encode_jpeg_color(rgb.tobytes(), W, H, subsampling=sub)
+                )
+                prog = mm.encode_jpeg_color_progressive(
+                    rgb.tobytes(), W, H, subsampling=sub
+                )
+                assert prog[2:4] == b"\xff\xe0" and b"\xff\xc2" in prog
+                assert mm.decode_jpeg(prog) == base, (W, H, sub)
+        # deterministic bytes
+        rgb = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        assert mm.encode_jpeg_color_progressive(
+            rgb.tobytes(), 17, 13
+        ) == mm.encode_jpeg_color_progressive(rgb.tobytes(), 17, 13)
+
+    def test_custom_scan_script(self):
+        """A minimal no-successive-approximation script (sequential-
+        style DC + three full-band AC scans) round-trips too."""
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(23)
+        rgb = rng.randint(0, 256, size=(23, 34, 3), dtype=np.uint8)
+        custom = [
+            ((0, 1, 2), 0, 0, 0, 0),
+            ((0,), 1, 63, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        ]
+        base = mm.decode_jpeg(mm.encode_jpeg_color(rgb.tobytes(), 34, 23))
+        got = mm.decode_jpeg(
+            mm.encode_jpeg_color_progressive(rgb.tobytes(), 34, 23, scans=custom)
+        )
+        assert got == base
+
+    def test_streams_decode_in_imageio(self, spark, tmp_path):
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(31)
+        rgb = rng.randint(0, 256, size=(23, 34, 3), dtype=np.uint8)
+        for sub in [(2, 2), (1, 1)]:
+            d = mm.encode_jpeg_color_progressive(
+                rgb.tobytes(), 34, 23, subsampling=sub
+            )
+            p = tmp_path / f"p{sub[0]}{sub[1]}.jpg"
+            p.write_bytes(d)
+            w, h, c, px = mm.decode_jpeg(d)
+            ours = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+            row = (
+                spark.read.format("image")
+                .load(str(p))
+                .select("image.*")
+                .collect()[0]
+            )
+            assert (row.width, row.height, row.nChannels) == (w, h, 3)
+            theirs = (
+                np.frombuffer(bytes(row.data), np.uint8)
+                .reshape(h, w, 3)[..., ::-1]
+                .astype(int)
+            )
+            assert np.abs(ours - theirs).max() <= 2, sub
