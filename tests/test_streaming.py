@@ -476,3 +476,121 @@ def test_stream_cdc_apply_upserts_and_deletes(spark, tmp_path):
 
     rows = {r.id: r.v for r in lake.read("t").collect()}
     assert rows == {1: "a", 2: "b3", 4: "d"}  # 3 deleted, 2 updated twice
+
+
+def test_streaming_sessionize_matches_python_replay(spark, landing):
+    """Round-7 equivalence (the sessionize twin only had a runs-check):
+    native session_window aggregation over the real events fixture ==
+    a python gap-split replay — session bounds (end = last ts + gap,
+    END-exclusive merge: an event exactly gap after its predecessor
+    starts a NEW session), event counts, and the dsum-playbook
+    decimal-stabilized value sums."""
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    df = load_table(spark, SF_DIR, "events")
+    df.limit(800).coalesce(1).write.parquet(str(landing / "clean3"))
+    src = spark.read.parquet(str(landing / "clean3"))
+    stream = stream_source(spark, str(landing / "clean3"))
+    name = _run_to_memory(streaming_sessionize(stream), "sess_eq")
+    got = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            r.session_value,
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    gap = dt.timedelta(minutes=30)
+    q = Decimal("0.000001")
+    rows = sorted(
+        ((r.user_id, r.ts, r.value) for r in src.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    want = {}
+    cur = None  # (user, start, last_ts, n, decimal_sum)
+    def close(c):
+        u, start, last, n, s = c
+        want[(u, start, last + gap)] = (n, float(s))
+    for u, ts, v in rows:
+        dv = Decimal(repr(v)).quantize(q, ROUND_HALF_UP) if v is not None else Decimal(0)
+        if cur is not None and cur[0] == u and ts < cur[2] + gap:
+            cur = (u, cur[1], ts, cur[3] + 1, cur[4] + dv)
+        else:
+            if cur is not None:
+                close(cur)
+            cur = (u, ts, ts, 1, dv)
+    if cur is not None:
+        close(cur)
+    assert got == want
+
+
+def test_stream_stream_interval_join_matches_band_join(spark, tmp_path):
+    """Round-7 equivalence: the stream-stream interval join is the
+    streaming twin of temporal.band_join([0, horizon], on=key) — over
+    the same rows fed as TWO micro-batches per side, the matched pair
+    sets must be identical (watermark widened past the data span so
+    state eviction — covered by the horizon test above — can't drop
+    legitimately-late rows)."""
+    import random
+
+    from dlt_salesforce_iceberg_rest_demo_spark.operators import temporal
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    rng = random.Random(42)
+    mk = lambda eid, sec, u: Row(
+        event_id=eid, t=(1_700_000_000 + sec) * 1_000_000, user_id=u
+    )
+    lrows = [mk(i, rng.randrange(0, 7200), rng.randrange(1, 4)) for i in range(25)]
+    rrows = [
+        mk(100 + j, rng.randrange(0, 7200), rng.randrange(1, 4))
+        for j in range(25)
+    ]
+    schema = "event_id long, t long, user_id long"
+    dirs = {"l": lrows, "r": rrows}
+    for side, rows in dirs.items():
+        d = tmp_path / side
+        d.mkdir()
+        for bi, chunk in enumerate((rows[:12], rows[12:])):
+            spark.createDataFrame(chunk, schema).select(
+                "event_id", F.timestamp_micros("t").alias("ts"), "user_id"
+            ).coalesce(1).write.parquet(str(d / f"b{bi}"))
+    ts_schema = "event_id long, ts timestamp, user_id long"
+    l = (
+        spark.readStream.schema(ts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "l" / "*"))
+    )
+    r = (
+        spark.readStream.schema(ts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "r" / "*"))
+    )
+    joined = stream_stream_interval_join(
+        l, r, horizon="30 minutes", watermark="10 hours"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_eq")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (x.left_event_id, x.right_event_id)
+        for x in spark.sql("SELECT * FROM ssj_eq").collect()
+    }
+    lb = spark.createDataFrame(lrows, schema).select(
+        "event_id", F.timestamp_micros("t").alias("ts"), "user_id"
+    )
+    rb = spark.createDataFrame(rrows, schema).select(
+        "event_id", F.timestamp_micros("t").alias("ts"), "user_id"
+    )
+    pairs = temporal.band_join(
+        lb, rb, lower_seconds=0.0, upper_seconds=1800.0, on=["user_id"]
+    )
+    want = {
+        (x.event_id, x.event_id_r) for x in pairs.collect()
+    }
+    assert got == want and len(want) > 0
