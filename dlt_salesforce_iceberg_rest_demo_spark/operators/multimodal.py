@@ -2044,7 +2044,9 @@ def _jpeg_sof0_dims_sql(col: str = "content", max_segments: int = 40) -> str:
     (entropy data is never touched). Headers with more than
     ``max_segments`` segments before SOF0 (pathological EXIF stacks)
     return NULL dims rather than garbage. Fill bytes (repeated FF) and
-    the standalone TEM/RSTn markers are stepped over per the spec."""
+    the standalone TEM/RSTn markers are stepped over per the spec.
+    The finish struct carries (h, w, nc) — nc is the frame's component
+    count (1 grayscale / 3 YCbCr), read from the same validated SOF."""
     u8 = (
         lambda p: f"CAST(conv(hex(substring({col}, CAST(({p}) AS INT), 1)), "
         f"16, 10) AS BIGINT)"
@@ -2053,32 +2055,40 @@ def _jpeg_sof0_dims_sql(col: str = "content", max_segments: int = 40) -> str:
         lambda p: f"CAST(conv(hex(substring({col}, CAST(({p}) AS INT), 2)), "
         f"16, 10) AS BIGINT)"
     )
-    keep = "named_struct('off', a.off, 'h', a.h, 'w', a.w, 'done', true)"
+    keep = (
+        "named_struct('off', a.off, 'h', a.h, 'w', a.w, 'nc', a.nc, "
+        "'done', true)"
+    )
     sof0_ok = f"{u8('a.off + 4')} = 8 AND a.off + 8 <= length({col})"
     step = f"""CASE
       WHEN a.done OR a.off IS NULL OR a.off + 1 > length({col}) THEN {keep}
       WHEN {u8('a.off')} <> 255 THEN {keep}
       WHEN {u8('a.off + 1')} = 255
-        THEN named_struct('off', a.off + 1, 'h', a.h, 'w', a.w, 'done', false)
+        THEN named_struct('off', a.off + 1, 'h', a.h, 'w', a.w, 'nc', a.nc,
+                          'done', false)
       WHEN {u8('a.off + 1')} = 192 OR {u8('a.off + 1')} = 194
         THEN named_struct('off', a.off,
         'h', CASE WHEN {sof0_ok} THEN {u16('a.off + 5')} END,
         'w', CASE WHEN {sof0_ok} THEN {u16('a.off + 7')} END,
+        'nc', CASE WHEN {sof0_ok} THEN {u8('a.off + 9')} END,
         'done', true)
       WHEN {u8('a.off + 1')} = 216 OR {u8('a.off + 1')} = 1
            OR ({u8('a.off + 1')} BETWEEN 208 AND 215)
-        THEN named_struct('off', a.off + 2, 'h', a.h, 'w', a.w, 'done', false)
+        THEN named_struct('off', a.off + 2, 'h', a.h, 'w', a.w, 'nc', a.nc,
+                          'done', false)
       WHEN {u8('a.off + 1')} = 217 OR {u8('a.off + 1')} = 218 THEN {keep}
       ELSE named_struct('off', a.off + 2 + {u16('a.off + 2')},
-                        'h', a.h, 'w', a.w, 'done', false)
+                        'h', a.h, 'w', a.w, 'nc', a.nc, 'done', false)
     END"""
     return (
         f"aggregate(sequence(1, {max_segments}), "
         "named_struct('off', CAST(3 AS BIGINT), 'h', CAST(NULL AS BIGINT), "
-        "'w', CAST(NULL AS BIGINT), 'done', false), "
+        "'w', CAST(NULL AS BIGINT), 'nc', CAST(NULL AS BIGINT), "
+        "'done', false), "
         f"(a, i) -> {step}, "
         "a -> named_struct('h', nullif(a.h, CAST(0 AS BIGINT)), "
-        "'w', nullif(a.w, CAST(0 AS BIGINT))))"
+        "'w', nullif(a.w, CAST(0 AS BIGINT)), "
+        "'nc', nullif(a.nc, CAST(0 AS BIGINT))))"
     )
 
 
@@ -2111,6 +2121,13 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     le_u32 = lambda off: F.conv(  # noqa: E731
         F.concat(
             *[F.hex(F.expr(f"substring(content, {off + i}, 1)")) for i in (3, 2, 1, 0)]
+        ),
+        16,
+        10,
+    ).cast("long")
+    le_u16 = lambda off: F.conv(  # noqa: E731
+        F.concat(
+            *[F.hex(F.expr(f"substring(content, {off + i}, 1)")) for i in (1, 0)]
         ),
         16,
         10,
@@ -2153,6 +2170,31 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
             .when(is_bmp, le_u32(23))
             .when(is_jpg, jpg_dims["h"])
             .alias("height"),
+            # channels, parsed JVM-side like the dims: PNG color type
+            # (IHDR byte 26: 0 gray / 2 RGB / 3 palette / 4 gray+alpha
+            # / 6 RGBA), BMP bit count (8-bit palette = 1 channel as
+            # decoded, 24 = BGR), JPEG SOF component count from the
+            # same validated segment walk, WAV channel count (fmt
+            # chunk LE u16 at offset 23).
+            F.when(
+                is_png,
+                F.when(F.expr("substring(content, 26, 1)") == F.lit(b"\x00"), 1)
+                .when(F.expr("substring(content, 26, 1)") == F.lit(b"\x02"), 3)
+                .when(F.expr("substring(content, 26, 1)") == F.lit(b"\x03"), 1)
+                .when(F.expr("substring(content, 26, 1)") == F.lit(b"\x04"), 2)
+                .when(F.expr("substring(content, 26, 1)") == F.lit(b"\x06"), 4)
+                .cast("long"),
+            )
+            .when(
+                is_bmp,
+                F.when(le_u16(29) == 8, 1)
+                .when(le_u16(29) == 24, 3)
+                .when(le_u16(29) == 32, 4)
+                .cast("long"),
+            )
+            .when(is_jpg, jpg_dims["nc"])
+            .otherwise(le_u16(23).cast("long"))
+            .alias("channels"),
             F.when(~(is_png | is_bmp | is_jpg), le_u32(25)).alias("sample_rate"),
         ).alias("meta"),
     )

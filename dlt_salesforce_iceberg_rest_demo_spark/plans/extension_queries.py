@@ -928,6 +928,7 @@ _CJPEG_ORACLE = """
 SELECT doc_id,
        CAST(16 AS BIGINT) AS width,
        CAST(16 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
        CAST(768 AS BIGINT) AS n_values,
        CAST(192 * (
          CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END +
@@ -978,9 +979,12 @@ def multimodal_color_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("doc_id"),
             F.col("meta.width").alias("width"),
             F.col("meta.height").alias("height"),
+            F.col("meta.channels").alias("channels"),
         )
         .join(stats, "file_name")
-        .select("doc_id", "width", "height", "n_values", "val_sum")
+        .select(
+            "doc_id", "width", "height", "channels", "n_values", "val_sum"
+        )
     )
 
 

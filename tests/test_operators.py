@@ -1240,10 +1240,12 @@ class TestBinaryCodecs:
         assert rows["a.png"]["modality"] == "image"
         assert (rows["a.png"]["width"], rows["a.png"]["height"]) == (8, 8)
         assert rows["a.png"]["sample_rate"] is None
+        assert rows["a.png"]["channels"] == 1  # IHDR color type 0
         assert rows["b.wav"]["format"] == "wav"
         assert rows["b.wav"]["modality"] == "audio"
         assert rows["b.wav"]["sample_rate"] == 44100
         assert rows["b.wav"]["width"] is None
+        assert rows["b.wav"]["channels"] == 1  # mono PCM
 
     def test_decode_stats_match_known_values(self, spark, tmp_path):
         from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
@@ -2018,6 +2020,7 @@ class TestJpegColor:
         row = df.collect()[0]
         assert row.meta.format == "jpeg"
         assert (row.meta.width, row.meta.height) == (16, 16)
+        assert row.meta.channels == 3  # SOF component count, JVM-side
         stats = mm.decode_binary_stats(df).collect()[0]
         assert (stats.modality, stats.n_values) == ("image", 768)
         assert stats.val_sum == 3 * 64 * (10 + 20 + 30 + 40)
