@@ -1541,6 +1541,11 @@ def _jpeg_sequential_scan_mc(units, segments, ri: int) -> None:
             pred = {}
         for c, comp in unit:
             size = rd.symbol(comp["dc"])
+            if size > 15:
+                # DC SSSS is 0..11 for 8-bit precision (T.81 F.1.2.1);
+                # a corrupt table value past 15 would otherwise read an
+                # unbounded magnitude and overflow the int64 buffer
+                raise ValueError("invalid DC size category")
             diff = _jpeg_extend(rd.bits(size), size) if size else 0
             pred[comp["cid"]] = dc = pred.get(comp["cid"], 0) + diff
             c[0] = dc
@@ -1644,6 +1649,8 @@ def _jpeg_progressive_scan_mc(
             for c, comp in unit:
                 if ah == 0:  # DC first: diff-coded, point-transformed
                     size = rd.symbol(comp["dc"])
+                    if size > 15:
+                        raise ValueError("invalid DC size category")
                     diff = _jpeg_extend(rd.bits(size), size) if size else 0
                     pred[comp["cid"]] = dc = pred.get(comp["cid"], 0) + diff
                     c[0] = dc << al
@@ -1744,18 +1751,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             continue
         if marker == 0xD9:
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated segment header")
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if ln < 2:
+            raise ValueError("invalid segment length")
         body = data[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq == 1:  # 16-bit big-endian entries (foreign files)
+                    if i + 129 > len(body):
+                        raise ValueError("truncated DQT")
                     quant[tq] = list(
                         struct.unpack(">64H", body[i + 1 : i + 129])
                     )
                     i += 129
                 elif pq == 0:
+                    if i + 65 > len(body):
+                        raise ValueError("truncated DQT")
                     quant[tq] = list(body[i + 1 : i + 65])
                     i += 65
                 else:
@@ -1767,6 +1782,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             )
         elif marker in (0xC0, 0xC2):
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("truncated SOF")
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -1804,19 +1821,27 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(body):
+                    raise ValueError("truncated DHT")
                 vals = list(body[i + 17 : i + 17 + nv])
                 codes = _jpeg_codes(bits, vals)
                 huff[(tc, th)] = {(l, c): s for s, (c, l) in codes.items()}
                 i += 17 + nv
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if width is None:
                 raise ValueError("SOS before SOF")
-            ns = body[0]
+            ns = body[0] if body else 0
+            if not 1 <= ns <= 4 or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("invalid SOS header")
             scomps = []
             for i in range(ns):
                 c = by_cid.get(body[1 + 2 * i])
@@ -1827,6 +1852,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 scomps.append(c)
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if ss > 63 or se > 63 or se < ss or ah > 13 or al > 13:
+                raise ValueError("invalid scan header")
+            for c in scomps:
+                need_dc = not progressive or (ss == 0 and ah == 0)
+                need_ac = not progressive or ss > 0
+                if need_dc and c["dc"] is None:
+                    raise ValueError("scan references missing DC table")
+                if need_ac and c["ac"] is None:
+                    raise ValueError("scan references missing AC table")
             seen_scan = True
             if ns == 1:
                 c = scomps[0]
@@ -1864,6 +1898,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     dct = _jpeg_dct_matrix()
     planes = []
     for c in comps:
+        if c["tq"] not in quant:
+            raise ValueError("frame references missing quantization table")
         qm = np.array(quant[c["tq"]], dtype=np.float64)
         used = c["coef"][: c["nb_h"], : c["nb_w"]].reshape(-1, 64)
         blocks = np.zeros((used.shape[0], 64), dtype=np.float64)

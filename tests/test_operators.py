@@ -2117,3 +2117,52 @@ class TestJpegColorProgressive:
                 .astype(int)
             )
             assert np.abs(ours - theirs).max() <= 2, sub
+
+
+class TestJpegStreamValidation:
+    """Round-7 hardening (the ADVICE-3 class, swept exhaustively): a
+    corrupt or truncated stream must fail with an EXPLICIT
+    ValueError/NotImplementedError — never an accidental IndexError/
+    KeyError/OverflowError/struct.error from an unvalidated read. The
+    seeded fuzz found 14 accidental error classes (truncated segment
+    headers, short DQT/DHT/SOS bodies, scans referencing missing
+    Huffman/quant tables, out-of-range Ss/Se, DC size categories past
+    15 overflowing the int64 coefficient buffer); each now has a
+    named validation. A larger offline sweep (1500 flips/stream +
+    every 7th truncation) ran clean."""
+
+    def test_truncations_and_bit_flips_fail_loudly(self):
+        import random
+
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(5)
+        pix = rng.randint(0, 256, size=24 * 16, dtype=np.uint8).tobytes()
+        rgbpix = rng.randint(0, 256, size=24 * 16 * 3, dtype=np.uint8).tobytes()
+        streams = [
+            mm.encode_jpeg_gray(pix, 24, 16),
+            mm.encode_jpeg_gray_progressive(pix, 24, 16),
+            mm.encode_jpeg_color(rgbpix, 24, 16),
+            mm.encode_jpeg_color_progressive(rgbpix, 24, 16),
+            mm.encode_jpeg_gray(pix, 24, 16, restart_interval=2),
+        ]
+        rnd = random.Random(99)
+        n_decoded = n_rejected = 0
+        for base in streams:
+            cases = [base[:cut] for cut in range(1, len(base), 29)]
+            for _ in range(150):
+                i = rnd.randrange(2, len(base))
+                d = bytearray(base)
+                d[i] ^= 1 << rnd.randrange(8)
+                cases.append(bytes(d))
+            for d in cases:
+                try:
+                    mm.decode_jpeg(d)
+                    n_decoded += 1  # harmless flip (e.g. entropy bits)
+                except (ValueError, NotImplementedError):
+                    n_rejected += 1
+                # anything else propagates and fails the test
+        assert n_rejected > 100  # the sweep is not vacuous
+        assert n_decoded > 0     # nor is it rejecting everything
