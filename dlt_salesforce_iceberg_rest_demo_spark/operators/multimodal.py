@@ -404,10 +404,19 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG")
     pos, width, height, idat = 8, None, None, b""
     while pos < len(data):
+        # Explicit truncation checks (round-7 fuzz sweep): a cut or
+        # corrupt stream must raise ValueError, never struct.error /
+        # IndexError / TypeError from an unvalidated read.
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated PNG chunk body")
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(body) < 10:
+                raise ValueError("truncated IHDR")
             width, height, depth, color = struct.unpack(">IIBB", body[:10])
             if (depth, color) != (8, 0):
                 raise NotImplementedError(
@@ -418,9 +427,16 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(idat)
-    out = bytearray()
+    if width is None:
+        raise ValueError("missing IHDR")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
     stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
     for y in range(height):
         row = raw[y * stride : (y + 1) * stride]
         if row[0] != 0:
@@ -461,10 +477,14 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
 
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
     (offset,) = struct.unpack("<I", data[10:14])
     (header_size,) = struct.unpack("<I", data[14:18])
     width, height = struct.unpack("<ii", data[18:26])
     bitcount, compression = struct.unpack("<HI", data[28:34])
+    if width <= 0:
+        raise ValueError("invalid BMP width")
     if bitcount != 8 or compression != 0:
         raise NotImplementedError(
             "only uncompressed 8-bit BMP supported by the stdlib codec"
@@ -483,9 +503,19 @@ def decode_bmp_gray(data: bytes) -> tuple[int, int, bytes]:
             "only bottom-up (positive height) BMP supported by the "
             "stdlib codec"
         )
+    if not 54 <= offset <= len(data):
+        raise ValueError("invalid BMP pixel data offset")
     palette = data[54:offset]
+    if len(palette) < 1024:
+        # this codec's encoder always writes the full 256-entry gray
+        # palette; a shorter one means indexes could run off its end
+        raise ValueError("truncated BMP palette")
     gray = bytes(palette[4 * i] for i in range(len(palette) // 4))
     stride = width + ((-width) % 4)
+    if offset + stride * height > len(data):
+        # a short final row would otherwise SILENTLY yield fewer
+        # pixels than width*height (round-7 fuzz sweep)
+        raise ValueError("truncated BMP pixel data")
     out = bytearray()
     for y in range(height - 1, -1, -1):  # flip bottom-up to top-down
         row = data[offset + y * stride : offset + y * stride + width]
@@ -1956,12 +1986,19 @@ def encode_wav_pcm8(samples: bytes, rate: int = 8000) -> bytes:
 
 
 def decode_wav_pcm8(data: bytes) -> tuple[int, bytes]:
-    """Real WAV decode via stdlib wave. Returns (rate, sample bytes)."""
+    """Real WAV decode via stdlib wave. Returns (rate, sample bytes).
+    Corrupt/truncated containers raise ValueError (the stdlib module's
+    wave.Error/EOFError zoo normalized — round-7 fuzz sweep), so a bad
+    object in an ingest directory fails a stats batch loudly and
+    uniformly with the image codecs."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        return w.getframerate(), w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            return w.getframerate(), w.readframes(w.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as e:
+        raise ValueError(f"corrupt WAV container: {e}") from e
 
 
 PNG_PIXEL_CAP = 256  # 16x16 grayscale fixture images

@@ -2166,3 +2166,93 @@ class TestJpegStreamValidation:
                 # anything else propagates and fails the test
         assert n_rejected > 100  # the sweep is not vacuous
         assert n_decoded > 0     # nor is it rejecting everything
+
+
+class TestContainerStreamValidation:
+    """Round-7 hardening, PNG/BMP/WAV (same sweep as the JPEG class):
+    corrupt or truncated containers must raise ValueError/
+    NotImplementedError — never struct.error/zlib.error/wave.Error/
+    IndexError/TypeError — and NEVER silently return short pixel data
+    (a truncated BMP used to yield fewer than width*height bytes with
+    no error; it now fails loudly). An offline sweep of every
+    truncation point + 3000 flips per format ran clean."""
+
+    def test_truncations_and_bit_flips_fail_loudly(self):
+        import random
+
+        import numpy as np
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(7)
+        streams = {
+            "png": mm.encode_png_gray(
+                rng.randint(0, 256, size=256, dtype=np.uint8).tobytes(), 16, 16
+            ),
+            "bmp": mm.encode_bmp_gray(
+                rng.randint(0, 256, size=256, dtype=np.uint8).tobytes(), 16, 16
+            ),
+            "wav": mm.encode_wav_pcm8(
+                rng.randint(0, 256, size=64, dtype=np.uint8).tobytes()
+            ),
+        }
+        dec = {
+            "png": mm.decode_png_gray,
+            "bmp": mm.decode_bmp_gray,
+            "wav": mm.decode_wav_pcm8,
+        }
+        rnd = random.Random(123)
+        n_rejected = 0
+        for name, base in streams.items():
+            w0, h0 = 16, 16
+            cases = [base[:cut] for cut in range(1, len(base), 5)]
+            for _ in range(200):
+                i = rnd.randrange(0, len(base))
+                d = bytearray(base)
+                d[i] ^= 1 << rnd.randrange(8)
+                cases.append(bytes(d))
+            for d in cases:
+                try:
+                    out = dec[name](d)
+                    if name != "wav":  # decode implies full-size pixels
+                        assert len(out[2]) == out[0] * out[1], name
+                except (ValueError, NotImplementedError):
+                    n_rejected += 1
+        assert n_rejected > 100
+
+    def test_bmp_truncated_pixels_fail_instead_of_short_output(self):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+        import pytest
+
+        base = mm.encode_bmp_gray(bytes(range(256)), 16, 16)
+        with pytest.raises(ValueError, match="truncated BMP pixel"):
+            mm.decode_bmp_gray(base[:-10])
+
+
+class TestJpegRawStreamGolden:
+    def test_foreign_raw_no_app0_color_golden(self):
+        """CPython's python-raw.jpg: a real color 4:2:0 JPEG with NO
+        APP0/JFIF segment (SOI straight to DQT) — decoders and the
+        ingest segment walk must not assume a JFIF header."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        p = TestJpegForeignGolden._fixture(
+            "cpython_logo_raw_noapp0_color420.jpg"
+        )
+        w, h, c, px = mm.decode_jpeg(p.read_bytes())
+        assert (w, h, c) == (16, 16, 3)
+        assert len(px) == 16 * 16 * 3
+
+    def test_raw_stream_ingest_dims(self, spark, tmp_path):
+        import shutil
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        shutil.copy(
+            TestJpegForeignGolden._fixture(
+                "cpython_logo_raw_noapp0_color420.jpg"
+            ),
+            tmp_path / "raw.jpg",
+        )
+        row = mm.ingest_binary_dir(spark, str(tmp_path), glob="*.jpg").collect()[0]
+        assert (row.meta.width, row.meta.height, row.meta.channels) == (16, 16, 3)
