@@ -2273,7 +2273,7 @@ def ingest_binary_dir(spark, path: str, glob: str = "*.{png,wav,bmp}") -> DataFr
     )
 
 
-def decode_binary_stats(mm: DataFrame) -> DataFrame:
+def decode_binary_stats(mm: DataFrame, on_error: str = "fail") -> DataFrame:
     """Decode REAL payloads (PNG pixels / WAV samples) via the stdlib
     codecs in one Arrow-batched ``mapInPandas`` pass and emit per-file
     value statistics: modality, n_values (pixels or samples) and
@@ -2281,44 +2281,59 @@ def decode_binary_stats(mm: DataFrame) -> DataFrame:
     oracle can recompute them from the source data the files were
     derived from. This is the production decode shape: whole record
     batches in, no per-row Python calls into Spark, codec work
-    vectorized per batch."""
+    vectorized per batch.
+
+    ``on_error`` governs corrupt payloads (every codec raises
+    ValueError on corruption — fuzz-enforced), because a 100 TB lake
+    directory ALWAYS contains some: ``"fail"`` (default) propagates
+    and fails the job — the fixture-derived oracle queries want that;
+    ``"skip"`` drops the corrupt file's row; ``"tag"`` keeps the row
+    with modality ``"corrupt"``, NULL stats and an ``error`` column
+    (NULL for healthy rows) so bad objects are quarantinable
+    downstream instead of poisoning a multi-hour job."""
     import pandas as pd
 
+    if on_error not in ("fail", "skip", "tag"):
+        raise ValueError("on_error must be 'fail', 'skip' or 'tag'")
     schema = "file_name string, modality string, n_values long, val_sum long"
+    if on_error == "tag":
+        schema += ", error string"
+
+    def _decode_one(b: bytes) -> "tuple[str, int, int]":
+        if b[1:4] == b"PNG":
+            w, h, pix = decode_png_gray(b)
+            return "image", w * h, int(sum(pix))
+        if b[:2] == b"BM":
+            w, h, pix = decode_bmp_gray(b)
+            return "image", w * h, int(sum(pix))
+        if b[:2] == b"\xff\xd8":
+            w, h, nch, pix = decode_jpeg(b)
+            return "image", w * h * nch, int(sum(pix))
+        _, samples = decode_wav_pcm8(b)
+        return "audio", len(samples), int(sum(samples))
 
     def _decode(batches):
         for pdf in batches:
-            names, modality, n_values, val_sum = [], [], [], []
+            rows = []
             for name, payload in zip(pdf["file_name"], pdf["payload"]):
-                b = bytes(payload)
-                if b[1:4] == b"PNG":
-                    w, h, pix = decode_png_gray(b)
-                    modality.append("image")
-                    n_values.append(w * h)
-                    val_sum.append(int(sum(pix)))
-                elif b[:2] == b"BM":
-                    w, h, pix = decode_bmp_gray(b)
-                    modality.append("image")
-                    n_values.append(w * h)
-                    val_sum.append(int(sum(pix)))
-                elif b[:2] == b"\xff\xd8":
-                    w, h, nch, pix = decode_jpeg(b)
-                    modality.append("image")
-                    n_values.append(w * h * nch)
-                    val_sum.append(int(sum(pix)))
-                else:
-                    _, samples = decode_wav_pcm8(b)
-                    modality.append("audio")
-                    n_values.append(len(samples))
-                    val_sum.append(int(sum(samples)))
-                names.append(name)
-            yield pd.DataFrame(
-                {
-                    "file_name": names,
-                    "modality": modality,
-                    "n_values": pd.Series(n_values, dtype="int64"),
-                    "val_sum": pd.Series(val_sum, dtype="int64"),
-                }
+                try:
+                    modality, n, s = _decode_one(bytes(payload))
+                    rows.append((name, modality, n, s, None))
+                except (ValueError, NotImplementedError) as e:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((name, "corrupt", None, None, str(e)))
+            out = pd.DataFrame(
+                rows,
+                columns=["file_name", "modality", "n_values", "val_sum",
+                         "error"],
             )
+            out["n_values"] = out["n_values"].astype("Int64")
+            out["val_sum"] = out["val_sum"].astype("Int64")
+            if on_error != "tag":
+                out = out.drop(columns=["error"])
+            yield out
 
     return mm.select("file_name", "payload").mapInPandas(_decode, schema=schema)

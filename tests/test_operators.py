@@ -2256,3 +2256,60 @@ class TestJpegRawStreamGolden:
         )
         row = mm.ingest_binary_dir(spark, str(tmp_path), glob="*.jpg").collect()[0]
         assert (row.meta.width, row.meta.height, row.meta.channels) == (16, 16, 3)
+
+
+class TestDecodeStatsOnError:
+    """decode_binary_stats on_error modes (round-7): a corrupt blob in
+    a lake directory must be controllable — fail the job (default,
+    what the fixture-derived oracles want), skip the row, or tag it
+    with modality='corrupt' and the error text for downstream
+    quarantine."""
+
+    @pytest.fixture()
+    def mixed_dir(self, spark, tmp_path):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        (tmp_path / "ok.png").write_bytes(
+            mm.encode_png_gray(bytes([3] * 64), 8, 8)
+        )
+        good_bmp = mm.encode_bmp_gray(bytes([5] * 64), 8, 8)
+        (tmp_path / "bad.bmp").write_bytes(good_bmp[:-7])  # truncated
+        return mm.ingest_binary_dir(spark, str(tmp_path), glob="*.{png,bmp}")
+
+    def test_fail_propagates(self, mixed_dir):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        with pytest.raises(Exception, match="truncated BMP"):
+            mm.decode_binary_stats(mixed_dir).collect()
+
+    def test_skip_drops_corrupt_row(self, mixed_dir):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rows = mm.decode_binary_stats(mixed_dir, on_error="skip").collect()
+        assert [(r.file_name, r.n_values, r.val_sum) for r in rows] == [
+            ("ok.png", 64, 192)
+        ]
+
+    def test_tag_quarantines_with_error_text(self, mixed_dir):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        rows = {
+            r.file_name: r
+            for r in mm.decode_binary_stats(mixed_dir, on_error="tag").collect()
+        }
+        ok, bad = rows["ok.png"], rows["bad.bmp"]
+        assert (ok.modality, ok.n_values, ok.val_sum, ok.error) == (
+            "image", 64, 192, None,
+        )
+        assert bad.modality == "corrupt"
+        assert bad.n_values is None and bad.val_sum is None
+        assert "truncated BMP" in bad.error
+
+    def test_invalid_mode_rejected(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [Row(file_name="x", payload=b"")], "file_name string, payload binary"
+        )
+        with pytest.raises(ValueError, match="on_error"):
+            mm.decode_binary_stats(df, on_error="ignore")
