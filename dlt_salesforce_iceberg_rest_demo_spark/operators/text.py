@@ -1043,3 +1043,112 @@ def bpe_train_merges_batched(
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" sec. 4.1): find every token that lies
+    inside a substring of >= ``window`` tokens occurring more than once
+    in the corpus (any offset, any document, including repeats within
+    one document), and report the maximal duplicated spans per doc -
+    the removal targets of that paper. The reference has no
+    sub-document operator at all (its unit is the whole Salesforce row,
+    salesforce_pipeline.py:90-130); this is the training-data transform
+    a pretraining pipeline layers on top.
+
+    Their implementation is a single-machine suffix array; the
+    distributed equivalent fingerprints every OVERLAPPING stride-1
+    ``window``-token span and flags a span duplicated when its exact
+    text occurs anywhere else. The covered-token sets are IDENTICAL to
+    the suffix-array method at threshold = window: a duplicated
+    substring of length L >= window contains only duplicated windows
+    (every window inside it recurs wherever it recurs), and any
+    duplicated window is itself a duplicated substring of length
+    window - so token-coverage is equal in both directions, and merging
+    overlapping/adjacent duplicated windows reproduces the paper's
+    maximal byte ranges exactly.
+
+    Returns one row per doc: ``n_tokens``, ``n_dup_spans`` (maximal
+    merged spans), ``dup_tokens`` (tokens covered), ``dup_token_frac``.
+
+    Scale shape: the window explode is map-side (pipelined into the
+    scan); the ONE corpus-wide shuffle carries (fingerprint, doc_id,
+    pos) - O(corpus tokens) rows, the inherent cost of any
+    shingle-level exact method (MinHash pays the same explode) - after
+    which window text is never moved again. The duplicate flag
+    partitions on the window TEXT itself (lossless - no fingerprint
+    false positives; the dictionary-encoded exchange keeps bytes
+    bounded because duplicated windows are by definition repeated
+    values). Span merging shuffles only the flagged rows by doc_id.
+    At 100 TB the standard mitigations compose without changing the
+    plan: a first-pass frequency sketch to pre-prune singleton
+    fingerprints, or stride > 1 at reduced resolution.
+    """
+    tk = F.split(F.col(text_col), " ")
+    base = docs.select("doc_id", tk.alias("tk"))
+    win = (
+        base.filter(F.size("tk") >= window)
+        .select(
+            "doc_id",
+            F.col("tk"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("pos") + F.lit(window - 1)).alias("e"),
+            F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"), window)).alias(
+                "wtext"
+            ),
+        )
+    )
+    dup = (
+        win.withColumn(
+            "c", F.count("*").over(Window.partitionBy("wtext"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos", "e")
+    )
+    prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = (
+        dup.withColumn(
+            "st",
+            (
+                F.col("pos") > F.coalesce(F.max("e").over(prev), F.lit(0)) + 1
+            ).cast("int"),
+        )
+        .withColumn("gid", F.sum("st").over(run))
+        .groupBy("doc_id", "gid")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+        )
+    )

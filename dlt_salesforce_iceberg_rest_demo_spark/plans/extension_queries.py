@@ -2533,3 +2533,62 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         hilbert_key_2d("l_partkey", "l_suppkey").alias("hkey"),
     )
+
+
+EXACT_SUBSTRING_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+win AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - 7)) AS pos
+  FROM tk WHERE len(tk) >= 8),
+wtx AS (
+  SELECT doc_id, pos, pos + 7 AS e,
+         array_to_string(list_slice(tk, pos, pos + 7), ' ') AS wtext
+  FROM win),
+dup AS (
+  SELECT doc_id, pos, e
+  FROM (SELECT doc_id, pos, e, COUNT(*) OVER (PARTITION BY wtext) AS c
+        FROM wtx)
+  WHERE c > 1),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+              THEN 1 ELSE 0 END AS st
+  FROM dup),
+ids AS (
+  SELECT doc_id, pos, e,
+         SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gid
+  FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+          FROM ids GROUP BY doc_id, gid),
+agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+               SUM(e - s + 1) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.tk)
+         AS dup_token_frac
+FROM tk t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("text_exact_substring_dedup", oracle=EXACT_SUBSTRING_ORACLE)
+def text_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022 sec. 4.1) at threshold 8:
+    per-doc maximal duplicated spans and duplicated-token fraction,
+    counting a span duplicated when its exact 8-token text recurs
+    ANYWHERE in the corpus (any offset, any doc, intra-doc repeats
+    included) — the any-offset upgrade over `text_block_dedup`'s
+    aligned blocks. The reference has no sub-document operator (its
+    unit is the whole Salesforce row, salesforce_pipeline.py:90-130).
+    Suffix-array equivalence at threshold = window is argued and
+    property-tested in operators/text.py:exact_substring_spans."""
+    return text.exact_substring_spans(
+        t(spark, sf_dir, "documents"), window=8
+    )

@@ -619,6 +619,94 @@ class TestBlockDedup:
         assert out[0].n_blocks == 1 and out[0].n_dup_blocks == 0
 
 
+class TestExactSubstringSpans:
+    """ExactSubstr dedup (Lee et al. 2022 sec. 4.1) — the any-offset
+    upgrade over TestBlockDedup's aligned blocks."""
+
+    def test_planted_unaligned_span(self, spark):
+        """A 10-token run shared at DIFFERENT offsets in two docs (so
+        block_dedup's aligned 16-token blocks would miss it) is found
+        in BOTH docs; merged span covers exactly the shared tokens."""
+        shared = " ".join(f"s{i}" for i in range(10))
+        rows = [
+            # shared run starts at token 1
+            Row(doc_id=1, text=shared + " " + " ".join(f"a{i}" for i in range(10))),
+            # shared run starts at token 6
+            Row(
+                doc_id=2,
+                text=" ".join(f"b{i}" for i in range(5))
+                + " " + shared + " "
+                + " ".join(f"c{i}" for i in range(5)),
+            ),
+            Row(doc_id=3, text=" ".join(f"z{i}" for i in range(20))),
+        ]
+        out = {
+            r.doc_id: r
+            for r in text.exact_substring_spans(
+                spark.createDataFrame(rows), window=8
+            ).collect()
+        }
+        # duplicated substring length 10 >= window 8 -> all 10 tokens
+        # covered in each doc, one maximal span each
+        assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 10
+        assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 10
+        assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+        assert out[1].n_tokens == 20 and out[1].dup_token_frac == pytest.approx(0.5)
+
+    def test_intra_doc_repeat_counts(self, spark):
+        """A doc repeating its own 8-token phrase twice is flagged even
+        with no second document (the paper removes intra-doc repeats)."""
+        phrase = " ".join(f"p{i}" for i in range(8))
+        mid = " ".join(f"m{i}" for i in range(4))
+        rows = [Row(doc_id=1, text=phrase + " " + mid + " " + phrase)]
+        out = text.exact_substring_spans(
+            spark.createDataFrame(rows), window=8
+        ).collect()[0]
+        assert out.n_dup_spans == 2 and out.dup_tokens == 16
+
+    def test_sub_window_span_not_flagged(self, spark):
+        """A shared run SHORTER than the window is invisible: no 8-token
+        window fits inside it, so nothing is flagged (threshold
+        semantics, not substring-grep semantics)."""
+        shared = " ".join(f"s{i}" for i in range(7))  # 7 < window
+        rows = [
+            Row(doc_id=1, text=shared + " " + " ".join(f"a{i}" for i in range(8))),
+            Row(doc_id=2, text=shared + " " + " ".join(f"b{i}" for i in range(8))),
+        ]
+        out = text.exact_substring_spans(
+            spark.createDataFrame(rows), window=8
+        ).collect()
+        assert all(r.n_dup_spans == 0 for r in out)
+
+    def test_adjacent_windows_merge_into_one_span(self, spark):
+        """Two duplicated regions that overlap merge into ONE maximal
+        span (the gaps-and-islands pass), mirroring the paper's maximal
+        byte ranges."""
+        long_shared = " ".join(f"s{i}" for i in range(20))
+        rows = [
+            Row(doc_id=1, text=long_shared),
+            Row(doc_id=2, text=long_shared + " tail1 tail2"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in text.exact_substring_spans(
+                spark.createDataFrame(rows), window=8
+            ).collect()
+        }
+        assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 20
+        assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 20
+
+    def test_short_doc_zero_output_row(self, spark):
+        """Docs shorter than the window still appear in the output with
+        zeros (left-join contract: per-doc stats over the WHOLE corpus)."""
+        out = text.exact_substring_spans(
+            spark.createDataFrame([Row(doc_id=1, text="just three words")]),
+            window=8,
+        ).collect()
+        assert out[0].n_tokens == 3 and out[0].n_dup_spans == 0
+        assert out[0].dup_token_frac == 0.0
+
+
 class TestContamination:
     def test_contained_and_disjoint_docs(self, spark):
         bench = spark.createDataFrame(

@@ -1996,3 +1996,55 @@ class TestGapfillInterpolateProperty:
                 interp = known[pt] + (known[nt] - known[pt]) * frac
                 want[(g, bucket)] = (None, interp)
         assert got == want
+
+
+class TestExactSubstringSpansProperty:
+    @SETTINGS
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=14),
+            min_size=1,
+            max_size=5,
+        ),
+        window=st.integers(min_value=1, max_value=4),
+    )
+    def test_matches_python_replay(self, spark, texts, window):
+        """exact_substring_spans == the brute-force python replay:
+        flag every stride-1 window whose text occurs >1 times corpus-
+        wide (intra-doc repeats included), merge covered positions into
+        maximal runs. The tiny 2-letter alphabet forces heavy collision
+        structure (whole-corpus repeats, self-overlapping runs like
+        'a a a a') that fixture text never produces."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+            for r in t_ops.exact_substring_spans(df, window=window).collect()
+        }
+        # python replay: count every window text corpus-wide
+        from collections import Counter
+
+        toks = {i: (" ".join(ws)).split(" ") for i, ws in enumerate(texts)}
+        cnt = Counter(
+            tuple(tk[p : p + window])
+            for tk in toks.values()
+            for p in range(len(tk) - window + 1)
+        )
+        want = {}
+        for i, tk in toks.items():
+            covered = set()
+            for p in range(len(tk) - window + 1):
+                if cnt[tuple(tk[p : p + window])] > 1:
+                    covered.update(range(p, p + window))
+            spans = 0
+            prev = None
+            for p in sorted(covered):
+                if prev is None or p > prev + 1:
+                    spans += 1
+                prev = p
+            want[i] = (len(tk), spans, len(covered))
+        assert got == want
