@@ -1086,10 +1086,27 @@ def exact_substring_spans(
     plan: a first-pass frequency sketch to pre-prune singleton
     fingerprints, or stride > 1 at reduced resolution.
     """
+    win = _substring_windows(docs, text_col, window)
+    dup = (
+        win.withColumn(
+            "c", F.count("*").over(Window.partitionBy("wtext"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos", "e")
+    )
+    return _span_stats(docs, text_col, dup)
+
+
+def _substring_windows(
+    docs: DataFrame, text_col: str, window: int
+) -> DataFrame:
+    """One row per stride-1 ``window``-token span: (doc_id, pos, e,
+    wtext). Map-side only (explode pipelines into the scan); docs
+    shorter than the window yield no rows."""
     tk = F.split(F.col(text_col), " ")
-    base = docs.select("doc_id", tk.alias("tk"))
-    win = (
-        base.filter(F.size("tk") >= window)
+    return (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= window)
         .select(
             "doc_id",
             F.col("tk"),
@@ -1106,13 +1123,15 @@ def exact_substring_spans(
             ),
         )
     )
-    dup = (
-        win.withColumn(
-            "c", F.count("*").over(Window.partitionBy("wtext"))
-        )
-        .filter(F.col("c") > 1)
-        .select("doc_id", "pos", "e")
-    )
+
+
+def _span_stats(
+    docs: DataFrame, text_col: str, dup: DataFrame
+) -> DataFrame:
+    """Merge flagged windows (doc_id, pos, e) into maximal spans
+    (gaps-and-islands: new island when pos > running max end + 1) and
+    left-join the per-doc stats back onto EVERY doc (zeros for clean
+    and sub-window docs). Shuffles only the flagged rows by doc_id."""
     prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1134,8 +1153,9 @@ def exact_substring_spans(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
     )
+    tk = F.split(F.col(text_col), " ")
     return (
-        base.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        docs.select("doc_id", F.size(tk).cast("long").alias("n_tokens"))
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",
@@ -1152,3 +1172,70 @@ def exact_substring_spans(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def exact_substring_index(
+    docs: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """The PERSISTED corpus-side index for incremental ExactSubstr:
+    one row per DISTINCT window fingerprint with its occurrence count,
+    ``(fp string, cnt long)``. md5 of the window text (portable: the
+    DuckDB oracle rebuilds identical values; collision probability
+    ~n^2/2^129 is irrelevant at any corpus size) so the index never
+    stores text. Counts ADD, so per-ingest maintenance is a groupBy of
+    the new batch's windows unioned onto the stored table - the index
+    is the asset :func:`incremental_exact_substring_spans` tells you to
+    keep, exactly like the MinHash signature table in
+    ``dedup.incremental_minhash_pairs``. Store it bucketed by ``fp``
+    so batch probes co-locate without reshuffling the index."""
+    return (
+        _substring_windows(docs, text_col, window)
+        .groupBy(F.md5(F.col("wtext")).alias("fp"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def incremental_exact_substring_spans(
+    new_docs: DataFrame,
+    base_index: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) ExactSubstr: score a NEW ingest
+    batch against the persisted window-fingerprint index of the
+    already-ingested corpus WITHOUT re-reading any corpus text - the
+    per-ingest cost is O(batch tokens) plus one index probe, the only
+    shape that holds when the lake is 100 TB and the batch is a few GB.
+
+    A batch window is duplicated iff its text occurs in the corpus
+    (fingerprint present in ``base_index``) OR at least twice within
+    the batch itself - exactly the flag the full corpus-wide
+    :func:`exact_substring_spans` run would assign it, so the per-doc
+    stats for the batch equal the full run restricted to batch docs
+    (the equivalence law pinned in tests/test_properties.py). Output
+    schema matches :func:`exact_substring_spans`.
+
+    Plan shape: the batch's distinct fingerprints are BROADCAST to a
+    left-semi probe of the index, so the (huge) index is scanned
+    map-side and never shuffled; only the (small) hit set and the
+    batch's own windows move. Batches too large to broadcast fall back
+    to a co-located shuffle join against the fp-bucketed index - same
+    semantics, one extra exchange on the batch side only.
+    """
+    win = _substring_windows(new_docs, text_col, window).withColumn(
+        "fp", F.md5(F.col("wtext"))
+    )
+    # fingerprints the corpus has seen: map-side semi probe of the
+    # index against the broadcast batch fp set (index never shuffles)
+    hits = base_index.join(
+        F.broadcast(win.select("fp").distinct()), "fp", "left_semi"
+    ).select("fp", F.lit(True).alias("in_base"))
+    dup = (
+        win.withColumn(
+            "bc", F.count("*").over(Window.partitionBy("fp"))
+        )
+        .join(F.broadcast(hits), "fp", "left")
+        .filter((F.col("bc") >= 2) | F.col("in_base").isNotNull())
+        .select("doc_id", "pos", "e")
+    )
+    return _span_stats(new_docs, text_col, dup)

@@ -66,6 +66,10 @@ HOT = [
     # peel depth (and hence the plan) must not grow with scale.
     "graph_k_core_customers_parts",
     "graph_k_truss_suppliers",
+    # round-7: ExactSubstr dedup — the O(corpus tokens) window shuffle
+    # is the cost claim; on the disjoint slice dup structure is
+    # per-copy, so work must scale linearly with no new exchanges.
+    "text_exact_substring_dedup",
 ]
 
 # The df-split operators, re-measured on the saturated-vocabulary
@@ -83,6 +87,10 @@ GROWDF = [
     # growdf slice makes every doc resemble ~100 others, so the banded
     # LSH bucket join and the CC rounds see x26 output clusters.
     "dedup_clusters_minhash",
+    # Saturated-vocabulary regime for ExactSubstr: with a fixed token
+    # universe at 10x volume, window repeat counts grow ~10x and the
+    # dup fraction saturates — the boilerplate-heavy corpus case.
+    "text_exact_substring_dedup",
 ]
 
 # Entries whose plan DELIBERATELY changes with scale: excluded from the

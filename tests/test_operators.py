@@ -707,6 +707,65 @@ class TestExactSubstringSpans:
         assert out[0].dup_token_frac == 0.0
 
 
+class TestIncrementalExactSubstring:
+    """Batch-vs-corpus ExactSubstr over the persisted fingerprint
+    index: corpus text is never re-read (the O(batch) ingest shape)."""
+
+    def test_corpus_dup_and_intra_batch_dup_detected(self, spark):
+        corpus_phrase = " ".join(f"k{i}" for i in range(8))
+        batch_phrase = " ".join(f"q{i}" for i in range(8))
+        base = spark.createDataFrame(
+            [Row(doc_id=1, text=corpus_phrase + " extra0 extra1")]
+        )
+        new = spark.createDataFrame(
+            [
+                # duplicates a corpus phrase
+                Row(doc_id=10, text=corpus_phrase + " fresh0 fresh1"),
+                # duplicates ANOTHER batch doc (corpus never saw it)
+                Row(doc_id=20, text=batch_phrase + " m0 m1"),
+                Row(doc_id=30, text="n0 n1 " + batch_phrase),
+                # clean
+                Row(doc_id=40, text=" ".join(f"z{i}" for i in range(10))),
+            ]
+        )
+        idx = text.exact_substring_index(base, window=8)
+        out = {
+            r.doc_id: r
+            for r in text.incremental_exact_substring_spans(
+                new, idx, window=8
+            ).collect()
+        }
+        assert set(out) == {10, 20, 30, 40}  # batch docs only
+        assert out[10].n_dup_spans == 1 and out[10].dup_tokens == 8
+        assert out[20].n_dup_spans == 1 and out[20].dup_tokens == 8
+        assert out[30].n_dup_spans == 1 and out[30].dup_tokens == 8
+        assert out[40].n_dup_spans == 0 and out[40].dup_tokens == 0
+
+    def test_index_counts_merge_additively(self, spark):
+        """index(a ∪ b) == index(a) + index(b) summed per fp — the
+        per-ingest maintenance contract (counts add, no text kept)."""
+        a = spark.createDataFrame(
+            [Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10)))]
+        )
+        b = spark.createDataFrame(
+            [Row(doc_id=2, text=" ".join(f"w{i}" for i in range(9)))]
+        )
+        both = a.unionByName(b)
+        merged = {
+            r.fp: r.cnt
+            for r in text.exact_substring_index(a)
+            .unionByName(text.exact_substring_index(b))
+            .groupBy("fp")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        full = {
+            r.fp: r.cnt
+            for r in text.exact_substring_index(both).collect()
+        }
+        assert merged == full
+
+
 class TestContamination:
     def test_contained_and_disjoint_docs(self, spark):
         bench = spark.createDataFrame(

@@ -2048,3 +2048,56 @@ class TestExactSubstringSpansProperty:
                 prev = p
             want[i] = (len(tk), spans, len(covered))
         assert got == want
+
+
+class TestIncrementalExactSubstringProperty:
+    @SETTINGS
+    @given(
+        base=st.lists(
+            st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=12),
+            min_size=0,
+            max_size=4,
+        ),
+        batch=st.lists(
+            st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=12),
+            min_size=1,
+            max_size=4,
+        ),
+        window=st.integers(min_value=1, max_value=4),
+    )
+    def test_equals_full_run_restricted_to_batch(
+        self, spark, base, batch, window
+    ):
+        """The incremental contract: incremental(batch, index(base)) ==
+        exact_substring_spans(base ∪ batch) restricted to batch docs —
+        a batch window is duplicated iff it occurs in the corpus OR
+        twice in the batch, which is exactly the corpus-wide count>1
+        flag. The 2-letter alphabet maximizes cross-set collisions."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        base_df = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(base)],
+            "doc_id long, text string",
+        )
+        batch_df = spark.createDataFrame(
+            [
+                Row(doc_id=1000 + i, text=" ".join(ws))
+                for i, ws in enumerate(batch)
+            ],
+            "doc_id long, text string",
+        )
+        idx = t_ops.exact_substring_index(base_df, window=window)
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+            for r in t_ops.incremental_exact_substring_spans(
+                batch_df, idx, window=window
+            ).collect()
+        }
+        want = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+            for r in t_ops.exact_substring_spans(
+                base_df.unionByName(batch_df), window=window
+            ).collect()
+            if r.doc_id >= 1000
+        }
+        assert got == want
