@@ -707,6 +707,7 @@ class ParquetLake:
         key_col: str,
         version_col: str = "version",
         op_col: str = "op",
+        guard_stale: bool = False,
     ) -> WriteReport:
         """CDC disposition: apply an I/U/D changelog to the table in ONE
         atomic commit — the upsert-with-deletes the reference's
@@ -727,14 +728,37 @@ class ParquetLake:
         MATCHED AND op='D' THEN DELETE`` semantics). An empty changelog
         is a no-op (no commit — the idle-poll rule from
         :meth:`append`). ``rows_written`` reports surviving upserts.
-        """
-        from ..operators.incremental_agg import apply_changelog
 
+        Delivery contract (default, ``guard_stale=False``): versions
+        order writers only WITHIN a changelog; ACROSS calls the last
+        call wins regardless of version — correct when the upstream
+        delivers each key in version order across batches (Kafka /
+        Debezium per-key topic ordering), the standard streaming-CDC
+        assumption. ``guard_stale=True`` drops that assumption for
+        live rows: the table retains each key's ``last_version``
+        (added by additive schema evolution, NULL — i.e. 'any version
+        beats me' — for rows predating the guard) and an incoming
+        final decision only applies when its version is strictly
+        newer, so a late-arriving stale update or delete leaves the
+        newer stored row untouched, in ANY delivery order; stale-only
+        batches commit nothing. Pinned boundary: deletes keep no
+        tombstone (Iceberg MERGE DELETE semantics), so an update
+        outrun by the delete that superseded it resurrects the key —
+        ordered delivery of deletes is still required (the
+        split-invariance law for delete-free changelogs is
+        property-tested in tests/test_properties.py).
+        """
         payload_cols = [
             c for c in log.columns if c not in (key_col, version_col, op_col)
         ]
         if log.isEmpty():
             return WriteReport(table, "merge_cdc", 0)
+        if guard_stale:
+            return self._merge_cdc_guarded(
+                log, table, key_col, version_col, op_col, payload_cols
+            )
+        from ..operators.incremental_agg import apply_changelog
+
         upserts = apply_changelog(
             log, key_col, version_col, op_col, payload_cols
         ).drop("last_version")
@@ -751,6 +775,63 @@ class ParquetLake:
         base = self.read(table)
         kept = base.join(F.broadcast(touched), key_col, "left_anti")
         merged = kept.unionByName(self._prepare(table, upserts))
+        name, _total = self._new_data_dir(table, merged)
+        self._commit(table, [name])
+        return WriteReport(table, "merge_cdc", n_upserts)
+
+    def _merge_cdc_guarded(
+        self,
+        log: DataFrame,
+        table: str,
+        key_col: str,
+        version_col: str,
+        op_col: str,
+        payload_cols: list[str],
+    ) -> WriteReport:
+        """The ``guard_stale=True`` body of :meth:`merge_cdc`: per-key
+        final decision INCLUDING deletes (the delete's version must
+        out-rank the stored row, unlike apply_changelog which drops
+        deleted keys before their version is known), stale-filtered
+        against the table's persisted ``last_version``."""
+        m = log.groupBy(key_col).agg(
+            F.max(F.struct(version_col, op_col, *payload_cols)).alias("m")
+        )
+        final = m.select(
+            key_col,
+            F.col(f"m.{version_col}").cast("long").alias("last_version"),
+            F.col(f"m.{op_col}").alias("__op"),
+            *[F.col(f"m.{c}").alias(c) for c in payload_cols],
+        )
+        if not self.exists(table):
+            df0 = self._prepare(table, final.filter(F.col("__op") != "D").drop("__op"))
+            name, rows = self._new_data_dir(table, df0)
+            if rows == 0:
+                shutil.rmtree(self.root / table / name, ignore_errors=True)
+                return WriteReport(table, "merge_cdc", 0)
+            self._commit(table, [name])
+            return WriteReport(table, "merge_cdc", rows)
+        base = self.read(table)
+        basev = (
+            base.select(key_col, F.col("last_version").alias("__base_v"))
+            if "last_version" in base.columns
+            # pre-guard rows carry no version: any incoming version wins
+            else base.select(key_col, F.lit(None).cast("long").alias("__base_v"))
+        )
+        dec = final.join(basev, key_col, "left").filter(
+            F.col("__base_v").isNull()
+            | (F.col("last_version") > F.col("__base_v"))
+        )
+        if dec.isEmpty():  # stale-only batch: no commit
+            return WriteReport(table, "merge_cdc", 0)
+        upserts = dec.filter(F.col("__op") != "D").drop("__op", "__base_v")
+        n_upserts = upserts.count()
+        # additive evolution: a previously-unguarded table gains
+        # last_version (typed NULLs for files predating the column)
+        upserts = self._prepare(table, upserts, evolve=True)
+        kept = self.read(table).join(
+            F.broadcast(dec.select(key_col)), key_col, "left_anti"
+        )
+        merged = align_to_schema(kept, self.schema(table)).unionByName(upserts)
         name, _total = self._new_data_dir(table, merged)
         self._commit(table, [name])
         return WriteReport(table, "merge_cdc", n_upserts)

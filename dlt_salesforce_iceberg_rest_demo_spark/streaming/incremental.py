@@ -484,6 +484,7 @@ def stream_cdc_apply(
     version_col: str = "version",
     op_col: str = "op",
     checkpoint_dir: str | None = None,
+    guard_stale: bool = False,
 ):
     """Continuous CDC apply: each micro-batch of the I/U/D changelog
     stream runs ``ParquetLake.merge_cdc`` — last-writer-wins compaction
@@ -494,13 +495,25 @@ def stream_cdc_apply(
     whose batch half is `cdc_apply_changelog`; on Iceberg the body
     becomes MERGE INTO ... WHEN MATCHED AND op='D' THEN DELETE.
 
+    Micro-batch boundaries are an arbitrary split of the changelog, so
+    the default inherits merge_cdc's delivery contract: per-key version
+    order must hold ACROSS batches (Kafka/Debezium per-key topic
+    ordering). ``guard_stale=True`` lifts that for live rows — the lake
+    keeps each key's last_version and ignores stale cross-batch
+    updates/deletes, making the final table independent of how the
+    stream was micro-batched for delete-free (or delete-ordered)
+    changelogs; see :meth:`ParquetLake.merge_cdc`.
+
     Returns the started StreamingQuery (caller stops it).
     """
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        lake.merge_cdc(batch_df, table, key_col, version_col, op_col)
+        lake.merge_cdc(
+            batch_df, table, key_col, version_col, op_col,
+            guard_stale=guard_stale,
+        )
 
     writer = changelog.writeStream.foreachBatch(_apply_batch).outputMode("update")
     if checkpoint_dir:

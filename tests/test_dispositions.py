@@ -480,6 +480,73 @@ class TestMergeCdc:
         rows = rows_by_id(lake, "t")
         assert rows == {1: {"id": 1, "v": "a"}} or (1 in rows and 2 not in rows)
 
+    def test_unguarded_last_call_wins_across_batches(self, spark, tmp_path):
+        """Pin the DEFAULT delivery contract: across calls, versions do
+        not protect — a later call with a lower version overwrites
+        (correct under per-key-ordered delivery, the streaming norm)."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(self._log(spark, [(1, 5, "U", "new")]), "t", "id")
+        lake.merge_cdc(self._log(spark, [(1, 3, "U", "stale")]), "t", "id")
+        assert rows_by_id(lake, "t")[1]["v"] == "stale"
+
+    def test_guard_stale_ignores_late_lower_version_update(self, spark, tmp_path):
+        """guard_stale=True: the table keeps last_version and a
+        late-arriving lower-version update leaves the newer row alone —
+        and commits NOTHING when the whole batch is stale."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(
+            self._log(spark, [(1, 5, "U", "new")]), "t", "id", guard_stale=True
+        )
+        v0 = lake.current_version("t")
+        rep = lake.merge_cdc(
+            self._log(spark, [(1, 3, "U", "stale")]), "t", "id", guard_stale=True
+        )
+        row = rows_by_id(lake, "t")[1]
+        assert row["v"] == "new" and row["last_version"] == 5
+        assert rep.rows_written == 0
+        assert lake.current_version("t") == v0  # stale-only: no commit
+
+    def test_guard_stale_ignores_late_lower_version_delete(self, spark, tmp_path):
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(
+            self._log(spark, [(1, 5, "U", "new")]), "t", "id", guard_stale=True
+        )
+        lake.merge_cdc(
+            self._log(spark, [(1, 3, "D", "x")]), "t", "id", guard_stale=True
+        )
+        assert rows_by_id(lake, "t")[1]["v"] == "new"  # stale delete ignored
+        lake.merge_cdc(
+            self._log(spark, [(1, 7, "D", "x")]), "t", "id", guard_stale=True
+        )
+        assert 1 not in rows_by_id(lake, "t")  # fresh delete applies
+
+    def test_guard_resurrection_boundary_is_pinned(self, spark, tmp_path):
+        """The documented no-tombstone boundary: an update outrun by
+        the delete that superseded it resurrects the key (deletes keep
+        no version to compare against)."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(
+            self._log(spark, [(1, 5, "D", "x")]), "t", "id", guard_stale=True
+        )
+        lake.merge_cdc(
+            self._log(spark, [(1, 3, "U", "zombie")]), "t", "id", guard_stale=True
+        )
+        assert rows_by_id(lake, "t")[1]["v"] == "zombie"
+
+    def test_guard_evolves_unguarded_table(self, spark, tmp_path):
+        """A guarded merge onto a pre-guard table adds last_version by
+        additive evolution; pre-guard rows (NULL version) lose to any
+        incoming version."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(self._log(spark, [(1, 9, "U", "old"), (2, 9, "U", "keep")]), "t", "id")
+        assert "last_version" not in lake.read("t").columns
+        lake.merge_cdc(
+            self._log(spark, [(1, 1, "U", "upd")]), "t", "id", guard_stale=True
+        )
+        rows = rows_by_id(lake, "t")
+        assert rows[1]["v"] == "upd" and rows[1]["last_version"] == 1
+        assert rows[2]["v"] == "keep" and rows[2]["last_version"] is None
+
 
 class TestBranchesWap:
     """Iceberg-style branches: write-audit-publish, isolation,

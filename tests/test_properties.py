@@ -2101,3 +2101,69 @@ class TestIncrementalExactSubstringProperty:
             if r.doc_id >= 1000
         }
         assert got == want
+
+
+class TestMergeCdcSplitInvariance:
+    """merge_cdc's delivery contracts as algebraic laws: how the
+    changelog is micro-batched must not change the final table —
+    unguarded under per-key-ordered delivery, guarded even under
+    arbitrary reordering of delete-free changelogs."""
+
+    @SETTINGS
+    @given(
+        entries=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # key
+                st.sampled_from(["I", "U", "D"]),        # op
+                st.integers(min_value=0, max_value=9),   # payload
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        cuts=st.lists(st.integers(min_value=1, max_value=11), max_size=3),
+        data=st.data(),
+    )
+    def test_laws(self, spark, tmp_path_factory, entries, cuts, data):
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+
+        # unique (key, version): version = global arrival index
+        log = [
+            Row(id=k, version=i, op=op, v=f"p{pay}")
+            for i, (k, op, pay) in enumerate(entries)
+        ]
+        schema = "id long, version long, op string, v string"
+
+        def apply_batches(batches, guard):
+            lake = ParquetLake(
+                spark, tmp_path_factory.mktemp("cdclaw") / "lake"
+            )
+            for b in batches:
+                if b:
+                    lake.merge_cdc(
+                        spark.createDataFrame(b, schema), "t", "id",
+                        guard_stale=guard,
+                    )
+            if not lake.exists("t"):
+                return {}
+            return {
+                r.id: r.v for r in lake.read("t").select("id", "v").collect()
+            }
+
+        one_shot = apply_batches([log], True)
+
+        # law 1 (unguarded): ANY split that preserves arrival order
+        # (== per-key version order here) gives the one-shot result
+        points = sorted({c for c in cuts if c < len(log)})
+        ordered_split = [
+            log[a:b]
+            for a, b in zip([0] + points, points + [len(log)])
+        ]
+        assert apply_batches(ordered_split, False) == one_shot
+
+        # law 2 (guarded): for DELETE-FREE changelogs, ANY batch
+        # permutation still converges to the one-shot result
+        if all(e.op != "D" for e in log):
+            perm = data.draw(st.permutations(ordered_split))
+            assert apply_batches(perm, True) == one_shot

@@ -478,6 +478,49 @@ def test_stream_cdc_apply_upserts_and_deletes(spark, tmp_path):
     assert rows == {1: "a", 2: "b3", 4: "d"}  # 3 deleted, 2 updated twice
 
 
+def test_stream_cdc_apply_guarded_survives_out_of_order_batches(spark, tmp_path):
+    """guard_stale=True makes the streamed table independent of
+    micro-batch delivery order for updates: versions v3/v4 for the same
+    keys arrive in a LATER file than v5/v6, yet the final table equals
+    the one-shot batch apply of the whole changelog (the default
+    contract would end on the stale payloads instead)."""
+    from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import ParquetLake
+    from dlt_salesforce_iceberg_rest_demo_spark.streaming import stream_cdc_apply
+
+    landing = tmp_path / "cdcg_in"
+    landing.mkdir()
+    schema = "id long, version long, op string, v string"
+    # newer versions delivered FIRST
+    spark.createDataFrame(
+        [Row(id=1, version=6, op="U", v="fresh1"),
+         Row(id=2, version=5, op="U", v="fresh2")]
+    ).coalesce(1).write.parquet(str(landing / "b1"))
+
+    lake = ParquetLake(spark, tmp_path / "cdcg_lake")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(landing / "*"))
+    q = stream_cdc_apply(
+        stream, lake, "t", "id",
+        checkpoint_dir=str(tmp_path / "cdcg_ckpt"),
+        guard_stale=True,
+    )
+    q.processAllAvailable()
+
+    # stale versions straggle in afterwards, plus one genuinely new key
+    spark.createDataFrame(
+        [Row(id=1, version=3, op="U", v="stale1"),
+         Row(id=2, version=4, op="D", v=None),
+         Row(id=3, version=1, op="I", v="new3")]
+    ).coalesce(1).write.parquet(str(landing / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.id: r.v for r in lake.read("t").collect()}
+    # == one-shot apply of all five rows: argmax per key
+    assert rows == {1: "fresh1", 2: "fresh2", 3: "new3"}
+
+
 def test_streaming_sessionize_matches_python_replay(spark, landing):
     """Round-7 equivalence (the sessionize twin only had a runs-check):
     native session_window aggregation over the real events fixture ==
