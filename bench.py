@@ -141,9 +141,10 @@ EXTENSION_HEADLINE = [
     # round-5: corpus-relative stopword cap (the 100 TB cap semantics).
     "text_sparse_cosine_autocap",
     # round-7: any-offset ExactSubstr dedup (Lee et al. 2022) + its
-    # batch-vs-corpus incremental twin.
+    # batch-vs-corpus incremental twin, and DSIR importance resampling.
     "text_exact_substring_dedup",
     "dedup_incremental_exact_substring",
+    "text_dsir_select",
 ]
 
 

@@ -1239,3 +1239,149 @@ def incremental_exact_substring_spans(
         .select("doc_id", "pos", "e")
     )
     return _span_stats(new_docs, text_col, dup)
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW doc
+    by how much its hashed-n-gram profile looks like the TARGET domain
+    — the data-SELECTION method a pretraining pipeline runs between
+    dedup and mixing (the reference has no selection stage at all; its
+    unit of choice is a whole Salesforce table).
+
+    Method, exactly the paper's: featurize text as hashed unigram +
+    bigram counts over ``buckets`` buckets (portable md5 bucket
+    hashing so the oracle replays it); fit add-1-smoothed multinomials
+    p (target) and q (raw) over the buckets; a doc's log importance
+    weight is sum_b count_b * (log p_b - log q_b). Per-bucket log
+    ratios are quantized to integer MICRO-units (floor(x*1e6 + 0.5),
+    the cross-engine rounding idiom) so the per-doc score is an exact
+    integer sum — order-independent and hash-portable; the one ulp of
+    libm ln() divergence is absorbed by the quantization (the
+    tfidf_top_terms precedent). Gumbel keys for resampling come from
+    :func:`dsir_select`.
+
+    Returns (doc_id, n_grams, logw_micro) for every raw doc.
+
+    Plan shape: gram explode is map-side; the bucket-count aggregates
+    are ``buckets``-bounded (map-side combine, then a broadcast-joined
+    64-row LUT with the smoothed log-ratios — the k-bounded
+    small-table pattern, no driver collect); the only corpus-scale
+    shuffle is the per-doc score aggregate on doc_id. Count-product
+    envelope: (t_b+1)*(R+k) must stay under 2^53 for the exact
+    integer products (holds to ~1e12 grams per side; past that,
+    compute the two smoothed probabilities separately in doubles —
+    the quantization makes the relative rounding immaterial).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        tk = tokens(text_col)
+        return (
+            df.select("doc_id", tk.alias("tk"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.concat(
+                        F.col("tk"),
+                        F.expr(
+                            "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                            " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+                        ),
+                    )
+                ).alias("gram"),
+            )
+            .select(
+                "doc_id",
+                (
+                    F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+                    .cast("long") % buckets
+                ).alias("bucket"),
+            )
+        )
+
+    rg = grams(raw)
+    tg = grams(target)
+    t_counts = tg.groupBy("bucket").agg(F.count("*").alias("t_b"))
+    r_counts = rg.groupBy("bucket").agg(F.count("*").alias("r_b"))
+    spark = raw.sparkSession
+    domain = spark.range(buckets).select(F.col("id").alias("bucket"))
+    tot = (
+        t_counts.agg(F.sum("t_b").alias("T")).crossJoin(
+            r_counts.agg(F.sum("r_b").alias("R"))
+        )
+    )
+    lut = (
+        domain.join(t_counts, "bucket", "left")
+        .join(r_counts, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t_b"), F.lit(0)) + 1)
+                        * (F.coalesce(F.col("R"), F.lit(0)) + buckets)
+                    ).cast("double")
+                    / (
+                        (F.coalesce(F.col("r_b"), F.lit(0)) + 1)
+                        * (F.coalesce(F.col("T"), F.lit(0)) + buckets)
+                    ).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+    return (
+        rg.join(F.broadcast(lut), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lr_micro").cast("long").alias("logw_micro"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR resampling on top of :func:`dsir_importance`: sample
+    ``n_select`` raw docs WITHOUT replacement with probability
+    proportional to their importance weight, via the Gumbel-top-k
+    trick made deterministic — each doc's Gumbel noise
+    g = -ln(-ln(u)) comes from an md5-derived uniform
+    u = (first8hex(md5(doc_id)) + 0.5) / 2^32, quantized to the same
+    integer micro-units as the log weight, and the top ``n_select``
+    by (logw_micro + g_micro, doc_id ties) are kept. Fully
+    replayable by the DuckDB oracle; selection runs as TakeOrdered
+    (partial per-partition top-k, no global sort) so it scales.
+
+    Returns (doc_id, n_grams, logw_micro, sel_key_micro), the
+    selected rows.
+    """
+    imp = dsir_importance(raw, target, text_col, buckets)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 32))
+    g_micro = F.floor(-F.log(-F.log(u)) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        imp.select(
+            "doc_id",
+            "n_grams",
+            "logw_micro",
+            (F.col("logw_micro") + g_micro).alias("sel_key_micro"),
+        )
+        .orderBy(F.col("sel_key_micro").desc(), "doc_id")
+        .limit(n_select)
+    )

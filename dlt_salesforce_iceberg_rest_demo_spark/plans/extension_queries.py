@@ -2663,3 +2663,64 @@ def dedup_incremental_exact_substring(
     base = docs.filter(F.col("doc_id") % 10 != 0)
     idx = text.exact_substring_index(base, window=8)
     return text.incremental_exact_substring_spans(new, idx, window=8)
+
+
+DSIR_ORACLE = """
+WITH tk AS (SELECT doc_id, doc_id % 10 = 0 AS is_target,
+                   string_split(lower(text), ' ') AS tk
+            FROM documents),
+uni AS (SELECT doc_id, is_target, unnest(tk) AS gram FROM tk),
+big AS (
+  SELECT doc_id, is_target, tk[s] || ' ' || tk[s + 1] AS gram
+  FROM tk, LATERAL unnest(generate_series(1, len(tk) - 1)) AS t(s)
+  WHERE len(tk) >= 2),
+gr AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+bk AS (SELECT doc_id, is_target,
+              CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT) % 64
+                   AS BIGINT) AS bucket
+       FROM gr),
+tc AS (SELECT bucket, COUNT(*) AS t_b FROM bk WHERE is_target GROUP BY 1),
+rc AS (SELECT bucket, COUNT(*) AS r_b FROM bk WHERE NOT is_target GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(t_b), 0) FROM tc) AS tt,
+               (SELECT COALESCE(SUM(r_b), 0) FROM rc) AS rr),
+dom AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+lut AS (
+  SELECT d.bucket,
+         CAST(FLOOR(ln(CAST((COALESCE(t_b, 0) + 1) * (rr + 64) AS DOUBLE)
+                       / CAST((COALESCE(r_b, 0) + 1) * (tt + 64) AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS lr_micro
+  FROM dom d LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
+imp AS (
+  SELECT doc_id, COUNT(*) AS n_grams, SUM(lr_micro) AS logw_micro
+  FROM bk JOIN lut USING (bucket)
+  WHERE NOT is_target GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(logw_micro AS BIGINT) AS logw_micro,
+       CAST(logw_micro
+            + FLOOR(-ln(-ln((CAST(('0x' || substring(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS UBIGINT) + 0.5) / 4294967296.0))
+                    * 1e6 + 0.5) AS BIGINT) AS sel_key_micro
+FROM imp
+ORDER BY sel_key_micro DESC, doc_id
+LIMIT 50
+"""
+
+
+@register("text_dsir_select", oracle=DSIR_ORACLE)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): docs with doc_id % 10
+    == 0 play the TARGET domain, the rest the raw pool; hashed
+    unigram+bigram multinomials (64 md5 buckets, add-1 smoothing)
+    give each raw doc an importance weight, and Gumbel-top-k with
+    md5-derived noise resamples 50 docs proportionally to weight
+    WITHOUT replacement — deterministically, so the DuckDB oracle
+    replays the exact selection. All arithmetic is integer micro-units
+    (the ln-quantization absorb, tfidf precedent); selection is
+    TakeOrdered, no global sort. The reference has no data-selection
+    stage (its unit of choice is a whole Salesforce table)."""
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    return text.dsir_select(raw, target, n_select=50)

@@ -766,6 +766,48 @@ class TestIncrementalExactSubstring:
         assert merged == full
 
 
+class TestDsir:
+    """DSIR importance resampling (Xie et al. 2023): raw docs that
+    share the target domain's vocabulary must outscore off-domain
+    docs; the hypothesis replay in test_properties.py pins the full
+    arithmetic."""
+
+    def test_on_domain_outscores_off_domain(self, spark):
+        target = spark.createDataFrame(
+            [
+                Row(doc_id=100, text="spark sql window functions shuffle"),
+                Row(doc_id=101, text="spark shuffle partitions window"),
+            ]
+        )
+        raw = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="spark sql window shuffle partitions"),
+                Row(doc_id=2, text="gardening tulips soil compost watering"),
+            ]
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        imp = {
+            r.doc_id: r.logw_micro
+            for r in t_ops.dsir_importance(raw, target, buckets=32).collect()
+        }
+        assert imp[1] > imp[2]
+
+    def test_select_is_subset_and_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"w{i} w{i+1} common token") for i in range(10)]
+        )
+        target = spark.createDataFrame(
+            [Row(doc_id=99, text="common token stream")]
+        )
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        a = t_ops.dsir_select(docs, target, n_select=4).collect()
+        b = t_ops.dsir_select(docs, target, n_select=4).collect()
+        assert a == b and len(a) == 4
+        assert {r.doc_id for r in a} <= set(range(10))
+
+
 class TestContamination:
     def test_contained_and_disjoint_docs(self, spark):
         bench = spark.createDataFrame(

@@ -2167,3 +2167,84 @@ class TestMergeCdcSplitInvariance:
         if all(e.op != "D" for e in log):
             perm = data.draw(st.permutations(ordered_split))
             assert apply_batches(perm, True) == one_shot
+
+
+class TestDsirProperty:
+    @SETTINGS
+    @given(
+        raws=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8),
+            min_size=1,
+            max_size=5,
+        ),
+        targets=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8),
+            min_size=1,
+            max_size=3,
+        ),
+        n_select=st.integers(min_value=1, max_value=4),
+    )
+    def test_matches_python_replay(self, spark, raws, targets, n_select):
+        """dsir_select == a pure-python replay of the whole method:
+        md5 bucket hashing, add-1 multinomials, micro-quantized log
+        ratios, md5-Gumbel keys, top-k with doc_id ties — any
+        divergence in hashing, smoothing, quantization or tie-break
+        shows up on the first example."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        B = 16
+        raw_df = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(raws)],
+            "doc_id long, text string",
+        )
+        tgt_df = spark.createDataFrame(
+            [
+                Row(doc_id=100 + i, text=" ".join(ws))
+                for i, ws in enumerate(targets)
+            ],
+            "doc_id long, text string",
+        )
+        got = [
+            (r.doc_id, r.n_grams, r.logw_micro, r.sel_key_micro)
+            for r in t_ops.dsir_select(
+                raw_df, tgt_df, n_select=n_select, buckets=B
+            ).collect()
+        ]
+
+        def bucket(gram):
+            return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % B
+
+        def doc_buckets(ws):
+            tk = " ".join(ws).lower().split(" ")
+            grams = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+            return [bucket(g) for g in grams]
+
+        t_cnt = Counter(b for ws in targets for b in doc_buckets(ws))
+        r_cnt = Counter(b for ws in raws for b in doc_buckets(ws))
+        T, R = sum(t_cnt.values()), sum(r_cnt.values())
+        lut = {
+            b: math.floor(
+                math.log(
+                    ((t_cnt.get(b, 0) + 1) * (R + B))
+                    / ((r_cnt.get(b, 0) + 1) * (T + B))
+                )
+                * 1e6
+                + 0.5
+            )
+            for b in range(B)
+        }
+        want = []
+        for i, ws in enumerate(raws):
+            bs = doc_buckets(ws)
+            logw = sum(lut[b] for b in bs)
+            u = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5
+            ) / 2**32
+            g = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5)
+            want.append((i, len(bs), logw, logw + g))
+        want.sort(key=lambda r: (-r[3], r[0]))
+        assert got == want[:n_select]
