@@ -1073,27 +1073,40 @@ def exact_substring_spans(
     Returns one row per doc: ``n_tokens``, ``n_dup_spans`` (maximal
     merged spans), ``dup_tokens`` (tokens covered), ``dup_token_frac``.
 
-    Scale shape: the window explode is map-side (pipelined into the
-    scan); the ONE corpus-wide shuffle carries (fingerprint, doc_id,
-    pos) - O(corpus tokens) rows, the inherent cost of any
-    shingle-level exact method (MinHash pays the same explode) - after
-    which window text is never moved again. The duplicate flag
-    partitions on the window TEXT itself (lossless - no fingerprint
-    false positives; the dictionary-encoded exchange keeps bytes
-    bounded because duplicated windows are by definition repeated
-    values). Span merging shuffles only the flagged rows by doc_id.
-    At 100 TB the standard mitigations compose without changing the
-    plan: a first-pass frequency sketch to pre-prune singleton
-    fingerprints, or stride > 1 at reduced resolution.
+    Scale shape: two map-side passes over the corpus replace any
+    O(corpus-tokens) row shuffle. Pass 1 computes the duplicated-
+    fingerprint set with a plain ``groupBy`` on the 16-byte md5 of the
+    window text: map-side partial aggregation collapses every hot
+    window (a boilerplate header repeated 10^7 times across a crawl)
+    to one (fp, partial_count) row PER MAP TASK before the exchange,
+    so the shuffle carries O(distinct windows) bounded-width keys and
+    no single reducer ever sees a hot window's full occurrence list -
+    the straggler a count-over-window on raw window text would create
+    (window aggregates get no partial aggregation; the skew shape the
+    incremental twin below was already built to avoid). Pass 2 re-runs
+    the (pipelined, scan-fused) window explode and semi-joins it
+    against that set - broadcast when AQE's runtime size estimate
+    allows, shuffle-on-fp otherwise (no unconditional hint: a 100 TB
+    corpus's duplicated-fp set can exceed driver memory). Span merging
+    then shuffles only the flagged rows by doc_id. Fingerprinting is
+    md5 of the window text (the same portable digest as
+    :func:`exact_substring_index`; collision probability ~n^2/2^129 is
+    irrelevant at any corpus size - the DuckDB oracle partitions on
+    raw text and stays hash-identical). Remaining 100 TB mitigations
+    compose without changing the plan: a first-pass frequency sketch
+    to pre-prune singleton fingerprints, or stride > 1 at reduced
+    resolution.
     """
-    win = _substring_windows(docs, text_col, window)
-    dup = (
-        win.withColumn(
-            "c", F.count("*").over(Window.partitionBy("wtext"))
-        )
-        .filter(F.col("c") > 1)
-        .select("doc_id", "pos", "e")
+    win = _substring_windows(docs, text_col, window).withColumn(
+        "fp", F.md5(F.col("wtext"))
     )
+    dupfp = (
+        win.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("fp")
+    )
+    dup = win.join(dupfp, "fp", "left_semi").select("doc_id", "pos", "e")
     return _span_stats(docs, text_col, dup)
 
 
@@ -1200,6 +1213,7 @@ def incremental_exact_substring_spans(
     base_index: DataFrame,
     text_col: str = "text",
     window: int = 8,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Incremental (batch-vs-corpus) ExactSubstr: score a NEW ingest
     batch against the persisted window-fingerprint index of the
@@ -1215,29 +1229,43 @@ def incremental_exact_substring_spans(
     (the equivalence law pinned in tests/test_properties.py). Output
     schema matches :func:`exact_substring_spans`.
 
-    Plan shape: the batch's distinct fingerprints are BROADCAST to a
-    left-semi probe of the index, so the (huge) index is scanned
-    map-side and never shuffled; only the (small) hit set and the
-    batch's own windows move. Batches too large to broadcast fall back
-    to a co-located shuffle join against the fp-bucketed index - same
-    semantics, one extra exchange on the batch side only.
+    Plan shape (``broadcast_probe=True``, the default): the batch's
+    per-fingerprint counts come from a plain ``groupBy`` (map-side
+    partial aggregation - a hot window inside the batch collapses
+    before the exchange, the same skew hardening as the full
+    :func:`exact_substring_spans`), that bounded-width fp set is
+    BROADCAST to a left-semi probe of the index, so the (huge) index
+    is scanned map-side and NEVER shuffles at probe time; only the
+    (small) hit set and the batch's own windows move. The hint is
+    deliberate and documented: it requires the batch's distinct-fp set
+    to fit in driver + executor memory, which holds for the GB-scale
+    ingest batch this operator exists for but NOT for an arbitrary
+    re-scoring of a whole corpus. For that case pass
+    ``broadcast_probe=False``: the hints drop and the probe becomes an
+    ordinary fp-keyed join - AQE still broadcasts when the runtime
+    size allows, and otherwise both sides exchange on fp (store the
+    index bucketed by fp, as the :func:`exact_substring_index`
+    contract says, and its side needs no reshuffle). Same semantics
+    either way.
     """
+    hint = F.broadcast if broadcast_probe else (lambda df: df)
     win = _substring_windows(new_docs, text_col, window).withColumn(
         "fp", F.md5(F.col("wtext"))
     )
+    # per-fp batch occurrence counts, partial-aggregated map-side
+    bfc = win.groupBy("fp").agg(F.count("*").alias("bc"))
     # fingerprints the corpus has seen: map-side semi probe of the
-    # index against the broadcast batch fp set (index never shuffles)
-    hits = base_index.join(
-        F.broadcast(win.select("fp").distinct()), "fp", "left_semi"
-    ).select("fp", F.lit(True).alias("in_base"))
-    dup = (
-        win.withColumn(
-            "bc", F.count("*").over(Window.partitionBy("fp"))
-        )
-        .join(F.broadcast(hits), "fp", "left")
-        .filter((F.col("bc") >= 2) | F.col("in_base").isNotNull())
-        .select("doc_id", "pos", "e")
+    # index against the batch fp set (index never shuffles when the
+    # probe side is broadcast)
+    hits = base_index.join(hint(bfc.select("fp")), "fp", "left_semi").select(
+        "fp", F.lit(True).alias("in_base")
     )
+    dupfp = (
+        bfc.join(hint(hits), "fp", "left")
+        .filter((F.col("bc") >= 2) | F.col("in_base").isNotNull())
+        .select("fp")
+    )
+    dup = win.join(hint(dupfp), "fp", "left_semi").select("doc_id", "pos", "e")
     return _span_stats(new_docs, text_col, dup)
 
 
@@ -1268,15 +1296,23 @@ def dsir_importance(
 
     Returns (doc_id, n_grams, logw_micro) for every raw doc.
 
-    Plan shape: gram explode is map-side; the bucket-count aggregates
-    are ``buckets``-bounded (map-side combine, then a broadcast-joined
-    64-row LUT with the smoothed log-ratios — the k-bounded
-    small-table pattern, no driver collect); the only corpus-scale
-    shuffle is the per-doc score aggregate on doc_id. Count-product
-    envelope: (t_b+1)*(R+k) must stay under 2^53 for the exact
-    integer products (holds to ~1e12 grams per side; past that,
-    compute the two smoothed probabilities separately in doubles —
-    the quantization makes the relative rounding immaterial).
+    Plan shape: ONE pass over the raw corpus. The gram explode
+    (map-side, scan-fused) feeds a single groupBy to per-(doc_id,
+    bucket) counts — partial-aggregatable, so the one corpus-scale
+    shuffle carries collapsed (doc_id, bucket, n) triples, at most
+    ``buckets`` rows per doc — and that bounded table is
+    localCheckpoint-materialized (the BPE-trainer precedent) so BOTH
+    consumers read it without re-expanding the corpus: the q-fit
+    bucket totals (a ``buckets``-bounded second aggregate) and the
+    per-doc scores (broadcast-joined 64-row LUT of smoothed
+    log-ratios — the k-bounded small-table pattern, no driver
+    collect — then a map-side weighted sum per doc_id, already
+    co-partitioned by the checkpoint's groupBy so no further
+    shuffle). Count-product envelope: (t_b+1)*(R+k) must stay under
+    2^53 for the exact integer products (holds to ~1e12 grams per
+    side; past that, compute the two smoothed probabilities
+    separately in doubles — the quantization makes the relative
+    rounding immaterial).
     """
     def grams(df: DataFrame) -> DataFrame:
         tk = tokens(text_col)
@@ -1303,10 +1339,23 @@ def dsir_importance(
             )
         )
 
-    rg = grams(raw)
-    tg = grams(target)
-    t_counts = tg.groupBy("bucket").agg(F.count("*").alias("t_b"))
-    r_counts = rg.groupBy("bucket").agg(F.count("*").alias("r_b"))
+    # one corpus gram-explode, collapsed to per-(doc, bucket) counts and
+    # materialized so q-fit AND scoring read it (not the raw explode)
+    dg = (
+        grams(raw)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # target side gets the same one-scan treatment: its <=buckets-row
+    # bucket totals are referenced twice below (grand total + LUT)
+    t_counts = (
+        grams(target)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_b"))
+        .localCheckpoint(eager=True)
+    )
+    r_counts = dg.groupBy("bucket").agg(F.sum("n").alias("r_b"))
     spark = raw.sparkSession
     domain = spark.range(buckets).select(F.col("id").alias("bucket"))
     tot = (
@@ -1337,11 +1386,13 @@ def dsir_importance(
         )
     )
     return (
-        rg.join(F.broadcast(lut), "bucket")
+        dg.join(F.broadcast(lut), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum("lr_micro").cast("long").alias("logw_micro"),
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lr_micro")).cast("long").alias(
+                "logw_micro"
+            ),
         )
     )
 
