@@ -249,6 +249,72 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cdc_guarded_out_of_order", oracle=_CDC_ORACLE)
+def cdc_guarded_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned stale-version guard, driven through the REAL lake:
+    the same 4-wave changelog as `cdc_apply_changelog`, but delivered
+    as four separate ``ParquetLake.merge_cdc(guard_stale=True)``
+    batches in REVERSE version order (deletes first, base last — the
+    worst-case out-of-order delivery). The guard persists winning
+    deletes as version-carrying tombstones (hidden from `read`,
+    retained until `compact_tombstones`), so a v2 update arriving
+    after the v3 delete that superseded it is recognized as stale
+    instead of resurrecting the key — the round-7 boundary, closed.
+    The oracle is the ONE-SHOT last-writer-wins compaction (identical
+    SQL to `cdc_apply_changelog`): the guarded lake must converge to
+    it from ANY delivery order (the split-invariance-with-deletes law
+    in tests/test_properties.py draws random permutations; this query
+    pins the adversarial reverse order end-to-end through commit,
+    schema-evolution, and read-filter machinery). Re-runs are
+    idempotent — every batch is stale against the final state — but
+    the lake dir is rebuilt from scratch for determinism. No
+    reference analog: its merge is version-free delete-then-insert
+    (salesforce_pipeline.py:83-130)."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.dispositions import ParquetLake
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def wave(flt, version: int, op: str, price, status):
+        return o.filter(flt).select(
+            k.alias("o_orderkey"),
+            F.lit(version).alias("version"),
+            F.lit(op).alias("op"),
+            price.alias("price"),
+            status.alias("status"),
+        )
+
+    batches = [  # reverse version order: v3 deletes delivered FIRST
+        wave(k % 5 == 0, 3, "D", F.lit(0.0), F.lit("D")),
+        wave(k % 3 == 0, 2, "U", F.col("o_totalprice") * 2, F.lit("U")),
+        wave(k % 4 == 0, 1, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
+        wave(k % 4 != 0, 0, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
+    ]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"spark_graft_cdclake_{key}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = ParquetLake(spark, root)
+    for b in batches:
+        lake.merge_cdc(b, "orders_cdc", "o_orderkey", guard_stale=True)
+    if not lake.exists("orders_cdc"):  # empty source: no batch, no table
+        return spark.createDataFrame(
+            [],
+            "o_orderkey long, final_price double, "
+            "final_status string, last_version long",
+        )
+    return lake.read("orders_cdc").select(
+        "o_orderkey",
+        F.col("price").alias("final_price"),
+        F.col("status").alias("final_status"),
+        "last_version",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted priority sampling (Duffield–Lund–Thorup).
 # ---------------------------------------------------------------------------

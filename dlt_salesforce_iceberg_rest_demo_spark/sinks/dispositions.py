@@ -59,6 +59,17 @@ DEFAULT_TABLE_PROPERTIES = {
     "write.parquet.compression-codec": "snappy",
 }
 
+# Marker column for guard_stale tombstones: a delete that wins under the
+# version guard persists as a row with this column True (payload NULL,
+# last_version = the delete's version), hidden by `read` and retained
+# until `compact_tombstones`. Kept rows carry False/NULL.
+TOMBSTONE_COL = "_cdc_deleted"
+
+# Column names merge_cdc generates or persists; a changelog whose key or
+# payload uses one of these would collide (ambiguous/duplicate columns,
+# or silent guard-state corruption), so merge_cdc rejects them up front.
+_CDC_RESERVED = ("last_version", TOMBSTONE_COL, "__op", "__base_v")
+
 
 @dataclass
 class WriteReport:
@@ -95,11 +106,25 @@ class ParquetLake:
         props = self.root / table / "_PROPERTIES.json"
         return json.loads(props.read_text()) if props.exists() else {}
 
-    def read(self, table: str, version: int | str | None = None) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        version: int | str | None = None,
+        *,
+        with_tombstones: bool = False,
+    ) -> DataFrame:
         """Scan a snapshot (S4): the current one, ``version`` for time
         travel (any manifest `vacuum` hasn't expired), or a named ref
         (tag) created with :meth:`set_ref` — the Iceberg
-        ``VERSION AS OF 'tag'`` analog."""
+        ``VERSION AS OF 'tag'`` analog.
+
+        Guard tombstones (see :meth:`merge_cdc` ``guard_stale``) are
+        filtered out and the marker column dropped — readers see live
+        rows only, exactly the pre-tombstone result set. Internal
+        copy-on-write rewrites pass ``with_tombstones=True`` so guard
+        state survives merges and compactions (an equality-delete-file
+        read analog: the scan applies the deletes, maintenance carries
+        them)."""
         if isinstance(version, str):
             named = {**self.branches(table), **self.refs(table)}
             if version not in named:
@@ -117,10 +142,17 @@ class ParquetLake:
                     "(never written, or expired by vacuum)"
                 )
             dirs = self._manifest_info(table, version)[0]
+        schema = self.schema(table)
         if not dirs:
-            return self.spark.createDataFrame([], self.schema(table))
-        paths = [str(self.root / table / d) for d in dirs]
-        return self.spark.read.schema(self.schema(table)).parquet(*paths)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [str(self.root / table / d) for d in dirs]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if not with_tombstones and TOMBSTONE_COL in df.columns:
+            df = df.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
+        return df
 
     def current_version(self, table: str) -> int:
         """Public snapshot id for time travel / diff."""
@@ -337,7 +369,7 @@ class ParquetLake:
         batch_rows = df.count()
         if batch_rows == 0:
             return WriteReport(table, "merge", 0)
-        base = self.read(table, branch)
+        base = self.read(table, branch, with_tombstones=True)
         keys = df.select(*pk).distinct()
         kept = base.join(F.broadcast(keys), pk, "left_anti")
         merged = kept.unionByName(df)
@@ -690,7 +722,11 @@ class ParquetLake:
         if batch_rows == 0:
             return WriteReport(table, "merge", 0)
 
-        base = self.read(table)
+        # with_tombstones: the copy-on-write rewrite must carry guard
+        # tombstones for untouched keys; a tombstone whose key the plain
+        # merge upserts is replaced (guard state erased for that key —
+        # the documented unguarded-write contract in merge_cdc).
+        base = self.read(table, with_tombstones=True)
         keys = df.select(*pk).distinct()
         kept = base.join(F.broadcast(keys), pk, "left_anti")
         merged = kept.unionByName(df)
@@ -734,25 +770,58 @@ class ParquetLake:
         call wins regardless of version — correct when the upstream
         delivers each key in version order across batches (Kafka /
         Debezium per-key topic ordering), the standard streaming-CDC
-        assumption. ``guard_stale=True`` drops that assumption for
-        live rows: the table retains each key's ``last_version``
-        (added by additive schema evolution, NULL — i.e. 'any version
-        beats me' — for rows predating the guard) and an incoming
-        final decision only applies when its version is strictly
-        newer, so a late-arriving stale update or delete leaves the
-        newer stored row untouched, in ANY delivery order; stale-only
-        batches commit nothing. Pinned boundary: deletes keep no
-        tombstone (Iceberg MERGE DELETE semantics), so an update
-        outrun by the delete that superseded it resurrects the key —
-        ordered delivery of deletes is still required (the
-        split-invariance law for delete-free changelogs is
-        property-tested in tests/test_properties.py).
+        assumption. ``guard_stale=True`` drops that assumption
+        entirely: the table retains each key's ``last_version`` (added
+        by additive schema evolution, NULL — i.e. 'any version beats
+        me' — for rows predating the guard) and an incoming final
+        decision only applies when its version is strictly newer.
+        Deletes persist as TOMBSTONES — marker rows (``_cdc_deleted``
+        True, payload NULL) carrying the delete's version, hidden by
+        :meth:`read` — so a stale update arriving AFTER the delete
+        that superseded it is recognized and discarded instead of
+        resurrecting the key; a delete for a never-seen key also
+        tombstones (it may be outrunning its own insert). The final
+        table is therefore independent of batch order for ARBITRARY
+        changelogs, deletes included (the split-invariance law in
+        tests/test_properties.py draws random batch permutations);
+        the remaining requirement is unique (key, version) pairs —
+        cross-batch version TIES resolve first-arrival-wins (strict
+        ``>``), which no guard can order. Stale-only batches commit
+        nothing. Tombstones accrete until
+        :meth:`compact_tombstones` drops those older than the
+        upstream's maximum lateness (Kafka retention reasoning);
+        compacting one re-opens the resurrection window for versions
+        older than it, which is the inherent retention trade.
+
+        Guarded-state hygiene: ``last_version``/``_cdc_deleted``/
+        ``__op``/``__base_v`` are reserved — a changelog whose key or
+        payload uses one raises. ``version_col`` must cast to long
+        NULL-free in guarded mode (a silent NULL would mean 'any
+        version beats me' and quietly disable the guard — raise
+        instead). An UNGUARDED merge_cdc onto a guarded table keeps
+        writing ``last_version`` for the keys it touches (so a later
+        guarded call still has state) but applies last-call-wins and
+        REPLACES tombstones it upserts over — mixing modes on one
+        table downgrades touched keys to the unguarded contract.
         """
         payload_cols = [
             c for c in log.columns if c not in (key_col, version_col, op_col)
         ]
+        clash = [
+            c for c in (key_col, *payload_cols) if c in _CDC_RESERVED
+        ]
+        if clash:
+            raise ValueError(
+                f"merge_cdc reserved column name(s) {clash} in changelog "
+                f"for {table}: rename them (reserved: {_CDC_RESERVED})"
+            )
         if log.isEmpty():
             return WriteReport(table, "merge_cdc", 0)
+        table_guarded = self.exists(table) and "last_version" in {
+            f.name for f in self.schema(table).fields
+        }
+        if guard_stale or table_guarded:
+            self._check_version_castable(log, version_col, table)
         if guard_stale:
             return self._merge_cdc_guarded(
                 log, table, key_col, version_col, op_col, payload_cols
@@ -761,7 +830,9 @@ class ParquetLake:
 
         upserts = apply_changelog(
             log, key_col, version_col, op_col, payload_cols
-        ).drop("last_version")
+        )
+        if not table_guarded:
+            upserts = upserts.drop("last_version")
         if not self.exists(table):
             df0 = self._prepare(table, upserts)
             name, rows = self._new_data_dir(table, df0)
@@ -772,12 +843,45 @@ class ParquetLake:
             return WriteReport(table, "merge_cdc", rows)
         n_upserts = upserts.count()
         touched = log.select(key_col).distinct()
-        base = self.read(table)
+        # with_tombstones: untouched keys' guard state survives the
+        # rewrite; touched keys' tombstones fall to the anti-join (the
+        # documented unguarded-overwrites-guard-state contract).
+        base = self.read(table, with_tombstones=True)
         kept = base.join(F.broadcast(touched), key_col, "left_anti")
         merged = kept.unionByName(self._prepare(table, upserts))
         name, _total = self._new_data_dir(table, merged)
         self._commit(table, [name])
         return WriteReport(table, "merge_cdc", n_upserts)
+
+    def _check_version_castable(
+        self, log: DataFrame, version_col: str, table: str
+    ) -> None:
+        """Fail loudly when ``version_col`` cannot become a NULL-free
+        long: a silent NULL ``last_version`` means 'any version beats
+        me', i.e. the guard degrades to last-call-wins without telling
+        anyone. Integral column types pass statically (no data scan);
+        anything else (ISO-8601 strings, decimals with fractional
+        parts are still fine to truncate-cast — only NULL results and
+        NULL inputs are rejected) pays one filter+isEmpty over the
+        batch-sized log."""
+        dtype = dict(log.dtypes)[version_col]
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            # integral casts to long are total — only NULL inputs
+            # (which would also null the guard) need checking
+            bad = log.filter(F.col(version_col).isNull())
+        else:
+            bad = log.filter(
+                F.col(version_col).isNull()
+                | F.col(version_col).cast("long").isNull()
+            )
+        if not bad.isEmpty():
+            raise ValueError(
+                f"guard_stale merge_cdc on {table}: version column "
+                f"{version_col!r} (type {dtype}) has values that are "
+                "NULL or do not cast to long; a NULL last_version "
+                "silently disables the stale guard, so this is an "
+                "error. Provide an integral, NULL-free version."
+            )
 
     def _merge_cdc_guarded(
         self,
@@ -792,7 +896,13 @@ class ParquetLake:
         final decision INCLUDING deletes (the delete's version must
         out-rank the stored row, unlike apply_changelog which drops
         deleted keys before their version is known), stale-filtered
-        against the table's persisted ``last_version``."""
+        against the table's persisted ``last_version`` — tombstones
+        included, which is what closes the resurrection boundary: a
+        stale update probing a deleted key finds the tombstone's
+        version and loses. Winning deletes write tombstones (marker
+        row, payload NULL) whether or not the key exists — a delete
+        for an absent key is guard state too (its insert may still be
+        in flight), so the commit is never a no-change rewrite."""
         m = log.groupBy(key_col).agg(
             F.max(F.struct(version_col, op_col, *payload_cols)).alias("m")
         )
@@ -802,39 +912,90 @@ class ParquetLake:
             F.col(f"m.{op_col}").alias("__op"),
             *[F.col(f"m.{c}").alias(c) for c in payload_cols],
         )
+
+        def split(dec: DataFrame) -> DataFrame:
+            """Decision rows -> storable rows: live upserts + tombstones
+            (payload NULLed via the union's missing-column fill)."""
+            ups = (
+                dec.filter(F.col("__op") != "D")
+                .drop("__op")
+                .withColumn(TOMBSTONE_COL, F.lit(False))
+            )
+            tmb = dec.filter(F.col("__op") == "D").select(
+                key_col, "last_version", F.lit(True).alias(TOMBSTONE_COL)
+            )
+            return ups.unionByName(tmb, allowMissingColumns=True)
+
         if not self.exists(table):
-            df0 = self._prepare(table, final.filter(F.col("__op") != "D").drop("__op"))
+            incoming = split(final)
+            n_upserts = incoming.filter(~F.col(TOMBSTONE_COL)).count()
+            df0 = self._prepare(table, incoming)
             name, rows = self._new_data_dir(table, df0)
             if rows == 0:
                 shutil.rmtree(self.root / table / name, ignore_errors=True)
                 return WriteReport(table, "merge_cdc", 0)
             self._commit(table, [name])
-            return WriteReport(table, "merge_cdc", rows)
-        base = self.read(table)
-        basev = (
-            base.select(key_col, F.col("last_version").alias("__base_v"))
-            if "last_version" in base.columns
+            return WriteReport(table, "merge_cdc", n_upserts)
+        base = self.read(table, with_tombstones=True)
+        if "last_version" in base.columns:
+            # per-key MAX guards against bases holding duplicate keys
+            # (mixed appends); partial-aggregatable, key-width rows
+            basev = base.groupBy(key_col).agg(
+                F.max("last_version").alias("__base_v")
+            )
+        else:
             # pre-guard rows carry no version: any incoming version wins
-            else base.select(key_col, F.lit(None).cast("long").alias("__base_v"))
-        )
+            basev = base.select(
+                key_col, F.lit(None).cast("long").alias("__base_v")
+            ).distinct()
         dec = final.join(basev, key_col, "left").filter(
             F.col("__base_v").isNull()
             | (F.col("last_version") > F.col("__base_v"))
         )
         if dec.isEmpty():  # stale-only batch: no commit
             return WriteReport(table, "merge_cdc", 0)
-        upserts = dec.filter(F.col("__op") != "D").drop("__op", "__base_v")
-        n_upserts = upserts.count()
+        incoming = split(dec.drop("__base_v"))
+        n_upserts = incoming.filter(~F.col(TOMBSTONE_COL)).count()
         # additive evolution: a previously-unguarded table gains
-        # last_version (typed NULLs for files predating the column)
-        upserts = self._prepare(table, upserts, evolve=True)
-        kept = self.read(table).join(
+        # last_version + _cdc_deleted (typed NULLs for older files)
+        incoming = self._prepare(table, incoming, evolve=True)
+        kept = self.read(table, with_tombstones=True).join(
             F.broadcast(dec.select(key_col)), key_col, "left_anti"
         )
-        merged = align_to_schema(kept, self.schema(table)).unionByName(upserts)
+        merged = align_to_schema(kept, self.schema(table)).unionByName(incoming)
         name, _total = self._new_data_dir(table, merged)
         self._commit(table, [name])
         return WriteReport(table, "merge_cdc", n_upserts)
+
+    def compact_tombstones(
+        self, table: str, before_version: int
+    ) -> "WriteReport":
+        """Retention compaction for guard tombstones: rewrite the
+        current snapshot dropping tombstone rows whose ``last_version``
+        is < ``before_version``; live rows and newer tombstones are
+        untouched (one atomic commit, `compact`-style). No-op (no
+        commit) when nothing qualifies.
+
+        Retention contract: a tombstone is the ONLY record that a key
+        was deleted at that version, so dropping it re-opens the
+        resurrection window for changelog events older than it. Call
+        this with the oldest version the upstream can still deliver
+        (e.g. the version horizon of the Kafka/Debezium topic's
+        retention window) — the same reasoning that sizes any CDC
+        consumer's dedup state. ``rows_written`` reports the number of
+        tombstones dropped."""
+        raw = self.read(table, with_tombstones=True)
+        if TOMBSTONE_COL not in raw.columns:
+            return WriteReport(table, "compact_tombstones", 0)
+        doomed = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) & (
+            F.col("last_version") < F.lit(before_version)
+        )
+        n_doomed = raw.filter(doomed).count()
+        if n_doomed == 0:
+            return WriteReport(table, "compact_tombstones", 0)
+        name, _rows = self._new_data_dir(table, raw.filter(~doomed))
+        self._commit(table, [name])
+        return WriteReport(table, "compact_tombstones", n_doomed)
 
     # -- lake maintenance (Iceberg rewrite_data_files / expire_snapshots
     #    analogs; the reference has no maintenance story - PyIceberg
@@ -847,8 +1008,10 @@ class ParquetLake:
         the cursor-poll pipeline lands a file per poll per table; scan
         cost follows file count, not byte count, once files are small).
         Logically a no-op: readers before/after see identical rows;
-        old snapshots still resolve until `vacuum`."""
-        df = self.read(table).coalesce(target_files)
+        old snapshots still resolve until `vacuum`. Guard tombstones
+        are carried through (they expire via `compact_tombstones`,
+        never silently)."""
+        df = self.read(table, with_tombstones=True).coalesce(target_files)
         name, rows = self._new_data_dir(table, df)
         self._commit(table, [name])
         return WriteReport(table, "compact", rows)
@@ -872,7 +1035,10 @@ class ParquetLake:
         from ..operators.layout import zorder_layout
 
         df = zorder_layout(
-            self.read(table), zorder_cols, num_files=num_files, bits=bits
+            self.read(table, with_tombstones=True),
+            zorder_cols,
+            num_files=num_files,
+            bits=bits,
         )
         name, rows = self._new_data_dir(table, df)
         self._commit(table, [name])

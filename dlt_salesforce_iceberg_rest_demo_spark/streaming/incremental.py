@@ -498,11 +498,14 @@ def stream_cdc_apply(
     Micro-batch boundaries are an arbitrary split of the changelog, so
     the default inherits merge_cdc's delivery contract: per-key version
     order must hold ACROSS batches (Kafka/Debezium per-key topic
-    ordering). ``guard_stale=True`` lifts that for live rows — the lake
-    keeps each key's last_version and ignores stale cross-batch
+    ordering). ``guard_stale=True`` lifts that entirely — the lake
+    keeps each key's last_version, persists winning deletes as
+    retention-windowed tombstones, and ignores stale cross-batch
     updates/deletes, making the final table independent of how the
-    stream was micro-batched for delete-free (or delete-ordered)
-    changelogs; see :meth:`ParquetLake.merge_cdc`.
+    stream was micro-batched for ARBITRARY changelogs, deletes
+    included (unique (key, version) pairs required); see
+    :meth:`ParquetLake.merge_cdc` and
+    :meth:`ParquetLake.compact_tombstones`.
 
     Returns the started StreamingQuery (caller stops it).
     """

@@ -520,18 +520,138 @@ class TestMergeCdc:
         )
         assert 1 not in rows_by_id(lake, "t")  # fresh delete applies
 
-    def test_guard_resurrection_boundary_is_pinned(self, spark, tmp_path):
-        """The documented no-tombstone boundary: an update outrun by
-        the delete that superseded it resurrects the key (deletes keep
-        no version to compare against)."""
+    def test_guard_tombstone_blocks_resurrection(self, spark, tmp_path):
+        """The round-7 boundary, closed: a winning delete persists a
+        tombstone (hidden from read), so an update outrun by the
+        delete that superseded it is recognized as stale and
+        discarded — while a genuinely NEWER re-insert still lands."""
         lake = make_lake(spark, tmp_path)
         lake.merge_cdc(
             self._log(spark, [(1, 5, "D", "x")]), "t", "id", guard_stale=True
         )
+        assert rows_by_id(lake, "t") == {}  # tombstone invisible to read
+        v0 = lake.current_version("t")
+        rep = lake.merge_cdc(
+            self._log(spark, [(1, 3, "U", "zombie")]), "t", "id",
+            guard_stale=True,
+        )
+        assert rows_by_id(lake, "t") == {}  # no resurrection
+        assert rep.rows_written == 0
+        assert lake.current_version("t") == v0  # stale-only: no commit
         lake.merge_cdc(
-            self._log(spark, [(1, 3, "U", "zombie")]), "t", "id", guard_stale=True
+            self._log(spark, [(1, 7, "I", "back")]), "t", "id",
+            guard_stale=True,
+        )
+        assert rows_by_id(lake, "t")[1]["v"] == "back"  # newer re-insert
+
+    def test_guard_tombstone_for_absent_key(self, spark, tmp_path):
+        """A delete for a key the table never saw still tombstones —
+        its insert may be outrun and arrive later — and that commit is
+        real guard state, not a no-change rewrite."""
+        lake = make_lake(spark, tmp_path)
+        lake.replace(df_of(spark, [Row(id=9, v="live")]), "t")
+        lake.merge_cdc(
+            self._log(spark, [(1, 5, "D", "x")]), "t", "id", guard_stale=True
+        )
+        lake.merge_cdc(
+            self._log(spark, [(1, 4, "I", "late-insert")]), "t", "id",
+            guard_stale=True,
+        )
+        rows = rows_by_id(lake, "t")
+        assert 1 not in rows and rows[9]["v"] == "live"
+
+    def test_tombstones_survive_compaction_and_plain_merge(
+        self, spark, tmp_path
+    ):
+        """Copy-on-write rewrites (compact, plain merge on other keys)
+        must carry tombstones, or guard state silently evaporates."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(
+            self._log(spark, [(1, 5, "D", None), (2, 1, "I", "b")]),
+            "t", "id", guard_stale=True,
+        )
+        lake.compact("t")
+        lake.merge(df_of(spark, [Row(id=3, v="c")]), "t", primary_key=["id"])
+        lake.merge_cdc(
+            self._log(spark, [(1, 3, "U", "zombie")]), "t", "id",
+            guard_stale=True,
+        )
+        rows = rows_by_id(lake, "t")
+        assert 1 not in rows  # tombstone outlived compact + merge
+        assert rows[2]["v"] == "b" and rows[3]["v"] == "c"
+
+    def test_compact_tombstones_retention(self, spark, tmp_path):
+        """compact_tombstones drops tombstones below the version
+        horizon (and ONLY those); dropping one re-opens the
+        resurrection window — the documented retention trade."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(
+            self._log(spark, [(1, 5, "D", "x"), (2, 20, "D", "x")]),
+            "t", "id", guard_stale=True,
+        )
+        rep = lake.compact_tombstones("t", before_version=10)
+        assert rep.rows_written == 1  # only the v5 tombstone dropped
+        rep2 = lake.compact_tombstones("t", before_version=10)
+        assert rep2.rows_written == 0  # idempotent no-op, no commit
+        # v5 tombstone gone: the old zombie CAN return (the trade)...
+        lake.merge_cdc(
+            self._log(spark, [(1, 3, "U", "zombie")]), "t", "id",
+            guard_stale=True,
         )
         assert rows_by_id(lake, "t")[1]["v"] == "zombie"
+        # ...but the retained v20 tombstone still guards key 2
+        lake.merge_cdc(
+            self._log(spark, [(2, 15, "U", "stale")]), "t", "id",
+            guard_stale=True,
+        )
+        assert 2 not in rows_by_id(lake, "t")
+
+    def test_guard_rejects_reserved_columns(self, spark, tmp_path):
+        """Changelog columns colliding with generated/persisted names
+        (last_version, _cdc_deleted, __op, __base_v) raise up front."""
+        import pytest as _pytest
+
+        lake = make_lake(spark, tmp_path)
+        bad = df_of(spark, [Row(id=1, version=1, op="I", last_version=7)])
+        with _pytest.raises(ValueError, match="reserved"):
+            lake.merge_cdc(bad, "t", "id", guard_stale=True)
+        with _pytest.raises(ValueError, match="reserved"):
+            lake.merge_cdc(bad, "t", "id")  # unguarded path too
+
+    def test_guard_rejects_uncastable_version(self, spark, tmp_path):
+        """ISO-8601 (or any non-long-castable) version strings would
+        silently NULL last_version — 'any version beats me' — so
+        guarded mode fails loudly; numeric strings still pass."""
+        import pytest as _pytest
+
+        lake = make_lake(spark, tmp_path)
+        iso = df_of(
+            spark, [Row(id=1, version="2024-01-01T00:00:00Z", op="I", v="a")]
+        )
+        with _pytest.raises(ValueError, match="cast"):
+            lake.merge_cdc(iso, "t", "id", guard_stale=True)
+        ok = df_of(spark, [Row(id=1, version="7", op="I", v="a")])
+        lake.merge_cdc(ok, "t", "id", guard_stale=True)
+        assert rows_by_id(lake, "t")[1]["last_version"] == 7
+
+    def test_unguarded_onto_guarded_keeps_guard_state(self, spark, tmp_path):
+        """ADVICE r7: an unguarded merge_cdc onto a guarded table must
+        not NULL out last_version for the keys it touches — it writes
+        the batch's own versions (last-call-wins applies, and touched
+        tombstones are replaced: the documented mode-mixing downgrade)."""
+        lake = make_lake(spark, tmp_path)
+        lake.merge_cdc(
+            self._log(spark, [(1, 5, "U", "a"), (2, 9, "D", None)]),
+            "t", "id", guard_stale=True,
+        )
+        lake.merge_cdc(
+            self._log(spark, [(1, 3, "U", "unguarded"), (2, 2, "I", "re")]),
+            "t", "id",
+        )
+        rows = rows_by_id(lake, "t")
+        assert rows[1]["v"] == "unguarded"  # last call wins, no guard
+        assert rows[1]["last_version"] == 3  # state written, not NULLed
+        assert rows[2]["v"] == "re"  # unguarded write replaced tombstone
 
     def test_guard_evolves_unguarded_table(self, spark, tmp_path):
         """A guarded merge onto a pre-guard table adds last_version by

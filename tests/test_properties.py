@@ -2106,8 +2106,8 @@ class TestIncrementalExactSubstringProperty:
 class TestMergeCdcSplitInvariance:
     """merge_cdc's delivery contracts as algebraic laws: how the
     changelog is micro-batched must not change the final table —
-    unguarded under per-key-ordered delivery, guarded even under
-    arbitrary reordering of delete-free changelogs."""
+    unguarded under per-key-ordered delivery, guarded (tombstoned)
+    under arbitrary reordering of ANY changelog, deletes included."""
 
     @SETTINGS
     @given(
@@ -2162,11 +2162,13 @@ class TestMergeCdcSplitInvariance:
         ]
         assert apply_batches(ordered_split, False) == one_shot
 
-        # law 2 (guarded): for DELETE-FREE changelogs, ANY batch
-        # permutation still converges to the one-shot result
-        if all(e.op != "D" for e in log):
-            perm = data.draw(st.permutations(ordered_split))
-            assert apply_batches(perm, True) == one_shot
+        # law 2 (guarded): ANY batch permutation converges to the
+        # one-shot result — deletes INCLUDED, because winning deletes
+        # persist version-carrying tombstones (round 8; the round-7
+        # law had to exclude deletes). (key, version) is unique by
+        # construction, the guarded contract's one requirement.
+        perm = data.draw(st.permutations(ordered_split))
+        assert apply_batches(perm, True) == one_shot
 
 
 class TestDsirProperty:
