@@ -11,9 +11,12 @@ each query runs once to warm (whole-stage-codegen compilation, JIT,
 file-footer caches - Janino compile alone varied 2-14s run-to-run on
 the widest plans), then the MEDIAN of three timed runs is reported
 per query (GC pauses on the iterative operators made a single timed
-run vary ~2x). Each run executes to completion (count() action over
-the full result; no collect of wide payloads so the measurement is
-engine time, not driver-transfer time).
+run vary ~2x). Each run executes the query's FULL physical plan via
+its toRdd row count (see ``_execute``; a plain count() lets Catalyst
+prune computed columns and eliminate row-preserving joins, timing a
+plan that never runs the operator — found round 8); no collect of
+wide payloads, so the measurement is engine time, not
+driver-transfer time.
 
 Run this ALONE on a quiet machine: concurrent or recently-exited
 Spark sessions inflate wall times 1.5-2.5x uniformly (block-manager
@@ -148,6 +151,26 @@ EXTENSION_HEADLINE = [
 ]
 
 
+def _execute(df) -> int:
+    """Execute the query's FULL physical plan; return its row count.
+
+    Deliberately NOT ``df.count()``: Catalyst re-optimizes a count()
+    AROUND the result — column pruning deletes every computed
+    expression a count doesn't need (a map-only query times as a bare
+    parquet scan), and join elimination removes provably
+    row-preserving joins (observed round 8: the ExactSubstr per-doc
+    stats — left join of docs against a groupBy-unique aggregate —
+    collapsed to a parquet row count, so rounds bench'd the operator
+    at scan cost). ``toRdd()`` is the executed plan's own
+    InternalRow RDD: counting it runs the plan exactly as a consumer
+    of every output column would, still with zero driver-side row
+    transfer (per-partition counts only). Rounds 1-7 used count();
+    per-query comparisons against those rounds must expect honest
+    regressions on map-only and join-eliminated shapes.
+    """
+    return df._jdf.queryExecution().toRdd().count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -174,11 +197,11 @@ def main() -> None:
     mins: dict[str, float] = {}
     total = 0.0
     for name in names:
-        fns[name](spark, sf_dir).count()  # warm: codegen/JIT/footers
+        _execute(fns[name](spark, sf_dir))  # warm: codegen/JIT/footers
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fns[name](spark, sf_dir).count()
+            _execute(fns[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         _drop_leaked_blocks()
         dt = sorted(runs)[1]  # median of 3
