@@ -741,6 +741,37 @@ class TestIncrementalExactSubstring:
         assert out[30].n_dup_spans == 1 and out[30].dup_tokens == 8
         assert out[40].n_dup_spans == 0 and out[40].dup_tokens == 0
 
+    def test_broadcast_probe_off_is_equivalent(self, spark):
+        """broadcast_probe=False (the shuffle fallback for batches
+        whose fp set cannot broadcast — ADVICE r7) must produce the
+        identical result as the default broadcast probe."""
+        base = spark.createDataFrame(
+            [Row(doc_id=1, text=" ".join(f"c{i}" for i in range(12)))]
+        )
+        new = spark.createDataFrame(
+            [
+                Row(doc_id=10, text=" ".join(f"c{i}" for i in range(9))),
+                Row(doc_id=20, text=" ".join(f"y{i}" for i in range(10))),
+            ]
+        )
+        idx = text.exact_substring_index(base, window=8)
+        on = sorted(
+            r.asDict().items()
+            for r in text.incremental_exact_substring_spans(
+                new, idx, window=8, broadcast_probe=True
+            ).collect()
+        )
+        off = sorted(
+            r.asDict().items()
+            for r in text.incremental_exact_substring_spans(
+                new, idx, window=8, broadcast_probe=False
+            ).collect()
+        )
+        assert on == off
+        assert any(
+            dict(row)["n_dup_spans"] > 0 for row in on
+        )  # non-vacuous: the corpus-dup doc is flagged
+
     def test_index_counts_merge_additively(self, spark):
         """index(a ∪ b) == index(a) + index(b) summed per fp — the
         per-ingest maintenance contract (counts add, no text kept)."""
