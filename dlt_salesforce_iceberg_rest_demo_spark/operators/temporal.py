@@ -84,7 +84,21 @@ def gapfill(
     and window share the key partitioning. Grid size is bounded by
     span/grain per key, independent of input row count - the 100 TB
     behavior is dominated by the first bucket aggregation.
+
+    The spans relation is explicitly hash-repartitioned on the key
+    at full width BEFORE the explode: spans is tiny in BYTES (one row
+    per key), so AQE's byte-based coalescing would otherwise collapse
+    it to one task and the interval-sequence explode — the CPU-heavy
+    step, ~700 rows generated per input row on the fixtures — plus
+    the whole downstream join+window would run serially (observed:
+    the full query funneled through 1 task; the round-4/5
+    one-task-stage signature). An explicit-width hash repartition is
+    exempt from coalescing (`dedup._full_width`), and because it is
+    on the window/join key it satisfies both downstream distribution
+    requirements — no extra exchange anywhere in the plan.
     """
+    from .dedup import _full_width
+
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
     b = events.groupBy(F.col(user_col), bucket).agg(
         F.count("*").alias("n_events"),
@@ -95,7 +109,9 @@ def gapfill(
     spans = b.groupBy(user_col).agg(
         F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
     )
-    grid = spans.select(
+    grid = spans.repartition(
+        _full_width(events.sparkSession), F.col(user_col)
+    ).select(
         user_col,
         F.explode(
             F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL 1 {grain}"))
@@ -127,14 +143,24 @@ def gapfill_interpolate(
     hypertable ``interpolate()`` analog; `gapfill` does LOCF).
 
     Same densify shape as `gapfill` (bucket agg -> per-key span ->
-    distributed sequence()/explode grid -> left join), then two window
-    passes over one (key, ts) sort: backward-looking last-known
-    (value, ts) and forward-looking next-known (value, ts). The
-    interpolation ``prev + (next - prev) * frac`` is a fixed sequence
-    of IEEE ops on engine-identical inputs, so the DuckDB oracle
-    reproduces it bit-for-bit; edge buckets clamp to the nearest known
-    value.
+    distributed sequence()/explode grid -> left join, with the same
+    explicit full-width key-repartition of spans before the explode —
+    see `gapfill` for the AQE one-task rationale), then two window
+    passes: backward-looking last-known (value, ts) on the ASC sort,
+    and the forward-looking next-known pair as last(ignorenulls) over
+    a DESC-ordered RUNNING frame — deliberately NOT
+    first(ignorenulls) over (CURRENT ROW, UNBOUNDED FOLLOWING):
+    Spark's UnboundedFollowing frame re-scans from each row to the
+    partition end, O(rows^2) per key (measured ~12 s single-task on
+    1M grid rows where the running-frame twin took ~0.4 s), while a
+    DESC running frame is the same values in O(rows). One exchange,
+    two sorts. The interpolation ``prev + (next - prev) * frac`` is a
+    fixed sequence of IEEE ops on engine-identical inputs, so the
+    DuckDB oracle reproduces it bit-for-bit; edge buckets clamp to
+    the nearest known value.
     """
+    from .dedup import _full_width
+
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
     b = events.groupBy(F.col(user_col), bucket).agg(
         F.sum(F.col(value_col).cast("decimal(18,6)"))
@@ -144,7 +170,9 @@ def gapfill_interpolate(
     spans = b.groupBy(user_col).agg(
         F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
     )
-    grid = spans.select(
+    grid = spans.repartition(
+        _full_width(events.sparkSession), F.col(user_col)
+    ).select(
         user_col,
         F.explode(
             F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL 1 {grain}"))
@@ -156,10 +184,14 @@ def gapfill_interpolate(
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward fill expressed as a DESC running frame: same values as
+    # first(ignorenulls) over (CURRENT ROW, UNBOUNDED FOLLOWING) but
+    # O(rows) per partition instead of Spark's O(rows^2)
+    # UnboundedFollowing rescan (both frames include the current row)
     fwd = (
         Window.partitionBy(user_col)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     known_ts = F.when(F.col("bucket_value").isNotNull(), F.col("bucket_ts"))
     w = joined.select(
@@ -168,8 +200,8 @@ def gapfill_interpolate(
         "bucket_value",
         F.last("bucket_value", ignorenulls=True).over(back).alias("__pv"),
         F.last(known_ts, ignorenulls=True).over(back).alias("__pt"),
-        F.first("bucket_value", ignorenulls=True).over(fwd).alias("__nv"),
-        F.first(known_ts, ignorenulls=True).over(fwd).alias("__nt"),
+        F.last("bucket_value", ignorenulls=True).over(fwd).alias("__nv"),
+        F.last(known_ts, ignorenulls=True).over(fwd).alias("__nt"),
     )
     frac = (
         (F.unix_micros(F.col("bucket_ts")) - F.unix_micros(F.col("__pt")))
