@@ -148,6 +148,12 @@ EXTENSION_HEADLINE = [
     "text_exact_substring_dedup",
     "dedup_incremental_exact_substring",
     "text_dsir_select",
+    # round-8: ExactSubstr span REMOVAL (the Lee et al. output step).
+    # cdc_guarded_out_of_order is deliberately NOT benched: it drives
+    # 4 copy-on-write lake commits per execution, so it would measure
+    # local-disk write throughput, not the engine (the relational
+    # disposition-parity queries in HEADLINE cover merge semantics).
+    "text_exact_substring_remove",
 ]
 
 

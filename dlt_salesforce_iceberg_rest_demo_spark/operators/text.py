@@ -1097,6 +1097,17 @@ def exact_substring_spans(
     to pre-prune singleton fingerprints, or stride > 1 at reduced
     resolution.
     """
+    dup = _duplicated_windows(docs, text_col, window)
+    return _span_stats(docs, text_col, dup)
+
+
+def _duplicated_windows(
+    docs: DataFrame, text_col: str, window: int
+) -> DataFrame:
+    """Corpus-duplicated windows ``(doc_id, pos, e)`` — the shared
+    flag of :func:`exact_substring_spans` / :func:`exact_substring_
+    remove`: groupBy on the md5 window fingerprint (map-side partial
+    aggregation, skew-proof) then an AQE-decided semi-join back."""
     win = _substring_windows(docs, text_col, window).withColumn(
         "fp", F.md5(F.col("wtext"))
     )
@@ -1106,8 +1117,69 @@ def exact_substring_spans(
         .filter(F.col("c") > 1)
         .select("fp")
     )
-    dup = win.join(dupfp, "fp", "left_semi").select("doc_id", "pos", "e")
-    return _span_stats(docs, text_col, dup)
+    return win.join(dupfp, "fp", "left_semi").select("doc_id", "pos", "e")
+
+
+def exact_substring_remove(
+    docs: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 sec. 4.1, the step after
+    :func:`exact_substring_spans` reports): rebuild each document's
+    text with every token inside a duplicated maximal span REMOVED —
+    the conservative drop-all-occurrences variant, which is the only
+    one with a delivery-order-free distributed definition (keep-one
+    needs a global occurrence order). Returns ``(doc_id, text_clean,
+    n_tokens, n_removed)`` for every doc; NULL text stays NULL, a
+    fully-duplicated doc becomes the empty string.
+
+    Plan shape, fully relational (no interpreted per-token HOF over
+    spans, which would be O(tokens x spans) per doc): the merged
+    spans expand to covered token positions (``sequence``+``explode``,
+    map-side, disjoint spans so positions are distinct by
+    construction), the doc re-tokenizes through ``posexplode``, an
+    anti-join on (doc_id, position) drops covered tokens, and the
+    survivors reassemble per doc via array_sort(collect_list(struct(
+    pos, tok))) — bounded by document length, the same per-group
+    state bound as every rolling-window operator here. Shuffles:
+    the dup-flag exchange (16-byte fps), flagged rows by doc_id,
+    covered positions + tokens by (doc_id, p), survivors by doc_id.
+    The reassembly is exact even around empty tokens (consecutive
+    spaces survive a split/join round-trip).
+    """
+    dup = _duplicated_windows(docs, text_col, window)
+    cov = _merged_spans(dup).select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    )
+    tk = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        "doc_id", F.posexplode(tk).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(cov, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(p, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("__clean"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col(text_col).alias("__text"),
+            F.size(tk).cast("long").alias("n_tokens"),
+        )
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+            .alias("text_clean"),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
 
 
 def _substring_windows(
@@ -1138,20 +1210,17 @@ def _substring_windows(
     )
 
 
-def _span_stats(
-    docs: DataFrame, text_col: str, dup: DataFrame
-) -> DataFrame:
-    """Merge flagged windows (doc_id, pos, e) into maximal spans
-    (gaps-and-islands: new island when pos > running max end + 1) and
-    left-join the per-doc stats back onto EVERY doc (zeros for clean
-    and sub-window docs). Shuffles only the flagged rows by doc_id."""
+def _merged_spans(dup: DataFrame) -> DataFrame:
+    """Merge flagged windows (doc_id, pos, e) into maximal disjoint
+    spans ``(doc_id, s, e)`` — gaps-and-islands: new island when pos >
+    running max end + 1. Shuffles only the flagged rows by doc_id."""
     prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1
     )
     run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    spans = (
+    return (
         dup.withColumn(
             "st",
             (
@@ -1162,6 +1231,14 @@ def _span_stats(
         .groupBy("doc_id", "gid")
         .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
     )
+
+
+def _span_stats(
+    docs: DataFrame, text_col: str, dup: DataFrame
+) -> DataFrame:
+    """Per-doc stats over `_merged_spans`, left-joined back onto EVERY
+    doc (zeros for clean and sub-window docs)."""
+    spans = _merged_spans(dup)
     agg = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),

@@ -2594,6 +2594,77 @@ def text_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_SUBSTRING_REMOVE_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+win AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - 7)) AS pos
+  FROM tk WHERE len(tk) >= 8),
+wtx AS (
+  SELECT doc_id, pos, pos + 7 AS e,
+         array_to_string(list_slice(tk, pos, pos + 7), ' ') AS wtext
+  FROM win),
+dup AS (
+  SELECT doc_id, pos, e
+  FROM (SELECT doc_id, pos, e, COUNT(*) OVER (PARTITION BY wtext) AS c
+        FROM wtx)
+  WHERE c > 1),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+              THEN 1 ELSE 0 END AS st
+  FROM dup),
+ids AS (
+  SELECT doc_id, pos, e,
+         SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gid
+  FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+          FROM ids GROUP BY doc_id, gid),
+cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans),
+toks AS (SELECT doc_id, unnest(tk) AS tok,
+                unnest(generate_series(1, len(tk))) AS p
+         FROM tk),
+kept AS (SELECT t.doc_id, t.tok, t.p
+         FROM toks t ANTI JOIN cov c USING (doc_id, p)),
+clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN t.tk IS NULL THEN NULL
+            ELSE COALESCE(c.clean_text, '') END AS text_clean,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(len(t.tk) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+FROM tk t LEFT JOIN clean c USING (doc_id)
+"""
+
+
+@register(
+    "text_exact_substring_remove", oracle=EXACT_SUBSTRING_REMOVE_ORACLE
+)
+def text_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 sec. 4.1), the step after
+    `text_exact_substring_dedup` reports: rebuild every document with
+    all tokens inside duplicated maximal spans dropped — the
+    conservative drop-all-occurrences variant (keep-one needs a
+    global occurrence order no distributed plan can define
+    deterministically). Fully relational: spans expand to covered
+    positions, posexplode + anti-join drops them, survivors
+    reassemble per doc (array_sort of (pos, tok) structs — bounded by
+    doc length). The rebuilt TEXT itself is hash-compared against
+    DuckDB's string_agg reconstruction, so tokenization, span
+    merging, coverage arithmetic, and the join/anti-join all verify
+    at string granularity. The reference has no sub-document
+    operator (its unit is the whole Salesforce row,
+    salesforce_pipeline.py:90-130)."""
+    return text.exact_substring_remove(
+        t(spark, sf_dir, "documents"), window=8
+    )
+
+
 INCR_EXACT_SUBSTRING_ORACLE = """
 WITH tk AS (SELECT doc_id, doc_id % 10 = 0 AS is_new,
                    string_split(text, ' ') AS tk

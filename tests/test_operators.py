@@ -707,6 +707,40 @@ class TestExactSubstringSpans:
         assert out[0].dup_token_frac == 0.0
 
 
+class TestExactSubstringRemove:
+    """ExactSubstr removal: the cleaned text, not just the stats."""
+
+    def test_removal_edges(self, spark):
+        phrase = " ".join(f"w{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=phrase + " a b"),   # dup + unique tail
+                Row(doc_id=2, text="x y " + phrase),   # dup elsewhere
+                Row(doc_id=3, text="u0 u1 u2"),        # sub-window, clean
+                Row(doc_id=4, text=phrase),            # fully duplicated
+                Row(doc_id=5, text=None),              # NULL stays NULL
+                Row(doc_id=6, text=phrase + " mid " + phrase),  # intra-doc
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in text.exact_substring_remove(docs, window=8).collect()
+        }
+        assert out[1].text_clean == "a b" and out[1].n_removed == 8
+        assert out[2].text_clean == "x y"
+        assert out[3].text_clean == "u0 u1 u2" and out[3].n_removed == 0
+        assert out[4].text_clean == "" and out[4].n_removed == 8
+        assert out[5].text_clean is None
+        assert out[6].text_clean == "mid" and out[6].n_removed == 16
+
+    def test_consecutive_spaces_roundtrip(self, spark):
+        """Empty tokens (double spaces) survive untouched in clean
+        docs — the split/rejoin is lossless."""
+        docs = spark.createDataFrame([Row(doc_id=1, text="a  b   c")])
+        out = text.exact_substring_remove(docs, window=8).collect()[0]
+        assert out.text_clean == "a  b   c" and out.n_removed == 0
+
+
 class TestIncrementalExactSubstring:
     """Batch-vs-corpus ExactSubstr over the persisted fingerprint
     index: corpus text is never re-read (the O(batch) ingest shape)."""

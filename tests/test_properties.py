@@ -2050,6 +2050,120 @@ class TestExactSubstringSpansProperty:
         assert got == want
 
 
+class TestExactSubstringRemoveProperty:
+    @SETTINGS
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=14),
+            min_size=1,
+            max_size=5,
+        ),
+        window=st.integers(min_value=1, max_value=4),
+    )
+    def test_matches_python_replay(self, spark, texts, window):
+        """exact_substring_remove == the brute-force replay: drop
+        every token covered by a corpus-duplicated window, keep the
+        rest in order — AND n_removed equals exact_substring_spans'
+        dup_tokens on the same corpus (the two operators must agree
+        on coverage). Same adversarial 2-letter alphabet."""
+        from collections import Counter
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+            for r in t_ops.exact_substring_remove(df, window=window).collect()
+        }
+        spans = {
+            r.doc_id: r.dup_tokens
+            for r in t_ops.exact_substring_spans(df, window=window).collect()
+        }
+        toks = {i: (" ".join(ws)).split(" ") for i, ws in enumerate(texts)}
+        cnt = Counter(
+            tuple(tk[p : p + window])
+            for tk in toks.values()
+            for p in range(len(tk) - window + 1)
+        )
+        want = {}
+        for i, tk in toks.items():
+            covered = set()
+            for p in range(len(tk) - window + 1):
+                if cnt[tuple(tk[p : p + window])] > 1:
+                    covered.update(range(p, p + window))
+            kept = [w for p, w in enumerate(tk) if p not in covered]
+            want[i] = (" ".join(kept), len(tk), len(covered))
+        assert got == want
+        assert all(got[i][2] == spans[i] for i in got)
+
+
+class TestCompactTombstonesRetentionLaw:
+    """compact_tombstones' retention contract as a law: dropping
+    tombstones strictly below a version horizon changes NOTHING as
+    long as every later-delivered event is at or above the horizon —
+    the final live table still equals the one-shot LWW compaction of
+    the whole changelog, under arbitrary batching of both phases."""
+
+    @SETTINGS
+    @given(
+        entries=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # key
+                st.sampled_from(["I", "U", "D"]),        # op
+                st.integers(min_value=0, max_value=9),   # payload
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        split=st.integers(min_value=1, max_value=7),
+        data=st.data(),
+    )
+    def test_compaction_preserves_convergence(
+        self, spark, tmp_path_factory, entries, split, data
+    ):
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+
+        # versions drawn as a PERMUTATION of the arrival indices, so
+        # the two delivery phases interleave in version space and the
+        # horizon genuinely splits tombstones into dropped + retained
+        versions = data.draw(st.permutations(range(len(entries))))
+        log = [
+            Row(id=k, version=versions[i], op=op, v=f"p{pay}")
+            for i, (k, op, pay) in enumerate(entries)
+        ]
+        schema = "id long, version long, op string, v string"
+        cut = min(split, len(log) - 1)
+        phase1, phase2 = log[:cut], log[cut:]
+        # horizon: nothing delivered later is older than it, the
+        # documented precondition (upstream max-lateness reasoning)
+        horizon = min(r.version for r in phase2)
+
+        lake = ParquetLake(spark, tmp_path_factory.mktemp("ctl") / "lake")
+        perm1 = data.draw(st.permutations(phase1))
+        lake.merge_cdc(
+            spark.createDataFrame(perm1, schema), "t", "id", guard_stale=True
+        )
+        lake.compact_tombstones("t", before_version=horizon)
+        for b in data.draw(st.permutations([[r] for r in phase2])):
+            lake.merge_cdc(
+                spark.createDataFrame(b, schema), "t", "id", guard_stale=True
+            )
+        got = {r.id: r.v for r in lake.read("t").select("id", "v").collect()}
+
+        # one-shot LWW of the WHOLE log (unique versions by index)
+        last = {}
+        for r in log:
+            if r.id not in last or r.version > last[r.id].version:
+                last[r.id] = r
+        want = {k: r.v for k, r in last.items() if r.op != "D"}
+        assert got == want
+
+
 class TestIncrementalExactSubstringProperty:
     @SETTINGS
     @given(
