@@ -102,7 +102,16 @@ def apply_changelog(
     (version, op, payload...) structs — no window sort — and keys whose
     final op is a delete drop out. Requires (key, version) unique
     (a totally ordered changelog); ties would otherwise resolve by
-    struct order over the remaining fields."""
+    struct order over the remaining fields. The version column is
+    cast to long BEFORE the argmax: comparing the raw type would
+    order numeric-string versions lexicographically ("9" > "10" —
+    the older event wins) and compare decimals at full precision
+    while the emitted ``last_version`` truncates; casting first makes
+    the comparison and the stored guard value the same number
+    (non-castable values become NULL and lose every comparison —
+    callers that must fail loudly validate first, as
+    ``ParquetLake._check_version_castable`` does)."""
+    log = log.withColumn(version_col, F.col(version_col).cast("long"))
     m = log.groupBy(key_col).agg(
         F.max(F.struct(version_col, op_col, *payload_cols)).alias("m")
     )
@@ -110,5 +119,5 @@ def apply_changelog(
     return kept.select(
         key_col,
         *[F.col(f"m.{c}").alias(c) for c in payload_cols],
-        F.col(f"m.{version_col}").cast("long").alias("last_version"),
+        F.col(f"m.{version_col}").alias("last_version"),
     )

@@ -1162,11 +1162,20 @@ def exact_substring_remove(
         ).alias("__clean"),
         F.count("*").alias("__n_kept"),
     )
+    # size(split(NULL)) is -1 under non-ANSI semantics, not NULL —
+    # guard so NULL docs report NULL counts (n_removed inherits the
+    # NULL through the subtraction), matching the docstring and the
+    # DuckDB oracle's len(NULL) behavior
+    n_tokens = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size(tk).cast("long"))
+        .alias("n_tokens")
+    )
     return (
         docs.select(
             "doc_id",
             F.col(text_col).alias("__text"),
-            F.size(tk).cast("long").alias("n_tokens"),
+            n_tokens,
         )
         .join(clean, "doc_id", "left")
         .select(
@@ -1244,8 +1253,16 @@ def _span_stats(
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
     )
     tk = F.split(F.col(text_col), " ")
+    # same non-ANSI size(split(NULL)) = -1 trap as exact_substring_
+    # remove: NULL docs report NULL n_tokens (and the 0/NULL division
+    # nulls dup_token_frac), matching the oracle's len(NULL)
+    n_tokens = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size(tk).cast("long"))
+        .alias("n_tokens")
+    )
     return (
-        docs.select("doc_id", F.size(tk).cast("long").alias("n_tokens"))
+        docs.select("doc_id", n_tokens)
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",
@@ -1383,9 +1400,12 @@ def dsir_importance(
     bucket totals (a ``buckets``-bounded second aggregate) and the
     per-doc scores (broadcast-joined 64-row LUT of smoothed
     log-ratios — the k-bounded small-table pattern, no driver
-    collect — then a map-side weighted sum per doc_id, already
-    co-partitioned by the checkpoint's groupBy so no further
-    shuffle). Count-product envelope: (t_b+1)*(R+k) must stay under
+    collect — then a weighted sum per doc_id; the checkpoint is
+    hash-partitioned on (doc_id, bucket), which does NOT satisfy
+    groupBy(doc_id)'s clustering — a superset of keys is not a
+    subset — so the score aggregate pays one more exchange, but over
+    the collapsed <=buckets-rows-per-doc table, not the corpus
+    explode). Count-product envelope: (t_b+1)*(R+k) must stay under
     2^53 for the exact integer products (holds to ~1e12 grams per
     side; past that, compute the two smoothed probabilities
     separately in doubles — the quantization makes the relative

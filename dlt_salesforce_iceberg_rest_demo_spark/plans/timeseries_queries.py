@@ -271,6 +271,7 @@ def cdc_guarded_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference analog: its merge is version-free delete-then-insert
     (salesforce_pipeline.py:83-130)."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -295,8 +296,16 @@ def cdc_guarded_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         wave(k % 4 == 0, 1, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
         wave(k % 4 != 0, 0, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
     ]
+    # keyed by (fixture, pid): two concurrent harness processes on the
+    # same fixture get disjoint lakes instead of clobbering each other
+    # mid-merge (the rmtree happens at plan-construction time, so a
+    # shared path would race); within one process re-runs still reuse
+    # and rebuild the same dir, keeping tmp growth bounded
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    root = Path(tempfile.gettempdir()) / f"spark_graft_cdclake_{key}"
+    root = (
+        Path(tempfile.gettempdir())
+        / f"spark_graft_cdclake_{key}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     lake = ParquetLake(spark, root)
     for b in batches:

@@ -856,31 +856,45 @@ class ParquetLake:
     def _check_version_castable(
         self, log: DataFrame, version_col: str, table: str
     ) -> None:
-        """Fail loudly when ``version_col`` cannot become a NULL-free
-        long: a silent NULL ``last_version`` means 'any version beats
-        me', i.e. the guard degrades to last-call-wins without telling
-        anyone. Integral column types pass statically (no data scan);
-        anything else (ISO-8601 strings, decimals with fractional
-        parts are still fine to truncate-cast — only NULL results and
-        NULL inputs are rejected) pays one filter+isEmpty over the
-        batch-sized log."""
+        """Fail loudly when ``version_col`` cannot become a NULL-free,
+        value-preserving long: a silent NULL ``last_version`` means
+        'any version beats me' (the guard degrades to last-call-wins
+        without telling anyone), and a fractional value truncates on
+        cast (decimal 9.5 and 9.4 become the same long — false ties
+        the strict-``>`` guard then drops as stale). Integral column
+        types pass statically (no data scan); anything else (numeric
+        strings, whole-valued decimals) pays one filter+isEmpty over
+        the batch-sized log, rejecting NULL inputs, non-numeric
+        values, and fractional values alike. The caller then casts
+        the column to long BEFORE the per-key argmax — raw-typed
+        comparison would order strings lexicographically ("9" > "10")
+        and hand the win to the older event."""
         dtype = dict(log.dtypes)[version_col]
         if dtype in ("tinyint", "smallint", "int", "bigint"):
             # integral casts to long are total — only NULL inputs
             # (which would also null the guard) need checking
             bad = log.filter(F.col(version_col).isNull())
         else:
+            # decimal(38,9) spans every long exactly; values outside it
+            # (or non-numeric) cast to NULL and fail the first clause,
+            # fractional values fail the round-trip equality
+            as_long = F.col(version_col).cast("long")
             bad = log.filter(
                 F.col(version_col).isNull()
-                | F.col(version_col).cast("long").isNull()
+                | as_long.isNull()
+                | (
+                    F.col(version_col).cast("decimal(38,9)")
+                    != as_long.cast("decimal(38,9)")
+                )
             )
         if not bad.isEmpty():
             raise ValueError(
                 f"guard_stale merge_cdc on {table}: version column "
                 f"{version_col!r} (type {dtype}) has values that are "
-                "NULL or do not cast to long; a NULL last_version "
-                "silently disables the stale guard, so this is an "
-                "error. Provide an integral, NULL-free version."
+                "NULL, non-numeric, or fractional; a NULL last_version "
+                "silently disables the stale guard and a truncating "
+                "cast creates false version ties, so this is an "
+                "error. Provide a whole-valued, NULL-free version."
             )
 
     def _merge_cdc_guarded(
@@ -902,13 +916,21 @@ class ParquetLake:
         version and loses. Winning deletes write tombstones (marker
         row, payload NULL) whether or not the key exists — a delete
         for an absent key is guard state too (its insert may still be
-        in flight), so the commit is never a no-change rewrite."""
+        in flight), so the commit is never a no-change rewrite.
+
+        The version column is cast to long BEFORE the argmax:
+        comparing the raw type would order numeric strings
+        lexicographically ("9" > "10" hands the win to the older
+        event) and truncate decimals per-comparison. NULL-free,
+        whole-valued casting was already enforced by
+        :meth:`_check_version_castable`, so the cast is lossless."""
+        log = log.withColumn(version_col, F.col(version_col).cast("long"))
         m = log.groupBy(key_col).agg(
             F.max(F.struct(version_col, op_col, *payload_cols)).alias("m")
         )
         final = m.select(
             key_col,
-            F.col(f"m.{version_col}").cast("long").alias("last_version"),
+            F.col(f"m.{version_col}").alias("last_version"),
             F.col(f"m.{op_col}").alias("__op"),
             *[F.col(f"m.{c}").alias(c) for c in payload_cols],
         )

@@ -634,6 +634,58 @@ class TestMergeCdc:
         lake.merge_cdc(ok, "t", "id", guard_stale=True)
         assert rows_by_id(lake, "t")[1]["last_version"] == 7
 
+    def test_guard_numeric_string_versions_compare_numerically(
+        self, spark, tmp_path
+    ):
+        """ADVICE r8: a raw-typed argmax orders numeric strings
+        lexicographically ("9" > "10"), storing the OLDER payload with
+        last_version=9 — the stale guard then silently keeps wrong
+        data. The cast-before-argmax makes the in-batch winner and the
+        persisted guard value the same number."""
+        lake = make_lake(spark, tmp_path)
+        batch = df_of(
+            spark,
+            [
+                Row(id=1, version="9", op="U", v="old"),
+                Row(id=1, version="10", op="U", v="new"),
+            ],
+        )
+        lake.merge_cdc(batch, "t", "id", guard_stale=True)
+        row = rows_by_id(lake, "t")[1]
+        assert row["v"] == "new" and row["last_version"] == 10
+        # the persisted guard then correctly rejects a late "9"
+        lake.merge_cdc(
+            df_of(spark, [Row(id=1, version="9", op="U", v="stale")]),
+            "t", "id", guard_stale=True,
+        )
+        assert rows_by_id(lake, "t")[1]["v"] == "new"
+
+    def test_guard_rejects_fractional_version(self, spark, tmp_path):
+        """Fractional versions truncate on cast (decimal 9.5 and 9.4
+        both become long 9 — false ties the strict-> guard drops as
+        stale), so guarded mode rejects them loudly; whole-valued
+        decimals and strings still pass."""
+        from decimal import Decimal
+
+        import pytest as _pytest
+
+        lake = make_lake(spark, tmp_path)
+        frac = df_of(
+            spark, [Row(id=1, version=Decimal("9.5"), op="I", v="a")]
+        )
+        with _pytest.raises(ValueError, match="fractional"):
+            lake.merge_cdc(frac, "t", "id", guard_stale=True)
+        with _pytest.raises(ValueError, match="fractional"):
+            lake.merge_cdc(
+                df_of(spark, [Row(id=1, version="9.5", op="I", v="a")]),
+                "t", "id", guard_stale=True,
+            )
+        whole = df_of(
+            spark, [Row(id=1, version=Decimal("9.0"), op="I", v="a")]
+        )
+        lake.merge_cdc(whole, "t", "id", guard_stale=True)
+        assert rows_by_id(lake, "t")[1]["last_version"] == 9
+
     def test_unguarded_onto_guarded_keeps_guard_state(self, spark, tmp_path):
         """ADVICE r7: an unguarded merge_cdc onto a guarded table must
         not NULL out last_version for the keys it touches — it writes

@@ -730,8 +730,28 @@ class TestExactSubstringRemove:
         assert out[2].text_clean == "x y"
         assert out[3].text_clean == "u0 u1 u2" and out[3].n_removed == 0
         assert out[4].text_clean == "" and out[4].n_removed == 8
+        # NULL doc: ALL outputs NULL, not size(split(NULL)) = -1
+        # (ADVICE r8 — non-ANSI size() of NULL is -1, not NULL)
         assert out[5].text_clean is None
+        assert out[5].n_tokens is None and out[5].n_removed is None
         assert out[6].text_clean == "mid" and out[6].n_removed == 16
+
+    def test_null_doc_stats_are_null_in_spans_too(self, spark):
+        """exact_substring_spans shares _span_stats: a NULL doc reports
+        NULL n_tokens and NULL dup_token_frac (0/NULL), matching the
+        DuckDB oracle's len(NULL) semantics."""
+        out = {
+            r.doc_id: r
+            for r in text.exact_substring_spans(
+                spark.createDataFrame(
+                    [Row(doc_id=1, text=None), Row(doc_id=2, text="a b c")]
+                ),
+                window=8,
+            ).collect()
+        }
+        assert out[1].n_tokens is None and out[1].dup_token_frac is None
+        assert out[1].n_dup_spans == 0 and out[1].dup_tokens == 0
+        assert out[2].n_tokens == 3 and out[2].dup_token_frac == 0.0
 
     def test_consecutive_spaces_roundtrip(self, spark):
         """Empty tokens (double spaces) survive untouched in clean

@@ -336,6 +336,25 @@ class TestChangelogApplyProperty:
         }
         assert got == want
 
+    def test_numeric_string_versions_order_numerically(self, spark):
+        """ADVICE r8: the argmax casts version to long FIRST — raw
+        string comparison would pick "9" over "10" and hand the win to
+        the older event."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
+            apply_changelog,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(k=1, version="9", op="U", payload=90),
+                Row(k=1, version="10", op="U", payload=100),
+            ],
+            "k long, version string, op string, payload long",
+        )
+        out = apply_changelog(df, "k", "version", "op", ["payload"]).collect()
+        assert len(out) == 1
+        assert out[0]["payload"] == 100 and out[0]["last_version"] == 10
+
 
 class TestPackSequencesProperty:
     @SETTINGS
