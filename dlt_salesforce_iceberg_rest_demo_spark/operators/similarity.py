@@ -386,11 +386,20 @@ def kmeans_fit(
         [int(math.floor(float(x) * KMEANS_SCALE)) for x in r[vec_col]]
         for r in corpus.orderBy(id_col).limit(n_centroids).collect()
     ]
+    if not centroids:  # empty corpus: the iteration loop was vacuous
+        return []
+    # wrong-length vectors (the only remaining NULL-assignment cause
+    # after the null/finite entry filter) are excluded JVM-side BEFORE
+    # the UDF: a post-hoc .filter(cluster.isNotNull()) makes Catalyst
+    # extract the assign UDF into TWO ArrowEvalPython nodes (Filter +
+    # Project, no CSE across the extraction), running the assignment
+    # pass twice per Lloyd iteration
+    corpus = corpus.filter(F.size(F.col(vec_col)) == len(centroids[0]))
     for _ in range(iters):
         assigned = corpus.select(
             F.col(vec_col).alias("v"),
             _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
-        ).filter(F.col("cluster").isNotNull())
+        )
         qx = F.floor(F.col("x").cast("double") * KMEANS_SCALE).cast("long")
         cells = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
@@ -459,6 +468,34 @@ def _quantize_unit_udf(dim: int):
     return qu
 
 
+def _encodable(vec_col: str, dim: int):
+    """JVM-side predicate that is TRUE exactly when
+    :func:`_quantize_unit_udf` / :func:`_pq_encode_udf` would return
+    non-NULL for the row: correct length AND nonzero quantized norm.
+    The norm test replays _quantize_unit_np's arithmetic — per-element
+    ``floor(x*x*1e15)`` summed as nonneg integers is > 0 iff SOME
+    element's floor is >= 1 — as the same IEEE double op sequence, so
+    the filter and the UDF's mask agree bit-exactly. Assumes a
+    finite-prefiltered input (``_non_null_vectors(finite=True)``, which
+    every caller applies): an Inf element would pass here but mask
+    inside the UDF.
+
+    Why filter BEFORE the UDF instead of ``.filter(
+    udf_out.isNotNull())`` after: Catalyst's Python-UDF extraction
+    does not CSE across the Filter/Project split — the post-hoc
+    filter plans TWO ArrowEvalPython nodes in one pipeline (one
+    feeding the Filter, one recomputed for the Project), executing
+    the Arrow encode over the whole corpus twice (verified in
+    pq_topk's executed plan; the encode is the query's hottest
+    Python stage)."""
+    c = F.col(vec_col)
+    return (F.size(c) == dim) & F.exists(
+        c,
+        lambda x: F.floor(x.cast("double") * x.cast("double") * FIXED_SCALE)
+        >= 1,
+    )
+
+
 def _centroid_distances_int(mq: np.ndarray, cents_q: np.ndarray) -> np.ndarray:
     """Exact integer squared L2 distances (n, k), one centroid at a
     time (cache-sized temporaries; diffs <= 2e6 so squares sum well
@@ -510,8 +547,16 @@ def _probe_clusters_udf(centroids: "list[list[int]]", n_probe: int):
 
 
 def _assign_cluster(vec: Column, centroids: "list[list[int]]") -> Column:
-    """Index of the nearest centroid for one vector column."""
-    return _assign_cluster_udf(centroids)(vec)
+    """Index of the nearest centroid for one vector column. NULL
+    assignments (malformed vectors) surface as sentinel -1 — a
+    cluster id no probe, join, or update path references — so the
+    column is NON-NULLABLE to Catalyst: an inner join keyed on a
+    nullable Python-UDF output gets an implicit IsNotNull on the key,
+    which re-extracts the UDF into a second ArrowEvalPython and runs
+    the whole corpus assignment twice (ivf_topk's executed plan
+    confirmed it; coalesce-with-literal kills the implicit filter
+    because the result can never be null)."""
+    return F.coalesce(_assign_cluster_udf(centroids)(vec), F.lit(-1))
 
 
 def ivf_topk(
@@ -787,11 +832,21 @@ def semantic_dedup(
     with no prior neighbor above threshold).
     """
     centroids = kmeans_fit(corpus, n_centroids, iters, vec_col, id_col)
-    assigned = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
-    ).filter(F.col("cluster").isNotNull())
+    # exclusion JVM-side BEFORE the assign UDF (null / wrong-length
+    # vectors, the exact conditions that made assign return NULL) —
+    # the old post-hoc .filter(cluster.isNotNull()) double-planned the
+    # assignment pass (see _assign_cluster)
+    dim = len(centroids[0]) if centroids else -1
+    assigned = (
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            _assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+        )
+    )
 
     out_schema = T.StructType(
         [
@@ -973,16 +1028,22 @@ def pq_fit(
         for j in range(m)
     ]
 
+    # _encodable BEFORE the UDF, not .filter(uq.isNotNull()) after:
+    # the post-hoc null filter plans the quantize UDF twice (see
+    # _encodable's docstring) — and with the pre-filter the UDF can
+    # never return NULL here
     uq = (
-        train.select(_quantize_unit_udf(dim)(F.col(vec_col)).alias("uq"))
-        .filter(F.col("uq").isNotNull())
+        train.filter(_encodable(vec_col, dim))
+        .select(_quantize_unit_udf(dim)(F.col(vec_col)).alias("uq"))
         .localCheckpoint(eager=True)  # reused by BOTH Lloyd iterations
     )
     for _ in range(iters):
         enc = _pq_encode_udf(books, pre_quantized=True)
+        # no codes-null filter: uq rows are always full-length (the
+        # quantize UDF emits fixed-dim arrays) and pre_quantized
+        # encode NULLs only on length mismatch
         cells = (
             uq.select(F.col("uq"), enc(F.col("uq")).alias("codes"))
-            .filter(F.col("codes").isNotNull())
             .select(F.posexplode("uq").alias("dim", "x"), F.col("codes"))
             .select(
                 (F.col("dim") / dsub).cast("int").alias("j"),
@@ -1096,9 +1157,12 @@ def pq_topk(
             .withColumn("rank", F.lit(None).cast("long"))
         )
     enc = _pq_encode_udf(books)
-    c = corpus.select(
+    # pre-filter on the JVM twin of encode's NULL mask instead of
+    # .filter(codes.isNotNull()) after — the post-hoc filter planned
+    # TWO ArrowEvalPython nodes, encoding the whole corpus twice
+    c = corpus.filter(_encodable(vec_col, len(books) * len(books[0][0]))).select(
         F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
-    ).filter(F.col("codes").isNotNull())
+    )
     return _pq_search(
         c, books, queries, k, shortlist, corpus if rerank else None, id_col, vec_col
     )
@@ -1232,10 +1296,12 @@ def pq_build(
     books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
     enc = _pq_encode_udf(books)
     flat = (
-        corpus.select(
+        # _encodable pre-filter, not post-hoc codes.isNotNull(): the
+        # latter double-plans the encode UDF (see _encodable)
+        corpus.filter(_encodable(vec_col, len(books) * len(books[0][0])))
+        .select(
             F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
         )
-        .filter(F.col("codes").isNotNull())
         .select("corpus_id", F.posexplode("codes").alias("j", "code"))
         .select("corpus_id", F.col("j").cast("long"), F.col("code").cast("long"))
     )

@@ -489,7 +489,35 @@ class TestRound3OperatorPlans:
         plan = plan_of(REGISTRY["similarity_pq_topk"].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan
         assert "WindowGroupLimit" in plan  # shortlist prunes pre-shuffle
-        assert plan.count("ArrowEvalPython") <= 4  # quantize+encode only
+        # exactly ONE encode pass over the corpus: the old post-hoc
+        # .filter(codes.isNotNull()) double-planned the UDF (r8 audit);
+        # formatted mode prints each node in the tree ("ArrowEvalPython
+        # (n)") and again in the details section, so count tree entries
+        assert plan.count("ArrowEvalPython (") == 1
+
+    def test_no_registry_plan_duplicates_a_python_udf(self, spark):
+        """Catalyst's Python-UDF extraction does not CSE across
+        operators: a .filter(udf_out.isNotNull()) after the projection
+        — or an inner join keyed on a nullable UDF output (implicit
+        IsNotNull) — plans the SAME UDF into two ArrowEvalPython
+        nodes, silently executing the Arrow stage twice. Sweep every
+        registry query's physical plan for repeated UDF signatures
+        (r8 audit found pq encode, kmeans/ivf/semdedup assign)."""
+        import collections
+        import re
+
+        offenders = {}
+        for name, entry in REGISTRY.items():
+            df = entry.spark(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            sigs = re.findall(
+                r"(?:ArrowEvalPython|BatchEvalPython) \[([a-zA-Z_0-9]+\([^)]*\))",
+                plan,
+            )
+            dup = [s for s, c in collections.Counter(sigs).items() if c > 1]
+            if dup:
+                offenders[name] = dup
+        assert not offenders, offenders
 
     def test_pack_sequences_single_domain_shuffle(self, spark):
         # One hash Exchange on the md5 bucket feeds the grouped FFD
