@@ -2652,9 +2652,12 @@ def text_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     conservative drop-all-occurrences variant (keep-one needs a
     global occurrence order no distributed plan can define
     deterministically). Fully relational: spans expand to covered
-    positions, posexplode + anti-join drops them, survivors
-    reassemble per doc (array_sort of (pos, tok) structs — bounded by
-    doc length). The rebuilt TEXT itself is hash-compared against
+    positions, a coverage-marking LEFT join over the posexploded
+    tokens feeds ONE doc_id aggregation producing text_clean,
+    n_tokens and n_removed together (array_sort of (pos, tok)
+    structs — bounded by doc length; one corpus-token exchange total,
+    the r8-verdict two-exchange shape collapsed). The rebuilt TEXT
+    itself is hash-compared against
     DuckDB's string_agg reconstruction, so tokenization, span
     merging, coverage arithmetic, and the join/anti-join all verify
     at string granularity. The reference has no sub-document

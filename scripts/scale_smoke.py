@@ -70,6 +70,10 @@ HOT = [
     # is the cost claim; on the disjoint slice dup structure is
     # per-copy, so work must scale linearly with no new exchanges.
     "text_exact_substring_dedup",
+    # round-9: the removal step (the round-8 verdict's missing smoke):
+    # one corpus-token exchange (the explicit doc_id repartition) must
+    # stay the ONLY token-scale shuffle at 10x.
+    "text_exact_substring_remove",
 ]
 
 # The df-split operators, re-measured on the saturated-vocabulary
@@ -91,6 +95,10 @@ GROWDF = [
     # universe at 10x volume, window repeat counts grow ~10x and the
     # dup fraction saturates — the boilerplate-heavy corpus case.
     "text_exact_substring_dedup",
+    # Removal under the saturated regime: the covered fraction
+    # approaches 1, so the coverage join and the per-doc reassembly
+    # both run at full corpus-token width.
+    "text_exact_substring_remove",
 ]
 
 # Entries whose plan DELIBERATELY changes with scale: excluded from the
@@ -371,6 +379,125 @@ def run_hotwindow_variant(variant: str) -> dict:
     }
 
 
+REMOVAL_KEY = "hotwindow:text_exact_substring_remove"
+
+
+def run_removal_variant(variant: str) -> dict:
+    """Warm median-of-3 of one ExactSubstr REMOVAL formulation on the
+    hot-window slice (1e6-occurrence phrase: nearly every token of the
+    hot docs is covered, so the coverage join and per-doc reassembly
+    run at full width). shipped = round-9 single-exchange shape (docs
+    repartition(doc_id) -> coverage-marking LEFT join -> ONE groupBy
+    for text_clean + n_tokens + n_removed; the stats join back carries
+    only (doc_id, is-null)); contrast = the round-8 shape ((doc_id, p)
+    anti-join, separate doc_id reassembly groupBy, then a stats join
+    that re-shuffles the full text column)."""
+    from dlt_salesforce_iceberg_rest_demo_spark.operators import text as t_ops
+    from dlt_salesforce_iceberg_rest_demo_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("scale-smoke", extra_conf={"spark.ui.enabled": "true"})
+    _ensure_hotwin_slice(spark)
+    docs = spark.read.parquet(str(Path(HOTWIN_DIR, "documents.parquet")))
+
+    def make():
+        if variant == "shipped":
+            return t_ops.exact_substring_remove(docs, window=8)
+        # round-8 shape, reconstructed from the same internals
+        dup = t_ops._duplicated_windows(docs, "text", 8)
+        cov = t_ops._merged_spans(dup).select(
+            "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+        )
+        tk = F.split(F.col("text"), " ")
+        toks = docs.select(
+            "doc_id", F.posexplode(tk).alias("p0", "tok")
+        ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+        kept = toks.join(cov, ["doc_id", "p"], "left_anti")
+        clean = kept.groupBy("doc_id").agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(p, tok))),"
+                " x -> x.tok), ' ')"
+            ).alias("__clean"),
+            F.count("*").alias("__n_kept"),
+        )
+        n_tokens = (
+            F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size(tk).cast("long"))
+            .alias("n_tokens")
+        )
+        return (
+            docs.select("doc_id", F.col("text").alias("__text"), n_tokens)
+            .join(clean, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+                .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+                .alias("text_clean"),
+                "n_tokens",
+                (
+                    F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))
+                ).alias("n_removed"),
+            )
+        )
+
+    n = _execute(make())  # warm: codegen/JIT/footers
+    before = {(s["stageId"], s["attemptId"]) for s in _stage_rows(spark)}
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = _execute(make())
+        runs.append(time.perf_counter() - t0)
+    mets = _metrics_since(spark, before)
+    mets["shuffle_write_bytes"] //= 3  # per-run (3 timed runs summed)
+    return {
+        "sec": round(sorted(runs)[1], 3),
+        "rows": n,
+        **mets,
+        **_task_skew(spark, before),
+    }
+
+
+def run_removal_hotwindow() -> dict:
+    """Shipped single-exchange removal vs the round-8 two-exchange
+    shape, each in its own subprocess on the hot slice."""
+    entry: dict = {}
+    for key, variant in (
+        ("shipped", "shipped"),
+        ("r8_shape_contrast", "contrast"),
+    ):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--removal-variant", variant],
+            capture_output=True, text=True,
+        )
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("VARIANT ")
+            ),
+            None,
+        )
+        if line is None:
+            raise RuntimeError(
+                f"removal variant {variant} failed:\n{proc.stderr[-800:]}"
+            )
+        entry[key] = json.loads(line[len("VARIANT "):])
+    entry["rows_equal"] = (
+        entry["shipped"]["rows"] == entry["r8_shape_contrast"]["rows"]
+    )
+    entry["note"] = (
+        "hot slice (one 8-token phrase, ~1e6 occurrences/rotation; hot "
+        "docs ~100% covered), warm median-of-3 per variant in its own "
+        "session. shipped = round-9 single token-scale exchange "
+        "(repartition(doc_id) satisfies the coverage join AND the one "
+        "combined reassembly/stats aggregation; the doc join back "
+        "carries no text); r8_shape_contrast = (doc_id,p) anti-join + "
+        "separate reassembly groupBy + a stats join re-shuffling the "
+        "full text column."
+    )
+    return entry
+
+
 def run_hotwindow() -> dict:
     """The hot-single-window entry: the SHIPPED groupBy-fp duplicate
     flag vs the round-7 count-over-window formulation, each measured
@@ -439,6 +566,12 @@ def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--hotwindow":
         print("RESULT " + json.dumps(run_hotwindow()))
         return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--removal-variant":
+        print("VARIANT " + json.dumps(run_removal_variant(sys.argv[2])))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--removal-hotwindow":
+        print("RESULT " + json.dumps(run_removal_hotwindow()))
+        return
 
     _ensure_slice(DST, "disjoint")
     _ensure_slice(DST_GROWDF, "growdf")
@@ -492,6 +625,26 @@ def main() -> None:
             f"window-flag {entry['window_flag_contrast']['sec']}s "
             f"max/med "
             f"{entry['window_flag_contrast']['max_median_task_ratio']}",
+            flush=True,
+        )
+
+    # removal on the same hot slice (shipped vs round-8 shape)
+    proc = subprocess.run(
+        [sys.executable, __file__, "--removal-hotwindow"],
+        capture_output=True, text=True,
+    )
+    line = next(
+        (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")),
+        None,
+    )
+    if line is None:
+        print(f"{REMOVAL_KEY}: FAILED\n{proc.stderr[-500:]}", flush=True)
+    else:
+        entry = json.loads(line[len("RESULT "):])
+        report[REMOVAL_KEY] = entry
+        print(
+            f"{REMOVAL_KEY}: shipped {entry['shipped']['sec']}s vs "
+            f"r8-shape {entry['r8_shape_contrast']['sec']}s",
             flush=True,
         )
 
