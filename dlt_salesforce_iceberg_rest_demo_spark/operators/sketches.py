@@ -85,7 +85,16 @@ def heavy_hitters(
             }
         )
 
-    summaries = df.select(col).mapInPandas(summarize, out_schema)
+    # localCheckpoint: the summary feeds TWO consumers (merged keys +
+    # total n), and a mapInPandas subtree is duplicated per consumer —
+    # without the materialization the one-pass MG kernel scanned the
+    # input twice (found by the round-9 duplicated-python-op sweep).
+    # The checkpoint is summary-sized: <= capacity rows per partition.
+    summaries = (
+        df.select(col)
+        .mapInPandas(summarize, out_schema)
+        .localCheckpoint(eager=True)
+    )
     merged = (
         summaries.filter(F.col("key").isNotNull())
         .groupBy("key")

@@ -515,6 +515,21 @@ class TestRound3OperatorPlans:
                 plan,
             )
             dup = [s for s, c in collections.Counter(sigs).items() if c > 1]
+            # map-style Python nodes have no extractable signature, but
+            # the same hazard applies when one mapInPandas output feeds
+            # two consumers (the subtree duplicates per consumer — the
+            # Misra-Gries kernel scanned its input twice until its
+            # summary was localCheckpointed); no registry query
+            # composes two DISTINCT map kernels in one plan, so >1 is
+            # a duplication until a query legitimately needs two
+            n_map = len(
+                re.findall(
+                    r"MapInPandas|PythonMapInArrow|FlatMapGroupsInPandas",
+                    plan,
+                )
+            )
+            if n_map > 1:
+                dup.append(f"{n_map} map-style python nodes")
             if dup:
                 offenders[name] = dup
         assert not offenders, offenders
