@@ -219,9 +219,16 @@ def main() -> None:
     # Full per-query map goes to disk only: the driver's stdout capture
     # window is ~2 kB from the END of the stream, so the 73-query map
     # (~4.6 kB) got front-truncated in rounds 1 AND 2 ("parsed": null).
-    Path(__file__).resolve().parent.joinpath("BENCH.json").write_text(
-        full_payload + "\n"
+    # SPARK_GRAFT_BENCH_OUT redirects the file so concurrent captures
+    # (driver vs builder vs judge) stop clobbering each other's
+    # working-tree BENCH.json (r9 verdict nit 3); default unchanged
+    # for the driver contract.
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    out_path = (
+        Path(out) if out
+        else Path(__file__).resolve().parent / "BENCH.json"
     )
+    out_path.write_text(full_payload + "\n")
     # Stdout gets a compact line (<1.5 kB): headline metric plus the
     # slowest 5 queries so the perf trend is still visible inline.
     print(compact)

@@ -89,6 +89,59 @@ def incremental_join_delta(
     )
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+_TIMESTAMP_TYPES = ("timestamp", "timestamp_ntz")
+
+
+def version_to_long(c: "F.Column", dtype: str) -> "F.Column":
+    """Canonical long for a CDC version/order column. Integral types
+    cast; TIMESTAMP becomes epoch MICROSECONDS (`unix_micros` — exact,
+    total, timezone-independent: micros-since-epoch in and out), the
+    most common real CDC ordering key (the reference's own cursor is
+    a SystemModstamp datetime, `/root/reference/salesforce/__init__.py:
+    41-47`); TIMESTAMP_NTZ is first reinterpreted in the session
+    timezone (the engine pins UTC, `session.py`). Everything else is
+    a plain long cast whose losslessness callers must enforce — see
+    :func:`version_unrepresentable`."""
+    if dtype in _TIMESTAMP_TYPES:
+        if dtype == "timestamp_ntz":
+            c = c.cast("timestamp")
+        return F.unix_micros(c)
+    return c.cast("long")
+
+
+def version_unrepresentable(c: "F.Column", dtype: str) -> "F.Column":
+    """Predicate: non-NULL version values that do NOT convert
+    losslessly to long — non-numeric strings, fractional numerics
+    (truncation creates false version ties a strict-``>`` guard then
+    drops as stale), and for float/double the silent non-ANSI escape
+    hatches the round-trip check alone misses: cast(NaN as long) = 0
+    and cast(±Inf as long) = ±Long.MAX are NON-NULL while the decimal
+    cast NULLs, so the inequality is NULL and the row slips through —
+    a guard stuck at version 0 or blocking all future updates at
+    Long.MAX. Integral and timestamp conversions are total -> false
+    (NULL inputs are a separate policy: the guard path rejects them,
+    unguarded apply lets them lose every comparison)."""
+    if dtype in _INTEGRAL_TYPES or dtype in _TIMESTAMP_TYPES:
+        return F.lit(False)
+    as_long = c.cast("long")
+    if dtype in ("float", "double"):
+        # double->long->double round-trip: exact whole values survive,
+        # fractional values and ±Inf (saturating to ±Long.MAX) do not;
+        # NaN needs the explicit clause (cast gives 0, and NaN
+        # comparisons would otherwise never flag it)
+        return c.isNotNull() & (
+            F.isnan(c) | (c.cast("double") != as_long.cast("double"))
+        )
+    # decimal(38,9) spans every long exactly; values outside it (or
+    # non-numeric strings) cast to NULL and fail the first clause,
+    # fractional values fail the round-trip equality
+    return c.isNotNull() & (
+        as_long.isNull()
+        | (c.cast("decimal(38,9)") != as_long.cast("decimal(38,9)"))
+    )
+
+
 def apply_changelog(
     log: DataFrame,
     key_col: str,
@@ -103,15 +156,44 @@ def apply_changelog(
     final op is a delete drop out. Requires (key, version) unique
     (a totally ordered changelog); ties would otherwise resolve by
     struct order over the remaining fields. The version column is
-    cast to long BEFORE the argmax: comparing the raw type would
+    canonicalized to long BEFORE the argmax (:func:`version_to_long`;
+    timestamps become epoch micros) — comparing the raw type would
     order numeric-string versions lexicographically ("9" > "10" —
     the older event wins) and compare decimals at full precision
     while the emitted ``last_version`` truncates; casting first makes
-    the comparison and the stored guard value the same number
-    (non-castable values become NULL and lose every comparison —
-    callers that must fail loudly validate first, as
-    ``ParquetLake._check_version_castable`` does)."""
-    log = log.withColumn(version_col, F.col(version_col).cast("long"))
+    the comparison and the stored guard value the same number. A
+    non-NULL version the cast cannot represent losslessly (ISO-8601
+    strings, fractional or NaN/Inf numerics) RAISES at execution time
+    via an inline `raise_error` — zero extra scan — instead of
+    silently becoming NULL and handing the argmax to op/payload
+    struct order (ADVICE r9 medium). NULL version inputs remain the
+    documented lose-every-comparison case; callers that must reject
+    them up front validate first, as
+    ``ParquetLake._check_version_castable`` does."""
+    dtype = dict(log.dtypes)[version_col]
+    c = F.col(version_col)
+    canon = version_to_long(c, dtype)
+    if dtype not in _INTEGRAL_TYPES and dtype not in _TIMESTAMP_TYPES:
+        canon = F.when(
+            version_unrepresentable(c, dtype),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "apply_changelog: version value "
+                    ),
+                    c.cast("string"),
+                    F.lit(
+                        f" (column {version_col!r}, type {dtype}) is not"
+                        " losslessly convertible to long; a silent NULL"
+                        " or truncating cast would mis-order the"
+                        " changelog. Provide whole-valued numerics, a"
+                        " timestamp column, or pre-convert (e.g."
+                        " unix_micros) yourself."
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(canon)
+    log = log.withColumn(version_col, canon)
     m = log.groupBy(key_col).agg(
         F.max(F.struct(version_col, op_col, *payload_cols)).alias("m")
     )

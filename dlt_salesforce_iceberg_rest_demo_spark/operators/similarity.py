@@ -422,6 +422,17 @@ def _quantize(m: np.ndarray) -> np.ndarray:
     return np.floor(m * KMEANS_SCALE).astype(np.int64)
 
 
+def _sq_cap(dim: int) -> float:
+    """Per-element bound on the fixed-point square ``x*x*1e15``: rows
+    with any element's product above this are OUTSIDE the quantized
+    domain. 2^62/dim guarantees the int64 floor-sum of ``dim``
+    elements stays under 2^62 < int64 max — no wraparound, no
+    undefined float->int64 casts. One Python float both the numpy
+    kernel and the JVM twin predicate embed literally, so the
+    boundary comparison is the identical IEEE op on both sides."""
+    return (2.0 ** 62) / dim
+
+
 def _quantize_unit_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Quantized UNIT vectors, fully bit-portable: per-element
     ``floor(x*x*1e15)`` (exact in float64 — x² ≤ 1 keeps the product
@@ -430,19 +441,31 @@ def _quantize_unit_np(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     step is a single correctly-rounded IEEE op or integer arithmetic,
     so numpy, Spark SQL (:func:`_quantized_unit`) and the DuckDB
     oracle all land on the identical integers. Returns (uq int64
-    matrix, nonzero-norm mask); zero-norm AND non-finite rows are left
-    as zeros and masked out."""
-    # Non-finite rows are masked BEFORE the int64 cast: floor(NaN*...)
-    # cast to int64 is platform-defined garbage (and numpy warns), so
-    # safety must be by construction, not by the garbage happening to
-    # fail the norm test downstream. A row with ANY NaN/Inf element
-    # lands in the zero-norm mask exactly like a zero vector.
-    finite = np.isfinite(mat).all(axis=1)
-    fl = np.floor(mat * mat * FIXED_SCALE)
-    fl[~finite] = 0.0
+    matrix, valid mask); zero-norm, non-finite, AND out-of-domain
+    rows are left as zeros and masked out."""
+    # Non-finite rows AND rows whose fixed-point square exceeds
+    # _sq_cap are masked BEFORE the int64 cast (round-10 twin audit):
+    # floor(NaN*...) or floor(1e19) cast to int64 is platform-defined
+    # garbage (numpy warns, x86 gives INT64_MIN), and even in-range
+    # per-element floors can WRAP the int64 row sum — safety must be
+    # by construction, not by the garbage happening to fail the norm
+    # test downstream. Such rows land in the mask exactly like zero
+    # vectors, and `_encodable` replays the identical product-bound
+    # comparison JVM-side so the pre-filter and this mask agree
+    # bit-exactly.
+    with np.errstate(invalid="ignore", over="ignore"):
+        # overflow->inf and NaN<=cap->False are exactly the masked
+        # outcomes; the warnings are noise here
+        sq = mat * mat * FIXED_SCALE
+        ok = (
+            np.isfinite(mat).all(axis=1)
+            & (sq <= _sq_cap(mat.shape[1])).all(axis=1)
+        )
+    fl = np.floor(sq)
+    fl[~ok] = 0.0
     s = fl.astype(np.int64).sum(axis=1)
     norms = np.sqrt(s.astype(np.float64) / FIXED_SCALE)
-    nz = (norms > 0) & finite
+    nz = (norms > 0) & ok
     unit = np.divide(mat, norms[:, None], where=nz[:, None])
     unit[~nz] = 0.0
     uq = np.floor(unit * float(KMEANS_SCALE)).astype(np.int64)
@@ -475,10 +498,17 @@ def _encodable(vec_col: str, dim: int):
     The norm test replays _quantize_unit_np's arithmetic — per-element
     ``floor(x*x*1e15)`` summed as nonneg integers is > 0 iff SOME
     element's floor is >= 1 — as the same IEEE double op sequence, so
-    the filter and the UDF's mask agree bit-exactly. Assumes a
-    finite-prefiltered input (``_non_null_vectors(finite=True)``, which
-    every caller applies): an Inf element would pass here but mask
-    inside the UDF.
+    the filter and the UDF's mask agree bit-exactly. The forall
+    clause is the exact twin of the kernel's domain mask (round-10
+    twin audit): ``x*x*1e15 <= 2^62/dim`` compares the identical IEEE
+    product against the identical Python-float literal on both sides,
+    excluding rows the numpy path masks as out-of-domain (whose
+    floors would otherwise garbage-cast / wrap int64 — a finite
+    x=1e150 passed here but NULLed in the UDF before this clause
+    existed). It also rejects NaN/Inf elements (non-ANSI NaN/Inf
+    comparisons yield false), so agreement no longer ASSUMES the
+    ``_non_null_vectors(finite=True)`` prefilter — callers still
+    apply it for fit/candidate symmetry.
 
     Why filter BEFORE the UDF instead of ``.filter(
     udf_out.isNotNull())`` after: Catalyst's Python-UDF extraction
@@ -489,10 +519,11 @@ def _encodable(vec_col: str, dim: int):
     pq_topk's executed plan; the encode is the query's hottest
     Python stage)."""
     c = F.col(vec_col)
-    return (F.size(c) == dim) & F.exists(
-        c,
-        lambda x: F.floor(x.cast("double") * x.cast("double") * FIXED_SCALE)
-        >= 1,
+    sq = lambda x: x.cast("double") * x.cast("double") * F.lit(FIXED_SCALE)
+    return (
+        (F.size(c) == dim)
+        & F.exists(c, lambda x: F.floor(sq(x)) >= 1)
+        & F.forall(c, lambda x: sq(x) <= F.lit(_sq_cap(dim)))
     )
 
 
@@ -1007,6 +1038,16 @@ def pq_fit(
     if dim_row is None:
         raise EmptyCorpusError("pq_fit: corpus is empty - cannot train a codebook")
     dim = len(dim_row[0])
+    if m <= 0 or dim % m != 0:
+        # ADVICE r9: without this, every vector fails the pre_quantized
+        # length check (uq length dim != m*(dim//m)), encode returns
+        # all-NULL codes, and the Lloyd update crashes on a None index
+        # — fail with the actual contract instead
+        raise ValueError(
+            f"pq_fit: embedding dim {dim} is not divisible by m={m}; "
+            "product quantization needs equal subspaces - pick m "
+            "dividing the dimension (or pad the vectors)"
+        )
     dsub = dim // m
     seed_rows = train.orderBy(id_col).limit(n_codes).collect()
     if not seed_rows:
@@ -1297,13 +1338,29 @@ def pq_build(
     enc = _pq_encode_udf(books)
     flat = (
         # _encodable pre-filter, not post-hoc codes.isNotNull(): the
-        # latter double-plans the encode UDF (see _encodable)
+        # latter double-plans the encode UDF (see _encodable). The
+        # explode deliberately generates over a CONSTANT sequence and
+        # element_at's the codes — round-10 sweep finding:
+        # posexplode(codes) over an ALIASED UDF output lets
+        # InferFiltersFromGenerate add size(codes)>0 which filter
+        # pushdown rewrites to size(encode(vec))>0, re-extracting the
+        # encode into a second ArrowEvalPython (the whole corpus
+        # encoded twice; Spark's own UDF exemption in that rule only
+        # catches a DIRECT UDF generator child)
         corpus.filter(_encodable(vec_col, len(books) * len(books[0][0])))
         .select(
             F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
         )
-        .select("corpus_id", F.posexplode("codes").alias("j", "code"))
-        .select("corpus_id", F.col("j").cast("long"), F.col("code").cast("long"))
+        .select(
+            "corpus_id",
+            F.explode(F.sequence(F.lit(0), F.lit(len(books) - 1))).alias("j"),
+            F.col("codes"),
+        )
+        .select(
+            "corpus_id",
+            F.col("j").cast("long"),
+            F.element_at("codes", F.col("j") + 1).cast("long").alias("code"),
+        )
     )
     lake.replace(flat, f"{index_name}__codes")
     spark = corpus.sparkSession

@@ -1161,15 +1161,27 @@ def exact_substring_remove(
     """
     from .dedup import _full_width
 
+    width = _full_width(docs.sparkSession)
     dup = _duplicated_windows(docs, text_col, window)
-    cov = _merged_spans(dup).select(
-        "doc_id",
-        F.explode(F.sequence("s", "e")).alias("p"),
-        F.lit(True).alias("__cov"),
+    # ADVICE r9: cov must be repartitioned at the SAME explicit width
+    # as toks — the window upstream leaves it hash(doc_id)-clustered
+    # but at spark.sql.shuffle.partitions (and AQE-coalescible), so on
+    # clusters where cores exceed that conf the join would re-shuffle
+    # the TOKEN-scale side to reconcile widths. Re-exchanging the
+    # span-scale side here is cheap and pins both sides to identical
+    # user-specified hash(doc_id)@width, guaranteeing the zipped join.
+    cov = (
+        _merged_spans(dup)
+        .repartition(width, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence("s", "e")).alias("p"),
+            F.lit(True).alias("__cov"),
+        )
     )
     tk = F.split(F.col(text_col), " ")
     toks = (
-        docs.repartition(_full_width(docs.sparkSession), F.col("doc_id"))
+        docs.repartition(width, F.col("doc_id"))
         .select("doc_id", F.posexplode(tk).alias("p0", "tok"))
         .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
     )

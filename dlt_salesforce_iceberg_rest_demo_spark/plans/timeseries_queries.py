@@ -249,6 +249,49 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRATCH_CLEANUPS: set = set()
+
+
+def _scratch_lake_root(prefix: str, sf_dir: str) -> "object":
+    """Per-(prefix, fixture, pid) scratch dir for harness-built lakes,
+    wiped at plan-construction time. Keyed by pid so two concurrent
+    harness processes on the same fixture get disjoint lakes instead
+    of clobbering each other mid-merge; within one process re-runs
+    rebuild the same dir. ADVICE r9: pid-keying alone accumulates one
+    orphan dir per past process, so (a) this process's dir is
+    atexit-removed, and (b) sibling dirs of the same (prefix, fixture)
+    whose owning pid is GONE are swept here — the only processes that
+    could race on them are dead."""
+    import atexit
+    import hashlib
+    import os
+    import re
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stem = f"spark_graft_{prefix}_{key}"
+    tmp = Path(tempfile.gettempdir())
+    pat = re.compile(re.escape(stem) + r"_(\d+)$")
+    for sib in tmp.glob(f"{stem}_*"):
+        m = pat.match(sib.name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # signal 0: existence probe
+        except ProcessLookupError:
+            shutil.rmtree(sib, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid: leave it alone
+    root = tmp / f"{stem}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    if root not in _SCRATCH_CLEANUPS:
+        _SCRATCH_CLEANUPS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 @register("cdc_guarded_out_of_order", oracle=_CDC_ORACLE)
 def cdc_guarded_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstoned stale-version guard, driven through the REAL lake:
@@ -270,12 +313,6 @@ def cdc_guarded_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lake dir is rebuilt from scratch for determinism. No
     reference analog: its merge is version-free delete-then-insert
     (salesforce_pipeline.py:83-130)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    from pathlib import Path
-
     from ..sinks.dispositions import ParquetLake
 
     o = t(spark, sf_dir, "orders")
@@ -296,21 +333,79 @@ def cdc_guarded_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         wave(k % 4 == 0, 1, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
         wave(k % 4 != 0, 0, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
     ]
-    # keyed by (fixture, pid): two concurrent harness processes on the
-    # same fixture get disjoint lakes instead of clobbering each other
-    # mid-merge (the rmtree happens at plan-construction time, so a
-    # shared path would race); within one process re-runs still reuse
-    # and rebuild the same dir, keeping tmp growth bounded
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    root = (
-        Path(tempfile.gettempdir())
-        / f"spark_graft_cdclake_{key}_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    lake = ParquetLake(spark, root)
+    lake = ParquetLake(spark, _scratch_lake_root("cdclake", sf_dir))
     for b in batches:
         lake.merge_cdc(b, "orders_cdc", "o_orderkey", guard_stale=True)
     if not lake.exists("orders_cdc"):  # empty source: no batch, no table
+        return spark.createDataFrame(
+            [],
+            "o_orderkey long, final_price double, "
+            "final_status string, last_version long",
+        )
+    return lake.read("orders_cdc").select(
+        "o_orderkey",
+        F.col("price").alias("final_price"),
+        F.col("status").alias("final_status"),
+        "last_version",
+    )
+
+
+# Timestamp-version guarded CDC: the reference's real ordering key is a
+# datetime cursor (SystemModstamp), so versions here are TIMESTAMPs;
+# last_version must come back as their exact epoch microseconds. The
+# micros are built with timestamp_micros()/unix_micros() on the Spark
+# side and make_timestamp()/epoch_us() in DuckDB — both pairs are exact
+# integer inverses, so the oracle is timezone-independent.
+_CDC_TS_BASE_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+_CDC_TS_STEP_US = 3_600_000_000 + 250_000  # 1h + 250ms: sub-second bits
+
+_CDC_TS_ORACLE = _CDC_ORACLE.replace(
+    "CAST(version AS BIGINT) AS last_version",
+    f"CAST({_CDC_TS_BASE_US} + version * {_CDC_TS_STEP_US} AS BIGINT)"
+    " AS last_version",
+)
+
+
+@register("cdc_guarded_timestamp_versions", oracle=_CDC_TS_ORACLE)
+def cdc_guarded_timestamp_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cdc_guarded_out_of_order` with TIMESTAMP versions — the shape
+    every real Debezium/Salesforce changelog has (the reference's
+    cursor is a SystemModstamp datetime,
+    `/root/reference/salesforce/__init__.py:41-47`). The guard
+    canonicalizes timestamps to epoch MICROSECONDS
+    (`version_to_long`), so sub-second ordering survives (the wave
+    step deliberately carries a 250ms fractional component that a
+    seconds-granular cast would collapse into false ties) and the
+    persisted ``last_version`` is an exact integer the oracle
+    reproduces arithmetically. Same adversarial reverse delivery,
+    same one-shot LWW oracle."""
+    from ..sinks.dispositions import ParquetLake
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def wave(flt, version: int, op: str, price, status):
+        vts = F.timestamp_micros(
+            F.lit(_CDC_TS_BASE_US + version * _CDC_TS_STEP_US)
+        )
+        return o.filter(flt).select(
+            k.alias("o_orderkey"),
+            vts.alias("version"),
+            F.lit(op).alias("op"),
+            price.alias("price"),
+            status.alias("status"),
+        )
+
+    batches = [  # reverse version order, as in the long-version twin
+        wave(k % 5 == 0, 3, "D", F.lit(0.0), F.lit("D")),
+        wave(k % 3 == 0, 2, "U", F.col("o_totalprice") * 2, F.lit("U")),
+        wave(k % 4 == 0, 1, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
+        wave(k % 4 != 0, 0, "I", F.col("o_totalprice"), F.col("o_orderstatus")),
+    ]
+    lake = ParquetLake(spark, _scratch_lake_root("cdctslake", sf_dir))
+    for b in batches:
+        lake.merge_cdc(b, "orders_cdc", "o_orderkey", guard_stale=True)
+    if not lake.exists("orders_cdc"):
         return spark.createDataFrame(
             [],
             "o_orderkey long, final_price double, "

@@ -795,10 +795,14 @@ class ParquetLake:
 
         Guarded-state hygiene: ``last_version``/``_cdc_deleted``/
         ``__op``/``__base_v`` are reserved — a changelog whose key or
-        payload uses one raises. ``version_col`` must cast to long
-        NULL-free in guarded mode (a silent NULL would mean 'any
-        version beats me' and quietly disable the guard — raise
-        instead). An UNGUARDED merge_cdc onto a guarded table keeps
+        payload uses one raises. ``version_col`` must convert to long
+        losslessly and NULL-free in guarded mode (a silent NULL would
+        mean 'any version beats me' and quietly disable the guard —
+        raise instead); integral, numeric-string, whole-decimal, and
+        TIMESTAMP versions (ordered as epoch microseconds) all
+        qualify. Unguarded merges validate nothing up front, but
+        ``apply_changelog``'s inline guard raises at execution time
+        on any non-NULL version the cast cannot represent. An UNGUARDED merge_cdc onto a guarded table keeps
         writing ``last_version`` for the keys it touches (so a later
         guarded call still has state) but applies last-call-wins and
         REPLACES tombstones it upserts over — mixing modes on one
@@ -861,40 +865,39 @@ class ParquetLake:
         'any version beats me' (the guard degrades to last-call-wins
         without telling anyone), and a fractional value truncates on
         cast (decimal 9.5 and 9.4 become the same long — false ties
-        the strict-``>`` guard then drops as stale). Integral column
-        types pass statically (no data scan); anything else (numeric
-        strings, whole-valued decimals) pays one filter+isEmpty over
-        the batch-sized log, rejecting NULL inputs, non-numeric
-        values, and fractional values alike. The caller then casts
-        the column to long BEFORE the per-key argmax — raw-typed
-        comparison would order strings lexicographically ("9" > "10")
-        and hand the win to the older event."""
+        the strict-``>`` guard then drops as stale). Integral AND
+        timestamp column types convert totally (timestamps become
+        epoch micros via ``version_to_long`` — the reference's own
+        cursor is a SystemModstamp datetime), so they pay only the
+        NULL check; anything else (numeric strings, whole-valued
+        decimals, doubles) additionally hits the shared
+        ``version_unrepresentable`` predicate — non-numeric,
+        fractional, and NaN/±Inf values alike (the latter two escape
+        a decimal round-trip check alone: non-ANSI cast(NaN as long)
+        = 0 and cast(Inf as long) = Long.MAX are non-NULL while the
+        decimal cast NULLs, leaving the inequality NULL — ADVICE r9).
+        One filter+isEmpty over the batch-sized log. The caller then
+        canonicalizes the column to long BEFORE the per-key argmax —
+        raw-typed comparison would order strings lexicographically
+        ("9" > "10") and hand the win to the older event."""
+        from ..operators.incremental_agg import version_unrepresentable
+
         dtype = dict(log.dtypes)[version_col]
-        if dtype in ("tinyint", "smallint", "int", "bigint"):
-            # integral casts to long are total — only NULL inputs
-            # (which would also null the guard) need checking
-            bad = log.filter(F.col(version_col).isNull())
-        else:
-            # decimal(38,9) spans every long exactly; values outside it
-            # (or non-numeric) cast to NULL and fail the first clause,
-            # fractional values fail the round-trip equality
-            as_long = F.col(version_col).cast("long")
-            bad = log.filter(
-                F.col(version_col).isNull()
-                | as_long.isNull()
-                | (
-                    F.col(version_col).cast("decimal(38,9)")
-                    != as_long.cast("decimal(38,9)")
-                )
-            )
+        c = F.col(version_col)
+        bad = log.filter(
+            c.isNull() | version_unrepresentable(c, dtype)
+        )
         if not bad.isEmpty():
             raise ValueError(
                 f"guard_stale merge_cdc on {table}: version column "
                 f"{version_col!r} (type {dtype}) has values that are "
-                "NULL, non-numeric, or fractional; a NULL last_version "
-                "silently disables the stale guard and a truncating "
-                "cast creates false version ties, so this is an "
-                "error. Provide a whole-valued, NULL-free version."
+                "NULL, non-numeric, fractional, or NaN/Inf; a NULL "
+                "last_version silently disables the stale guard and a "
+                "truncating cast creates false version ties, so this "
+                "is an error. Provide a whole-valued NULL-free "
+                "numeric, a timestamp column (ordered as epoch "
+                "microseconds), or pre-convert (e.g. unix_micros) "
+                "yourself."
             )
 
     def _merge_cdc_guarded(
@@ -918,13 +921,19 @@ class ParquetLake:
         for an absent key is guard state too (its insert may still be
         in flight), so the commit is never a no-change rewrite.
 
-        The version column is cast to long BEFORE the argmax:
-        comparing the raw type would order numeric strings
+        The version column is canonicalized to long BEFORE the argmax
+        (``version_to_long``: integral cast, timestamps -> epoch
+        micros): comparing the raw type would order numeric strings
         lexicographically ("9" > "10" hands the win to the older
         event) and truncate decimals per-comparison. NULL-free,
-        whole-valued casting was already enforced by
-        :meth:`_check_version_castable`, so the cast is lossless."""
-        log = log.withColumn(version_col, F.col(version_col).cast("long"))
+        lossless conversion was already enforced by
+        :meth:`_check_version_castable`."""
+        from ..operators.incremental_agg import version_to_long
+
+        dtype = dict(log.dtypes)[version_col]
+        log = log.withColumn(
+            version_col, version_to_long(F.col(version_col), dtype)
+        )
         m = log.groupBy(key_col).agg(
             F.max(F.struct(version_col, op_col, *payload_cols)).alias("m")
         )

@@ -686,6 +686,70 @@ class TestMergeCdc:
         lake.merge_cdc(whole, "t", "id", guard_stale=True)
         assert rows_by_id(lake, "t")[1]["last_version"] == 9
 
+    def test_guard_rejects_nan_inf_double_versions(self, spark, tmp_path):
+        """ADVICE r9: NaN/Inf double versions escape a decimal
+        round-trip check alone — non-ANSI cast(NaN as long)=0 and
+        cast(Inf as long)=Long.MAX are non-NULL while the decimal
+        cast NULLs, so the inequality is NULL and the row slips
+        through, storing a guard of 0 (loses everything) or Long.MAX
+        (blocks all future updates). The explicit isnan/round-trip
+        clause must flag them."""
+        import pytest as _pytest
+
+        lake = make_lake(spark, tmp_path)
+        for v in (float("nan"), float("inf"), float("-inf"), 9.5):
+            bad = spark.createDataFrame(
+                [Row(id=1, version=v, op="I", v="a")],
+                "id long, version double, op string, v string",
+            )
+            with _pytest.raises(ValueError, match="NaN/Inf|fractional"):
+                lake.merge_cdc(bad, "t", "id", guard_stale=True)
+        ok = spark.createDataFrame(
+            [Row(id=1, version=9.0, op="I", v="a")],
+            "id long, version double, op string, v string",
+        )
+        lake.merge_cdc(ok, "t", "id", guard_stale=True)
+        assert rows_by_id(lake, "t")[1]["last_version"] == 9
+
+    def test_guard_timestamp_versions_out_of_order(self, spark, tmp_path):
+        """VERDICT r9 task 4: TIMESTAMP version columns are supported
+        — canonicalized to epoch MICROSECONDS, so sub-second
+        ordering is preserved through the persisted guard. Delivered
+        newest-first: the later batch (older timestamp, same second)
+        must be rejected as stale."""
+        import datetime as dt
+
+        lake = make_lake(spark, tmp_path)
+        t_new = dt.datetime(2024, 6, 1, 12, 0, 0, 750_000)
+        t_old = dt.datetime(2024, 6, 1, 12, 0, 0, 250_000)
+        mk = lambda ts, val: spark.createDataFrame(
+            [Row(id=1, version=ts, op="U", v=val)],
+            "id long, version timestamp, op string, v string",
+        )
+        lake.merge_cdc(mk(t_new, "new"), "t", "id", guard_stale=True)
+        lake.merge_cdc(mk(t_old, "stale"), "t", "id", guard_stale=True)
+        row = rows_by_id(lake, "t")[1]
+        want = int(
+            t_new.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+        )
+        assert row["v"] == "new" and row["last_version"] == want
+
+    def test_unguarded_unrepresentable_version_raises(self, spark, tmp_path):
+        """ADVICE r9 medium: the UNGUARDED merge_cdc path never ran
+        _check_version_castable, so ISO-8601 versions silently cast
+        to NULL and the argmax resolved by op/payload order — wrong
+        winners, no error. apply_changelog's inline raise now fails
+        the job loudly."""
+        import pytest as _pytest
+
+        lake = make_lake(spark, tmp_path)
+        iso = df_of(
+            spark,
+            [Row(id=1, version="2024-01-01T00:00:00Z", op="I", v="a")],
+        )
+        with _pytest.raises(Exception, match="losslessly convertible"):
+            lake.merge_cdc(iso, "t", "id")  # no guard_stale
+
     def test_unguarded_onto_guarded_keeps_guard_state(self, spark, tmp_path):
         """ADVICE r7: an unguarded merge_cdc onto a guarded table must
         not NULL out last_version for the keys it touches — it writes

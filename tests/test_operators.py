@@ -1271,6 +1271,17 @@ class TestProductQuantization:
         assert m1 == m2
         assert all(0 <= x < 16 for codes in m1.values() for x in codes)
 
+    def test_pq_fit_rejects_indivisible_m(self, spark, emb):
+        """ADVICE r9: dim % m != 0 used to crash deep inside the Lloyd
+        update (all-NULL codes -> TypeError on a None index); it must
+        fail up front with the actual contract."""
+        import pytest as _pytest
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+        with _pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_fit(emb, m=7, n_codes=8, iters=1)
+
 
 class TestScd2:
     def test_intervals_and_current_flag(self, spark):

@@ -549,3 +549,181 @@ class TestRound3OperatorPlans:
 
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
         assert "hashpartitioning(part" in plan
+
+
+class TestNonRegistryPythonOpSweep:
+    """r9 verdict task 3: the duplicated-Python-op sweep above covers
+    only plans a REGISTRY query composes — the Misra-Gries duplication
+    was caught solely because a registry query happened to compose the
+    kernel. These tests execute the operator entry points NO registry
+    query reaches (persisted-index build/query splits, the
+    non-broadcast incremental-substring probe, the stateful streaming
+    twins) and hold them to the same invariant: no duplicated
+    scalar-UDF signature, at most one map-style Python node, per plan.
+    Building this sweep immediately caught another instance:
+    `pq_build` aliased the encode UDF output and posexploded it, and
+    InferFiltersFromGenerate's size()>0 filter — rewritten through the
+    projection by filter pushdown — re-extracted the encode into a
+    second ArrowEvalPython (the whole corpus encoded twice on every
+    index build; Spark's own UDF exemption in that rule only covers a
+    DIRECT UDF generator child). Fixed with a constant-sequence
+    explode + element_at."""
+
+    @staticmethod
+    def _audit(name, plan, offenders):
+        import collections
+        import re
+
+        sigs = re.findall(
+            r"(?:ArrowEvalPython|BatchEvalPython) \[([a-zA-Z_0-9]+\([^)]*\))",
+            plan,
+        )
+        dup = [s for s, c in collections.Counter(sigs).items() if c > 1]
+        n_map = len(
+            re.findall(
+                r"MapInPandas|PythonMapInArrow|FlatMapGroupsInPandas", plan
+            )
+        )
+        if n_map > 1:
+            dup.append(f"{n_map} map-style python nodes")
+        if dup:
+            offenders[name] = dup
+
+    @staticmethod
+    def _executed(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    @pytest.fixture()
+    def rec_lake(self, spark, tmp_path):
+        """ParquetLake that records the DataFrame of every replace()
+        so the build paths' write-side plans are auditable."""
+        from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
+            ParquetLake,
+        )
+
+        class RecLake(ParquetLake):
+            def __init__(self, spark, root):
+                super().__init__(spark, root)
+                self.recorded = []
+
+            def replace(self, df, table):
+                self.recorded.append((table, df))
+                return super().replace(df, table)
+
+        return RecLake(spark, tmp_path / "lake")
+
+    def test_pq_index_paths_no_duplicated_python(self, spark, rec_lake):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 4)
+        offenders: dict = {}
+        similarity.pq_build(emb, rec_lake, "pqidx", m=16, n_codes=8, iters=1)
+        for t, df in rec_lake.recorded:
+            self._audit(f"pq_build:{t}", self._executed(df), offenders)
+        self._audit(
+            "pq_query_adc",
+            self._executed(similarity.pq_query(rec_lake, "pqidx", q, k=3)),
+            offenders,
+        )
+        self._audit(
+            "pq_query_rerank",
+            self._executed(
+                similarity.pq_query(rec_lake, "pqidx", q, k=3, corpus=emb)
+            ),
+            offenders,
+        )
+        assert not offenders, offenders
+
+    def test_ivf_index_paths_no_duplicated_python(self, spark, rec_lake):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import similarity
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 4)
+        offenders: dict = {}
+        similarity.ivf_build(emb, rec_lake, "ivfidx", n_centroids=4, iters=1)
+        for t, df in rec_lake.recorded:
+            self._audit(f"ivf_build:{t}", self._executed(df), offenders)
+        self._audit(
+            "ivf_query",
+            self._executed(similarity.ivf_query(rec_lake, "ivfidx", q, k=3)),
+            offenders,
+        )
+        assert not offenders, offenders
+
+    def test_incremental_substring_probe_modes(self, spark):
+        from dlt_salesforce_iceberg_rest_demo_spark.operators import text
+
+        docs = load_table(spark, SF_DIR, "documents")
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        idx = text.exact_substring_index(base, window=8)
+        offenders: dict = {}
+        for mode in (True, False):
+            self._audit(
+                f"incr_spans_broadcast={mode}",
+                self._executed(
+                    text.incremental_exact_substring_spans(
+                        new, idx, window=8, broadcast_probe=mode
+                    )
+                ),
+                offenders,
+            )
+        assert not offenders, offenders
+
+    def test_streaming_twins_no_duplicated_python(self, spark, tmp_path):
+        """The stateful streaming kernels, audited from the LAST
+        micro-batch's executed plan (explainInternal): one
+        FlatMapGroupsInPandasWithState node each, no duplicated
+        scalar-UDF signatures."""
+        from pyspark.sql import Row
+
+        from dlt_salesforce_iceberg_rest_demo_spark.streaming import (
+            stateful_user_totals,
+            streaming_heavy_hitters,
+        )
+
+        landing = tmp_path / "in"
+        landing.mkdir()
+        rows = [
+            Row(user_id=1, value=10.0, event_type="a"),
+            Row(user_id=2, value=1.0, event_type="b"),
+        ]
+        spark.createDataFrame(rows).coalesce(1).write.parquet(
+            str(landing / "b1")
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, value double, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        offenders: dict = {}
+        for name, out in (
+            ("stateful_user_totals", stateful_user_totals(stream)),
+            ("streaming_heavy_hitters", streaming_heavy_hitters(stream)),
+        ):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"sweep_{name}")
+                .outputMode("update")
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                # extended=False prints the physical plan only —
+                # extended mode repeats the node once per plan phase
+                # (parsed/analyzed/optimized/physical), which would
+                # read as spurious duplication
+                plan = q._jsq.explainInternal(False)
+            finally:
+                q.stop()
+            # the with-state node prints as FlatMapGroupsInPandasWithState
+            # (matched by the FlatMapGroupsInPandas pattern): exactly one
+            self._audit(name, plan, offenders)
+            assert "FlatMapGroupsInPandas" in plan, name
+        assert not offenders, offenders

@@ -355,6 +355,73 @@ class TestChangelogApplyProperty:
         assert len(out) == 1
         assert out[0]["payload"] == 100 and out[0]["last_version"] == 10
 
+    def test_timestamp_versions_order_as_epoch_micros(self, spark):
+        """VERDICT r9 task 4: TIMESTAMP version columns (the most
+        common real CDC ordering key — the reference's cursor is a
+        SystemModstamp datetime) canonicalize to epoch MICROSECONDS,
+        so sub-second ordering is preserved and the emitted
+        last_version is the exact integer both sides of any oracle
+        can reproduce."""
+        import datetime as dt
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
+            apply_changelog,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 250_000)
+        t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 750_000)  # same second
+        df = spark.createDataFrame(
+            [
+                Row(k=1, version=t1, op="U", payload=100),
+                Row(k=1, version=t0, op="U", payload=90),
+            ],
+            "k long, version timestamp, op string, payload long",
+        )
+        out = apply_changelog(df, "k", "version", "op", ["payload"]).collect()
+        assert len(out) == 1
+        # session tz is UTC (session.py), so epoch micros are exact
+        want = int(t1.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        assert out[0]["payload"] == 100 and out[0]["last_version"] == want
+
+    def test_unrepresentable_version_raises_inline(self, spark):
+        """ADVICE r9 medium: a non-NULL version the long cast cannot
+        represent (ISO-8601 string here) must RAISE at execution
+        time, not silently become NULL and hand the argmax to
+        op/payload struct order. The guard is an inline raise_error —
+        no extra scan — so it fires on the unguarded merge_cdc path
+        too."""
+        import pytest as _pytest
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
+            apply_changelog,
+        )
+
+        df = spark.createDataFrame(
+            [Row(k=1, version="2024-01-01T00:00:00Z", op="I", payload=1)],
+            "k long, version string, op string, payload long",
+        )
+        with _pytest.raises(Exception, match="losslessly convertible"):
+            apply_changelog(df, "k", "version", "op", ["payload"]).collect()
+
+    def test_null_versions_still_lose_without_raising(self, spark):
+        """NULL versions remain the documented lose-every-comparison
+        case in unguarded apply — the inline unrepresentable guard
+        must not fire on them."""
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
+            apply_changelog,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(k=1, version=None, op="U", payload=1),
+                Row(k=1, version="5", op="U", payload=5),
+            ],
+            "k long, version string, op string, payload long",
+        )
+        out = apply_changelog(df, "k", "version", "op", ["payload"]).collect()
+        assert len(out) == 1
+        assert out[0]["payload"] == 5 and out[0]["last_version"] == 5
+
 
 class TestPackSequencesProperty:
     @SETTINGS
@@ -2383,3 +2450,174 @@ class TestDsirProperty:
             want.append((i, len(bs), logw, logw + g))
         want.sort(key=lambda r: (-r[3], r[0]))
         assert got == want[:n_select]
+
+
+class TestJvmUdfTwinMasks:
+    """r9 verdict task 2: the round-9 plan fixes moved the Python
+    UDFs' NULL-mask logic into JVM twin predicates (`_encodable`) and
+    a non-nullable sentinel (`_assign_cluster`). These must stay
+    row-for-row equivalent to the UDFs' masks on HOSTILE inputs — a
+    vector the twin admits but the UDF NULLs would silently re-admit
+    a NULL row with no post-hoc filter left to catch it. The round-10
+    audit that built this test FOUND such a class: finite elements
+    whose fixed-point square overflows (x*x*1e15 past int64) passed
+    the old `_encodable` but garbage-cast/wrapped inside numpy — both
+    sides now share an explicit product-bound domain clause
+    (`_sq_cap`), pinned here."""
+
+    DIM = 4
+
+    def _hostile_rows(self):
+        import math
+
+        import numpy as np
+
+        b = math.sqrt(1e-15)  # floor(x*x*1e15) in {0,1} boundary
+        xcap = math.sqrt(similarity._sq_cap(self.DIM) / 1e15)
+        Z = [0.0, 0.0, 0.0]
+        cases = {
+            "zeros": [0.0] + Z,
+            "neg_zero": [-0.0] * 4,
+            "denorm_min": [5e-324] * 4,
+            "denorm_310": [1e-310] * 4,
+            "floor_boundary": [b] + Z,
+            "floor_boundary_dn": [float(np.nextafter(b, 0))] + Z,
+            "floor_boundary_up": [float(np.nextafter(b, 1))] + Z,
+            "neg_boundary": [-b] + Z,
+            "overflow_150": [1e150] + Z,
+            "overflow_170": [1e170] + Z,
+            "overflow_pair": [1e200, 1e200, 0.0, 0.0],
+            "int64_garbage_cast": [100.0] + Z,
+            "int64_sum_wrap": [90.0, 90.0, 0.0, 0.0],
+            "cap_exact": [xcap] + Z,
+            "cap_dn": [float(np.nextafter(xcap, 0))] + Z,
+            "cap_up": [float(np.nextafter(xcap, xcap * 2))] + Z,
+            "cap_pair": [xcap, xcap, 0.0, 0.0],
+            "tiny": [1e-8] * 4,
+            "normal": [0.5, -0.25, 0.125, 1.0],
+            "nan_elem": [float("nan"), 1.0, 0.0, 0.0],
+            "inf_elem": [float("inf"), 1.0, 0.0, 0.0],
+            "neg_inf_elem": [float("-inf"), 1.0, 0.0, 0.0],
+        }
+        rows = [(k, [float(x) for x in v]) for k, v in cases.items()]
+        rows += [("null_vec", None), ("empty_vec", []),
+                 ("short_vec", [1.0]), ("long_vec", [1.0] * 7)]
+        return rows
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self._hostile_rows(), "id string, embedding array<double>"
+        )
+
+    def test_encodable_matches_quantize_udf_mask(self, spark):
+        """`_encodable` TRUE exactly where `_quantize_unit_udf` is
+        non-NULL — raw AND finite-prefiltered (agreement must not
+        depend on the prefilter)."""
+        df = self._df(spark)
+        qu = similarity._quantize_unit_udf(self.DIM)
+        for pre in (
+            df,
+            similarity._non_null_vectors(df, "embedding", finite=True),
+        ):
+            enc = {
+                r["id"]
+                for r in pre.filter(
+                    similarity._encodable("embedding", self.DIM)
+                ).collect()
+            }
+            udf_nn = {
+                r["id"]
+                for r in pre.select(
+                    "id", qu(F.col("embedding")).alias("u")
+                )
+                .filter(F.col("u").isNotNull())
+                .collect()
+            }
+            assert enc == udf_nn, (
+                f"enc-only={sorted(enc - udf_nn)} "
+                f"udf-only={sorted(udf_nn - enc)}"
+            )
+        # sanity: the boundary really separates (mask is non-trivial)
+        assert "floor_boundary_up" in enc and "normal" in enc
+        assert "overflow_150" not in enc and "cap_up" not in enc
+
+    def test_encodable_matches_pq_encode_mask(self, spark):
+        """Same agreement for `_pq_encode_udf` (the pq_topk/pq_build
+        hot path): its non-pre-quantized mask is valid-length AND
+        nonzero quantized norm — identical to `_encodable`."""
+        df = self._df(spark)
+        books = [
+            [[0, 0], [1000000, 0]],
+            [[0, 0], [0, 1000000]],
+        ]  # m=2, dsub=2, n_codes=2 — shape only; mask is what matters
+        enc_col = similarity._pq_encode_udf(books)
+        got = {
+            r["id"]
+            for r in self._df(spark)
+            .select("id", enc_col(F.col("embedding")).alias("c"))
+            .filter(F.col("c").isNotNull())
+            .collect()
+        }
+        want = {
+            r["id"]
+            for r in df.filter(
+                similarity._encodable("embedding", self.DIM)
+            ).collect()
+        }
+        assert got == want, (
+            f"udf-only={sorted(got - want)} enc-only={sorted(want - got)}"
+        )
+
+    def test_assign_cluster_sentinel_matches_udf_null_mask(self, spark):
+        """`_assign_cluster` returns -1 EXACTLY where the underlying
+        UDF returns NULL (malformed rows), and the UDF's value
+        everywhere else — the non-nullable sentinel that kills the
+        implicit-IsNotNull double-plan must never relabel a real
+        assignment."""
+        cents = [[0] * 4, [1000000] * 4]
+        df = self._df(spark)
+        udf_out = similarity._assign_cluster_udf(cents)(F.col("embedding"))
+        twin = similarity._assign_cluster(F.col("embedding"), cents)
+        rows = df.select(
+            "id", udf_out.alias("u"), twin.alias("t")
+        ).collect()
+        for r in rows:
+            if r["u"] is None:
+                assert r["t"] == -1, r
+            else:
+                assert r["t"] == r["u"], r
+
+    @SETTINGS
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+                min_size=0,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_encodable_mask_agreement_property(self, spark, vecs):
+        """Hypothesis sweep: for ARBITRARY doubles (NaN/Inf/denormals/
+        huge magnitudes included) and arbitrary lengths, the JVM twin
+        and the UDF mask agree row-for-row."""
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "id long, embedding array<double>",
+        )
+        qu = similarity._quantize_unit_udf(self.DIM)
+        enc = {
+            r["id"]
+            for r in df.filter(
+                similarity._encodable("embedding", self.DIM)
+            ).collect()
+        }
+        udf_nn = {
+            r["id"]
+            for r in df.select("id", qu(F.col("embedding")).alias("u"))
+            .filter(F.col("u").isNotNull())
+            .collect()
+        }
+        assert enc == udf_nn
