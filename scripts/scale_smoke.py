@@ -74,6 +74,11 @@ HOT = [
     # one corpus-token exchange (the explicit doc_id repartition) must
     # stay the ONLY token-scale shuffle at 10x.
     "text_exact_substring_remove",
+    # round-10 (r9 verdict task 7): Misra-Gries heavy hitters — its
+    # summary is localCheckpointed before fanning out to two consumers
+    # (r9), so the checkpoint must stay SUMMARY-sized (O(capacity) per
+    # partition), not input-sized, as the input grows 10x.
+    "approx_heavy_hitters_users",
 ]
 
 # The df-split operators, re-measured on the saturated-vocabulary
