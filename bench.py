@@ -149,10 +149,13 @@ EXTENSION_HEADLINE = [
     "dedup_incremental_exact_substring",
     "text_dsir_select",
     # round-8: ExactSubstr span REMOVAL (the Lee et al. output step).
-    # cdc_guarded_out_of_order is deliberately NOT benched: it drives
-    # 4 copy-on-write lake commits per execution, so it would measure
-    # local-disk write throughput, not the engine (the relational
-    # disposition-parity queries in HEADLINE cover merge semantics).
+    # cdc_guarded_out_of_order — and, round 10, its timestamp-version
+    # twin plus the persisted pq/ivf index splits — are deliberately
+    # NOT benched: each drives copy-on-write lake commits per
+    # execution, so they would measure local-disk write throughput,
+    # not the engine (HEADLINE's disposition-parity queries cover
+    # merge semantics; similarity_pq_topk / similarity_ivf_topk bench
+    # the identical search bodies without the lake round-trip).
     "text_exact_substring_remove",
 ]
 

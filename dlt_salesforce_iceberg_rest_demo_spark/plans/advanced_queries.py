@@ -495,6 +495,41 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@register("similarity_pq_persisted_topk", oracle=_pq_oracle())
+def similarity_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION split of `similarity_pq_topk`, driven end-to-end
+    through a real lake: `pq_build` persists the codebooks + 16-byte
+    codes with atomic `replace` snapshots, `pq_query` reloads them and
+    reranks the shortlist by exact fixed-point cosine. Same determinism
+    discipline as the in-memory twin, so the ORACLE IS IDENTICAL — the
+    persisted round-trip (flatten to the lake's scalar schema,
+    replace-commit, reassemble) must be invisible in the results
+    (verified bit-identical to `pq_topk`; round 10). This puts the
+    index build/query entry points — previously unreachable from any
+    registry query — under the driver's correctness gate and the
+    registry-wide duplicated-Python-op plan sweep."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    from ..sinks.dispositions import ParquetLake
+    from .timeseries_queries import _scratch_lake_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    lake = ParquetLake(spark, _scratch_lake_root("pqlake", sf_dir))
+    try:
+        similarity.pq_build(emb, lake, "pqidx")
+    except similarity.EmptyCorpusError:
+        # pq_build raises loudly on an empty corpus (the BUILD-step
+        # contract); this QUERY-shaped wrapper returns the documented
+        # empty schema instead, matching pq_topk's behavior
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank long"
+        )
+    return similarity.pq_query(
+        lake, "pqidx", emb.filter(F.col("vec_id") < 8), k=5, corpus=emb
+    )
+
+
 _TIME_RANGE_SQL = """
 SELECT event_id, user_id, ts,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (

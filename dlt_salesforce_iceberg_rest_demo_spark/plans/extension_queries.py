@@ -439,6 +439,27 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf_persisted_topk", oracle=_ivf_oracle())
+def similarity_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION split of `similarity_ivf_topk`, driven through a
+    real lake: `ivf_build` persists the flattened inverted lists +
+    centroid matrix with atomic `replace` snapshots, `ivf_query`
+    reloads and runs the shared probe + exact-rerank body. The
+    integer-exact quantizer makes the persisted round-trip invisible
+    (verified bit-identical to `ivf_topk`; round 10), so the ORACLE IS
+    IDENTICAL — and the build/query entry points join the driver's
+    correctness gate and the registry-wide plan sweep."""
+    from ..sinks.dispositions import ParquetLake
+    from .timeseries_queries import _scratch_lake_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    lake = ParquetLake(spark, _scratch_lake_root("ivflake", sf_dir))
+    similarity.ivf_build(emb, lake, "ivfidx", n_centroids=16, iters=2)
+    return similarity.ivf_query(
+        lake, "ivfidx", emb.filter(F.col("vec_id") < 8), k=5, n_probe=8
+    )
+
+
 @register(
     "incremental_cursor_pushdown_scan",
     oracle=f"""

@@ -383,6 +383,31 @@ class TestChangelogApplyProperty:
         want = int(t1.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
         assert out[0]["payload"] == 100 and out[0]["last_version"] == want
 
+    def test_timestamp_ntz_versions_use_session_timezone(self, spark):
+        """TIMESTAMP_NTZ versions reinterpret in the session timezone
+        (pinned UTC in session.py) before the epoch-micros
+        canonicalization — ordering is preserved and the emitted
+        last_version equals the UTC reading of the wall-clock value."""
+        import datetime as dt
+
+        from dlt_salesforce_iceberg_rest_demo_spark.operators.incremental_agg import (
+            apply_changelog,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 100_000)
+        t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 900_000)
+        df = spark.createDataFrame(
+            [
+                Row(k=1, version=t0, op="U", payload=90),
+                Row(k=1, version=t1, op="U", payload=100),
+            ],
+            "k long, version timestamp_ntz, op string, payload long",
+        )
+        out = apply_changelog(df, "k", "version", "op", ["payload"]).collect()
+        want = int(t1.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        assert len(out) == 1
+        assert out[0]["payload"] == 100 and out[0]["last_version"] == want
+
     def test_unrepresentable_version_raises_inline(self, spark):
         """ADVICE r9 medium: a non-NULL version the long cast cannot
         represent (ISO-8601 string here) must RAISE at execution
