@@ -276,19 +276,39 @@ def build_payloads(
             key=lambda kv: -kv[1],
         )[:5]
     )
-    compact = json.dumps(
-        {
-            "metric": "headline_queries_total_wall_clock",
-            "value": round(total, 3),
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "noise_gap": noise_gap,
-            "queries": slowest,
-            "details": "BENCH.json",
-        },
-        separators=(",", ":"),
-    )
+    compact_fields = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "noise_gap": noise_gap,
+        "queries": slowest,
+        "details": "BENCH.json",
+    }
+    # Per-query min-of-3 floors vs the committed anchor (the r9-adopted
+    # round-over-round instrument — median sums swing with box noise,
+    # floors don't): surface the candidate count inline so a perf
+    # regression is visible in the driver's tail-of-stdout capture
+    # without opening BENCH.json. Anchor absence or shape drift is
+    # silently skipped (the compact line must never fail the bench).
+    try:
+        anchor = json.loads(
+            Path(__file__).resolve().parent.joinpath(
+                "BENCH_ANCHOR.json"
+            ).read_text()
+        )
+        floors, thr = anchor["floors"], anchor.get("threshold_sec", 0.3)
+        shared = set(mins) & set(floors)
+        compact_fields["floor_regressions"] = sum(
+            1 for q in shared if mins[q] - floors[q] > thr
+        )
+        compact_fields["floor_sum_delta"] = round(
+            sum(mins[q] - floors[q] for q in shared), 2
+        )
+    except Exception:
+        pass
+    compact = json.dumps(compact_fields, separators=(",", ":"))
     return full_payload, compact
 
 
