@@ -343,21 +343,27 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_nodes = deg.count()
+    n_alive = n_nodes
     removed_total = 0
     for _ in range(max_iter):
-        bad = deg.filter(F.col("d") < k).select("u").localCheckpoint(eager=True)
-        n_bad = bad.count()
-        if n_bad == 0:
-            _free_checkpoint(bad)
-            break
-        removed_total += n_bad
+        # TWO jobs per round (round-10 opt: was three — a separate
+        # `bad` checkpoint + count preceded every degree rewrite, one
+        # whole job per round spent counting a set whose size falls
+        # out of the next count anyway). `bad` stays a lazy filter
+        # over the checkpointed degree table — both consumers (the
+        # decrement join and the left_anti) re-filter in-memory
+        # blocks, which is cheaper than materializing a third
+        # checkpoint per round. Convergence = the degree table stopped
+        # shrinking (no node was below k this round), detected from
+        # the new table's count vs the previous round's.
+        bad = deg.filter(F.col("d") < k).select("u")
         # Neighbors of this round's removed nodes lose one degree per
-        # incident edge. `bad` is node-domain (always << edges); it is
-        # a materialized checkpoint, so AQE sizes it at runtime and
-        # broadcasts when it fits (no hard hint — a worst-case round
-        # can remove most of a huge node set, where a forced broadcast
-        # would OOM the driver). Nodes being removed this round fall
-        # out of the degree table entirely (left_anti) first.
+        # incident edge. `bad` is node-domain (always << edges); AQE
+        # sizes its (shuffled) side at runtime and broadcasts when it
+        # fits (no hard hint — a worst-case round can remove most of a
+        # huge node set, where a forced broadcast would OOM the
+        # driver). Nodes being removed this round fall out of the
+        # degree table entirely (left_anti) first.
         dec = (
             e.join(bad, "u")
             .groupBy(F.col("v").alias("u"))
@@ -371,8 +377,14 @@ def k_core(
             )
             .localCheckpoint(eager=True)
         )
+        n_new = new_deg.count()
+        if n_new == n_alive:
+            # fixed point: nothing was below k, new_deg == deg row-set
+            _free_checkpoint(new_deg)
+            break
+        removed_total += n_alive - n_new
+        n_alive = n_new
         _free_checkpoint(deg)
-        _free_checkpoint(bad)
         deg = new_deg
         # Compact the (never-shrinking) edge checkpoint once removal
         # dominates, so late-round decrement scans stay linear in the
@@ -515,11 +527,16 @@ def k_truss(
         return e.join(final_sup, ["a", "b"], "left").select(
             "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
         )
+    # One count per round: the previous round's survivor count IS this
+    # round's "before" size (e is exactly last round's `pruned`), so
+    # re-counting e pays a whole extra job per peel round for a number
+    # already in hand (guide §1.2: remove work before tuning it).
+    n_before = e.count()
     for _ in range(max_iter):
         sup = _edge_support(e)
         keep = sup.filter(F.col("support") >= need).select("a", "b")
         pruned = e.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
-        n_before, n_after = e.count(), pruned.count()
+        n_after = pruned.count()
         if n_after == n_before:
             # Converged: this round's support IS the fixed-point
             # support (the edge set didn't change), so reuse it instead
@@ -531,6 +548,7 @@ def k_truss(
             )
         _free_checkpoint(e)
         e = pruned
+        n_before = n_after
     # max_iter exhausted without a fixed point: report support over
     # the last edge set (edges may have fallen below k-2 triangles).
     final_sup = _edge_support(e)
