@@ -1016,6 +1016,34 @@ def pq_fit(
     O(fraction * corpus) while ENCODING still covers every vector
     (recall bound re-asserted under sampling in
     ``TestProductQuantization``)."""
+    books, base = _pq_fit_impl(
+        corpus, m, n_codes, iters, vec_col, id_col, train_fraction,
+        with_ids=False,
+    )
+    from .dedup import _free_checkpoint
+
+    _free_checkpoint(base)
+    return books
+
+
+def _pq_fit_impl(
+    corpus: DataFrame,
+    m: int,
+    n_codes: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    train_fraction: float,
+    with_ids: bool,
+) -> "tuple[list[list[list[int]]], DataFrame]":
+    """:func:`pq_fit` body, additionally returning the fit's quantized
+    checkpoint (see :func:`_pq_lloyd`). With ``with_ids=True`` and
+    ``train_fraction == 1.0`` the checkpoint carries ``id_col`` and
+    covers EXACTLY the `_encodable` corpus row set — pq_topk/pq_build
+    reuse it for the final encode instead of re-quantizing the whole
+    corpus through a fourth Arrow pass. (At train_fraction < 1 the
+    checkpoint is a training subset and reuse is impossible — callers
+    must check they trained on the full corpus before reusing.)"""
     import numpy as np
 
     corpus = _non_null_vectors(corpus, vec_col, finite=True)
@@ -1069,22 +1097,65 @@ def pq_fit(
         for j in range(m)
     ]
 
-    # _encodable BEFORE the UDF, not .filter(uq.isNotNull()) after:
-    # the post-hoc null filter plans the quantize UDF twice (see
-    # _encodable's docstring) — and with the pre-filter the UDF can
-    # never return NULL here
-    uq = (
-        train.filter(_encodable(vec_col, dim))
-        .select(_quantize_unit_udf(dim)(F.col(vec_col)).alias("uq"))
-        .localCheckpoint(eager=True)  # reused by BOTH Lloyd iterations
+    return _pq_lloyd(
+        train, books, iters, dim, dsub, vec_col, id_col,
+        with_ids=with_ids and train_fraction >= 1.0,
     )
-    for _ in range(iters):
-        enc = _pq_encode_udf(books, pre_quantized=True)
-        # no codes-null filter: uq rows are always full-length (the
-        # quantize UDF emits fixed-dim arrays) and pre_quantized
-        # encode NULLs only on length mismatch
+
+
+def _pq_lloyd(
+    train: DataFrame,
+    books: "list[list[list[int]]]",
+    iters: int,
+    dim: int,
+    dsub: int,
+    vec_col: str,
+    id_col: str,
+    with_ids: bool,
+) -> "tuple[list[list[list[int]]], DataFrame]":
+    """The shared Lloyd loop of :func:`pq_fit`: returns the trained
+    codebooks AND the quantized-unit training checkpoint (so callers
+    encoding the SAME row set afterwards — pq_topk / pq_build at
+    train_fraction=1.0 — can reuse it instead of re-quantizing the
+    whole corpus; the caller frees it otherwise).
+
+    Round-10 optimization (guide §4: each ArrowEvalPython stage has a
+    fixed per-task Python round-trip cost on top of its kernel): the
+    quantize pass and the FIRST encode pass are fused into ONE struct-
+    returning pandas UDF — the checkpoint materializes (uq, codes0)
+    together, so Lloyd iteration 1 aggregates its cells with NO Python
+    stage at all, and later passes run pre-quantized over the stored
+    uq. pq_topk's plan went from 4 Arrow passes over the corpus
+    (quantize, encode x2 iters, final encode) to 3, with the final
+    encode also skipping the in-kernel re-quantization. Arithmetic is
+    unchanged: encode(pre_quantized uq) with the same books produces
+    the identical codes the fused kernel produced, and the update
+    cells are the same exact integer sums.
+
+    ``with_ids`` carries ``id_col`` through the checkpoint (needed for
+    reuse; the fit itself does not need ids)."""
+    fused = _pq_fused_udf(books)
+    cols = ([F.col(id_col)] if with_ids else []) + [
+        fused(F.col(vec_col)).alias("qe")
+    ]
+    base = (
+        train.filter(_encodable(vec_col, dim))
+        .select(*cols)
+        .select(*(([id_col] if with_ids else []) + ["qe.uq", "qe.codes"]))
+        .localCheckpoint(eager=True)  # reused by every Lloyd iteration
+    )
+    for it in range(iters):
+        if it == 0:
+            # the fused pass already computed codes under books_0
+            enc_rows = base.select(F.col("uq"), F.col("codes"))
+        else:
+            enc = _pq_encode_udf(books, pre_quantized=True)
+            # no codes-null filter: uq rows are always full-length (the
+            # quantize UDF emits fixed-dim arrays) and pre_quantized
+            # encode NULLs only on length mismatch
+            enc_rows = base.select(F.col("uq"), enc(F.col("uq")).alias("codes"))
         cells = (
-            uq.select(F.col("uq"), enc(F.col("uq")).alias("codes"))
+            enc_rows
             .select(F.posexplode("uq").alias("dim", "x"), F.col("codes"))
             .select(
                 (F.col("dim") / dsub).cast("int").alias("j"),
@@ -1104,10 +1175,44 @@ def pq_fit(
             # FLOOR(CAST(s AS DOUBLE)/n) lands on the same integer
             new[r["j"]][r["code"]][r["d"]] = r["s"] // r["n"]
         books = new
-    from .dedup import _free_checkpoint
+    return books, base
 
-    _free_checkpoint(uq)
-    return books
+
+def _pq_fused_udf(books: "list[list[list[int]]]"):
+    """Pandas UDF fusing :func:`_quantize_unit_udf` and
+    :func:`_pq_encode_udf` into one Python pass: returns
+    struct(uq array<long>, codes array<int>) — the quantized unit
+    vector plus its sub-codes under the given (initial) codebooks.
+    Same kernels, same arithmetic, half the Arrow round-trips for the
+    fit's first pass. Callers pre-filter with :func:`_encodable`, so
+    neither field is ever NULL here (matching the unfused pair)."""
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+    out_t = T.StructType(
+        [
+            T.StructField("uq", T.ArrayType(T.LongType())),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def fused(vecs: pd.Series) -> pd.DataFrame:
+        mat, valid = _stack_valid(vecs, m * dsub)
+        uq, nz = _quantize_unit_np(mat)
+        codes = np.empty((uq.shape[0], m), dtype="int32")
+        for j in range(m):
+            sub = uq[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = _centroid_distances_int(sub, mats[j]).argmin(axis=1)
+        ok = valid & nz
+        return pd.DataFrame(
+            {
+                "uq": [uq[i] if ok[i] else None for i in range(len(ok))],
+                "codes": [codes[i] if ok[i] else None for i in range(len(ok))],
+            }
+        )
+
+    return fused
 
 
 def _pq_encode_udf(books: "list[list[list[int]]]", pre_quantized: bool = False):
@@ -1181,7 +1286,10 @@ def pq_topk(
     corpus = _non_null_vectors(corpus, vec_col, finite=True)
     queries = _non_null_vectors(queries, vec_col)
     try:
-        books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
+        books, base = _pq_fit_impl(
+            corpus, m, n_codes, iters, vec_col, id_col, train_fraction,
+            with_ids=True,
+        )
     except EmptyCorpusError:
         # Empty / all-zero-norm corpus: no candidates exist. Return an
         # empty result with the documented schema instead of crashing -
@@ -1197,16 +1305,52 @@ def pq_topk(
             .withColumn(score_col, F.lit(None).cast(score_t))
             .withColumn("rank", F.lit(None).cast("long"))
         )
+    c = _pq_corpus_codes(corpus, books, base, iters, id_col, vec_col,
+                         train_fraction)
+    return _pq_search(
+        c, books, queries, k, shortlist, corpus if rerank else None, id_col, vec_col
+    )
+
+
+def _pq_corpus_codes(
+    corpus: DataFrame,
+    books: "list[list[list[int]]]",
+    base: DataFrame,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    train_fraction: float,
+) -> DataFrame:
+    """(corpus_id, codes) under the FINAL codebooks — shared by
+    pq_topk and pq_build.
+
+    Round-10 optimization: at ``train_fraction == 1.0`` the fit's
+    quantized checkpoint covers exactly the `_encodable` corpus rows
+    (the `_dot_fixed > 0` train filter is implied by `_encodable`'s
+    ``exists(floor(x*x*1e15) >= 1)``), so the final encode runs
+    PRE-QUANTIZED over the stored uq — same codes, one less full
+    quantization, and at ``iters == 0`` the checkpoint's codes ARE the
+    final codes (no Python at all). The checkpoint rides inside the
+    returned plan (same lifecycle as every checkpoint-backed operator
+    result); at train_fraction < 1 the old re-quantizing encode over
+    the full corpus remains — the checkpoint only covers the sample."""
+    if train_fraction >= 1.0:
+        if iters == 0:
+            return base.select(F.col(id_col).alias("corpus_id"), "codes")
+        enc = _pq_encode_udf(books, pre_quantized=True)
+        return base.select(
+            F.col(id_col).alias("corpus_id"), enc(F.col("uq")).alias("codes")
+        )
+    from .dedup import _free_checkpoint
+
+    _free_checkpoint(base)  # training-sample checkpoint: not reusable
     enc = _pq_encode_udf(books)
     # pre-filter on the JVM twin of encode's NULL mask instead of
     # .filter(codes.isNotNull()) after — the post-hoc filter planned
     # TWO ArrowEvalPython nodes, encoding the whole corpus twice
-    c = corpus.filter(_encodable(vec_col, len(books) * len(books[0][0]))).select(
-        F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
-    )
-    return _pq_search(
-        c, books, queries, k, shortlist, corpus if rerank else None, id_col, vec_col
-    )
+    return corpus.filter(
+        _encodable(vec_col, len(books) * len(books[0][0]))
+    ).select(F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes"))
 
 
 def _pq_search(
@@ -1334,12 +1478,14 @@ def pq_build(
 
     Returns the codebooks."""
     corpus = _non_null_vectors(corpus, vec_col, finite=True)
-    books = pq_fit(corpus, m, n_codes, iters, vec_col, id_col, train_fraction)
-    enc = _pq_encode_udf(books)
+    books, base = _pq_fit_impl(
+        corpus, m, n_codes, iters, vec_col, id_col, train_fraction,
+        with_ids=True,
+    )
     flat = (
-        # _encodable pre-filter, not post-hoc codes.isNotNull(): the
-        # latter double-plans the encode UDF (see _encodable). The
-        # explode deliberately generates over a CONSTANT sequence and
+        # Final codes via _pq_corpus_codes (reuses the fit's quantized
+        # checkpoint at train_fraction=1.0 — see there). The explode
+        # deliberately generates over a CONSTANT sequence and
         # element_at's the codes — round-10 sweep finding:
         # posexplode(codes) over an ALIASED UDF output lets
         # InferFiltersFromGenerate add size(codes)>0 which filter
@@ -1347,9 +1493,8 @@ def pq_build(
         # encode into a second ArrowEvalPython (the whole corpus
         # encoded twice; Spark's own UDF exemption in that rule only
         # catches a DIRECT UDF generator child)
-        corpus.filter(_encodable(vec_col, len(books) * len(books[0][0])))
-        .select(
-            F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
+        _pq_corpus_codes(
+            corpus, books, base, iters, id_col, vec_col, train_fraction
         )
         .select(
             "corpus_id",
@@ -1363,6 +1508,9 @@ def pq_build(
         )
     )
     lake.replace(flat, f"{index_name}__codes")
+    from .dedup import _free_checkpoint
+
+    _free_checkpoint(base)  # consumed by the committed write above
     spark = corpus.sparkSession
     book_rows = [
         (j, code, d, int(val))
