@@ -26,7 +26,7 @@ import random
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -50,6 +50,26 @@ def _free_checkpoint(df: DataFrame) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # plan shape changed or non-JVM backend: let GC handle it
+
+
+def _checkpoint_observed(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
+    """``localCheckpoint(eager=True)`` with aggregate metrics computed
+    BY the materialization job itself (``Dataset.observe``), so the
+    per-round count / convergence signature of an iterative operator
+    costs zero extra jobs (round-11; guide §1.2 — the checkpoint job
+    already touches every row, a separate count/agg job re-scans the
+    blocks it just wrote plus one driver round-trip per round).
+
+    Exactness: observed metrics aggregate the rows of the completed
+    action only (merged on task success), so a zero-valued "rows
+    changed" metric is a sound fixed-point witness — a task that never
+    saw a changed row contributes zero under any retry schedule.
+    Returns ``(checkpointed_df, metric_dict)``; the checkpointed plan
+    is a plain LogicalRDD (the CollectMetrics node does not survive
+    into consumers)."""
+    obs = Observation()
+    ck = df.observe(obs, *metrics).localCheckpoint(eager=True)
+    return ck, obs.get
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -661,10 +681,14 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _sig(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev = _sig(labels)
+    # Convergence detection rides the propagation checkpoint's own job
+    # (round-11): the old-vs-new label comparison is carried per node
+    # through the min-aggregate (labels holds exactly one row per node,
+    # so min-over-the-tagged-branch reconstructs the old label), and an
+    # observed SUM of changed-row indicators replaces the per-round
+    # signature collect — one job per round instead of two, and the
+    # pre-loop signature job disappears. Labels only ever decrease, so
+    # "no row changed" is exactly the old "sum unchanged" fixpoint.
     for _ in range(max_iter):
         msgs = (
             sym.alias("e")
@@ -672,17 +696,27 @@ def connected_components(
             .select(F.col("e.v").alias("node"), F.col("l.label").alias("label"))
         )
         old = labels
+        tagged = labels.select(
+            "node", "label", F.lit(True).alias("_own")
+        ).unionByName(msgs.select("node", "label", F.lit(False).alias("_own")))
+        agg = tagged.groupBy("node").agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+        )
+        obs = Observation()
         labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            agg.observe(
+                obs,
+                F.sum(
+                    (F.col("label") < F.col("_old")).cast("long")
+                ).alias("chg"),
+            )
+            .select("node", "label")  # _old never enters the checkpoint
             .localCheckpoint(eager=True)
         )
         _free_checkpoint(old)
-        cur = _sig(labels)
-        if cur == prev:
+        if not (obs.get["chg"] or 0):
             break
-        prev = cur
     out = labels.select("node", F.col("label").alias("cluster_id"))
     if nodes is not None:
         allnodes = nodes.select(F.col(node_col).alias("node")).distinct()
@@ -728,17 +762,21 @@ def connected_components_star(
     # set — recovered below via one anti-join over that (usually
     # empty, AQE-collapsed) set, not a full endpoint distinct.
     e = e0.filter(F.col("u") != F.col("v"))
-    cur = (
-        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # The (count, hash-sum) round signature is observed by each
+    # checkpoint's own materialization job (round-11) — the standalone
+    # per-round signature job (and the pre-loop one) disappear; same
+    # tuple over the same rows, so convergence fires on the identical
+    # round.
+    _SIG = (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v")).alias("h"),
     )
-
-    def _sig(df: DataFrame):
-        r = df.agg(
-            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
-        ).collect()[0]
-        return (r["n"], r["h"])
+    cur, vals = _checkpoint_observed(
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct(),
+        *_SIG,
+    )
+    prev = (vals["n"], vals["h"])
 
     def _star(cdf: DataFrame, large: bool) -> DataFrame:
         sym = cdf.union(cdf.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -762,14 +800,13 @@ def connected_components_star(
             .distinct()
         )
 
-    prev = _sig(cur)
     for _ in range(max_iter):
         old = cur
         mid = _star(cur, large=True).localCheckpoint(eager=True)
         _free_checkpoint(old)
-        cur = _star(mid, large=False).localCheckpoint(eager=True)
+        cur, vals = _checkpoint_observed(_star(mid, large=False), *_SIG)
         _free_checkpoint(mid)
-        s = _sig(cur)
+        s = (vals["n"], vals["h"])
         if s == prev:
             break
         prev = s

@@ -158,6 +158,8 @@ def pagerank_int(
     Update rule (all BIGINT ops, both engines identical):
     ``rank' = 0.15*unit + (85 * SUM(rank_u DIV deg_u)) DIV 100``.
     """
+    from .dedup import _free_checkpoint
+
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -170,16 +172,24 @@ def pagerank_int(
         .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    # Attach each source's degree to its edges ONCE (round-11, guide
+    # §1.2/§2.4): the per-round contribution join (ranks x deg on node,
+    # then edges x contrib on u) collapses to a single edges x ranks
+    # join — ``rank DIV d`` evaluates per edge with the stored d,
+    # which is the same integer the per-node division produced. One
+    # node-scale join and its exchange/broadcast drop out of every
+    # round; the one-time cost is this edge-scale join at build time
+    # (+8 bytes/edge in the checkpoint). The raw `sym` blocks are
+    # superseded and freed eagerly.
+    symd = sym.join(deg, "u").localCheckpoint(eager=True)
+    _free_checkpoint(sym)
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(unit).cast("long").alias("rank")
     )
     base = (unit * 15) // 100
     for _ in range(iterations):
-        contrib = ranks.join(deg.withColumnRenamed("u", "node"), "node").select(
-            "node", F.expr("rank DIV d").alias("c")
-        )
-        msgs = sym.join(contrib.withColumnRenamed("node", "u"), "u").select(
-            F.col("v").alias("node"), "c"
+        msgs = symd.join(ranks.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), F.expr("rank DIV d").alias("c")
         )
         ranks = msgs.groupBy("node").agg(
             (F.lit(base) + F.expr("(85 * sum(c)) DIV 100")).cast("long").alias("rank")
@@ -325,7 +335,7 @@ def k_core(
     further rounds could still remove some. Raise ``max_iter`` for an
     adversarially deep peel (a path graph peels one layer per round).
     """
-    from .dedup import _free_checkpoint
+    from .dedup import _checkpoint_observed, _free_checkpoint
 
     # undirected: symmetrize once, dedupe parallel edges, drop loops
     e = (
@@ -337,25 +347,28 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
-        e.groupBy("u")
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=True)
+    # ONE job per round (round-11; was two — r10 folded the `bad`
+    # materialize+count into the rewrite, r11 folds the remaining
+    # count into the rewrite's OWN checkpoint job via observed
+    # metrics). The below-k row count of the new degree table comes
+    # out of the same job, which also moves the fixed-point test one
+    # round EARLIER: the loop stops before paying a rewrite whose
+    # input has no below-k rows, so a converged input (including an
+    # already-k-core graph) does zero rewrite rounds — the r10 shape
+    # paid one full anti-join+checkpoint pass just to observe the
+    # count didn't change.
+    deg, vals = _checkpoint_observed(
+        e.groupBy("u").agg(F.count("*").alias("d")),
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("d") < k).cast("long")).alias("nbad"),
     )
-    n_nodes = deg.count()
+    n_nodes = int(vals["n"])
+    n_bad = int(vals["nbad"] or 0)
     n_alive = n_nodes
     removed_total = 0
     for _ in range(max_iter):
-        # TWO jobs per round (round-10 opt: was three — a separate
-        # `bad` checkpoint + count preceded every degree rewrite, one
-        # whole job per round spent counting a set whose size falls
-        # out of the next count anyway). `bad` stays a lazy filter
-        # over the checkpointed degree table — both consumers (the
-        # decrement join and the left_anti) re-filter in-memory
-        # blocks, which is cheaper than materializing a third
-        # checkpoint per round. Convergence = the degree table stopped
-        # shrinking (no node was below k this round), detected from
-        # the new table's count vs the previous round's.
+        if n_bad == 0:
+            break  # fixed point: no node below k, nothing to peel
         bad = deg.filter(F.col("d") < k).select("u")
         # Neighbors of this round's removed nodes lose one degree per
         # incident edge. `bad` is node-domain (always << edges); AQE
@@ -369,19 +382,17 @@ def k_core(
             .groupBy(F.col("v").alias("u"))
             .agg(F.count("*").alias("ddec"))
         )
-        new_deg = (
+        new_deg, vals = _checkpoint_observed(
             deg.join(bad, "u", "left_anti")
             .join(dec, "u", "left")
             .select(
                 "u", (F.col("d") - F.coalesce("ddec", F.lit(0))).alias("d")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("d") < k).cast("long")).alias("nbad"),
         )
-        n_new = new_deg.count()
-        if n_new == n_alive:
-            # fixed point: nothing was below k, new_deg == deg row-set
-            _free_checkpoint(new_deg)
-            break
+        n_new = int(vals["n"])
+        n_bad = int(vals["nbad"] or 0)
         removed_total += n_alive - n_new
         n_alive = n_new
         _free_checkpoint(deg)
@@ -389,7 +400,9 @@ def k_core(
         # Compact the (never-shrinking) edge checkpoint once removal
         # dominates, so late-round decrement scans stay linear in the
         # SURVIVING subgraph — the many-round / extreme-scale guard.
-        if removed_total * 2 > n_nodes:
+        # Skipped when this round hit the fixed point (e is only read
+        # by the next round's decrement join).
+        if n_bad and removed_total * 2 > n_nodes:
             alive = deg.select("u")
             compacted = (
                 e.join(alive, "u")
@@ -506,16 +519,19 @@ def k_truss(
     Returns surviving canonical edges (a, b, support) with the
     support AT the fixed point (>= k-2 everywhere).
     """
-    from .dedup import _free_checkpoint
+    from .dedup import _checkpoint_observed, _free_checkpoint
 
-    e = (
+    # The edge count rides the checkpoint's own materialization job
+    # (observed metrics, round-11) — counting is free here and per
+    # round below, so each peel round is exactly its rewrite job.
+    e, vals = _checkpoint_observed(
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
             F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
     need = max(k - 2, 0)
     # k <= 2 => need = 0: every edge trivially satisfies support >= 0,
@@ -527,16 +543,19 @@ def k_truss(
         return e.join(final_sup, ["a", "b"], "left").select(
             "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
         )
-    # One count per round: the previous round's survivor count IS this
-    # round's "before" size (e is exactly last round's `pruned`), so
-    # re-counting e pays a whole extra job per peel round for a number
-    # already in hand (guide §1.2: remove work before tuning it).
-    n_before = e.count()
+    # One count per round (r10): the previous round's survivor count IS
+    # this round's "before" size (e is exactly last round's `pruned`);
+    # and that one count is folded into the prune checkpoint's own job
+    # (r11) — no standalone count job remains in the loop.
+    n_before = int(vals["n"])
     for _ in range(max_iter):
         sup = _edge_support(e)
         keep = sup.filter(F.col("support") >= need).select("a", "b")
-        pruned = e.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
-        n_after = pruned.count()
+        pruned, pvals = _checkpoint_observed(
+            e.join(keep, ["a", "b"], "left_semi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        n_after = int(pvals["n"])
         if n_after == n_before:
             # Converged: this round's support IS the fixed-point
             # support (the edge set didn't change), so reuse it instead

@@ -1330,19 +1330,34 @@ def _pq_corpus_codes(
     ``exists(floor(x*x*1e15) >= 1)``), so the final encode runs
     PRE-QUANTIZED over the stored uq — same codes, one less full
     quantization, and at ``iters == 0`` the checkpoint's codes ARE the
-    final codes (no Python at all). The checkpoint rides inside the
-    returned plan (same lifecycle as every checkpoint-backed operator
-    result); at train_fraction < 1 the old re-quantizing encode over
-    the full corpus remains — the checkpoint only covers the sample."""
-    if train_fraction >= 1.0:
-        if iters == 0:
-            return base.select(F.col(id_col).alias("corpus_id"), "codes")
-        enc = _pq_encode_udf(books, pre_quantized=True)
-        return base.select(
-            F.col(id_col).alias("corpus_id"), enc(F.col("uq")).alias("codes")
-        )
+    final codes (no Python at all).
+
+    Round-11 (ADVICE r10): the reused ``base`` checkpoint pins
+    corpus-sized (uq, codes) blocks — uq is dim int64s per row, ~8x
+    the float vector — and pq_topk could never free it because the
+    lazy result consumed it. Now the final (corpus_id, codes)
+    projection materializes as its OWN checkpoint (m int32s + id per
+    row, ~dim/4 smaller) and ``base`` is freed immediately; repeated
+    pq_topk calls no longer accumulate corpus-scale blocks in the
+    block manager (the exact pressure ``_free_checkpoint``'s docstring
+    blames for 2x bench variance). Same codes: the encode kernel just
+    runs inside the checkpoint's materialization job instead of inside
+    the consumer's plan. At train_fraction < 1 the old re-quantizing
+    encode over the full corpus remains — the checkpoint only covers
+    the sample."""
     from .dedup import _free_checkpoint
 
+    if train_fraction >= 1.0:
+        if iters == 0:
+            final = base.select(F.col(id_col).alias("corpus_id"), "codes")
+        else:
+            enc = _pq_encode_udf(books, pre_quantized=True)
+            final = base.select(
+                F.col(id_col).alias("corpus_id"), enc(F.col("uq")).alias("codes")
+            )
+        codes = final.localCheckpoint(eager=True)
+        _free_checkpoint(base)
+        return codes
     _free_checkpoint(base)  # training-sample checkpoint: not reusable
     enc = _pq_encode_udf(books)
     # pre-filter on the JVM twin of encode's NULL mask instead of
@@ -1482,21 +1497,22 @@ def pq_build(
         corpus, m, n_codes, iters, vec_col, id_col, train_fraction,
         with_ids=True,
     )
+    # Final codes via _pq_corpus_codes (reuses the fit's quantized
+    # checkpoint at train_fraction=1.0, materialized as a codes-only
+    # checkpoint with the fat uq blocks already freed — see there).
+    c = _pq_corpus_codes(
+        corpus, books, base, iters, id_col, vec_col, train_fraction
+    )
     flat = (
-        # Final codes via _pq_corpus_codes (reuses the fit's quantized
-        # checkpoint at train_fraction=1.0 — see there). The explode
-        # deliberately generates over a CONSTANT sequence and
-        # element_at's the codes — round-10 sweep finding:
+        # The explode deliberately generates over a CONSTANT sequence
+        # and element_at's the codes — round-10 sweep finding:
         # posexplode(codes) over an ALIASED UDF output lets
         # InferFiltersFromGenerate add size(codes)>0 which filter
         # pushdown rewrites to size(encode(vec))>0, re-extracting the
         # encode into a second ArrowEvalPython (the whole corpus
         # encoded twice; Spark's own UDF exemption in that rule only
         # catches a DIRECT UDF generator child)
-        _pq_corpus_codes(
-            corpus, books, base, iters, id_col, vec_col, train_fraction
-        )
-        .select(
+        c.select(
             "corpus_id",
             F.explode(F.sequence(F.lit(0), F.lit(len(books) - 1))).alias("j"),
             F.col("codes"),
@@ -1510,7 +1526,8 @@ def pq_build(
     lake.replace(flat, f"{index_name}__codes")
     from .dedup import _free_checkpoint
 
-    _free_checkpoint(base)  # consumed by the committed write above
+    _free_checkpoint(base)  # no-op at train_fraction=1.0 (freed above)
+    _free_checkpoint(c)  # consumed by the committed write above
     spark = corpus.sparkSession
     book_rows = [
         (j, code, d, int(val))

@@ -489,11 +489,15 @@ class TestRound3OperatorPlans:
         plan = plan_of(REGISTRY["similarity_pq_topk"].spark(spark, SF_DIR))
         assert "CartesianProduct" not in plan
         assert "WindowGroupLimit" in plan  # shortlist prunes pre-shuffle
-        # exactly ONE encode pass over the corpus: the old post-hoc
-        # .filter(codes.isNotNull()) double-planned the UDF (r8 audit);
-        # formatted mode prints each node in the tree ("ArrowEvalPython
-        # (n)") and again in the details section, so count tree entries
-        assert plan.count("ArrowEvalPython (") == 1
+        # ZERO Python in the returned plan (round-11): the single
+        # encode pass runs inside the codes checkpoint's construction
+        # job (_pq_corpus_codes), so the ADC/rerank plan consumes a
+        # plain (corpus_id, codes) LogicalRDD — the r8 invariant
+        # ("exactly one encode pass over the corpus") is now enforced
+        # at == 0 here plus the construction-side pass; a reappearing
+        # ArrowEvalPython would mean the post-hoc-filter duplication
+        # regressed into the consumer plan.
+        assert plan.count("ArrowEvalPython (") == 0
 
     def test_no_registry_plan_duplicates_a_python_udf(self, spark):
         """Catalyst's Python-UDF extraction does not CSE across
