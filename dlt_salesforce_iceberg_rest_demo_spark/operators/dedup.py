@@ -1312,16 +1312,26 @@ def containment_pairs(
     elif df_cap is None:
         df_cap = _cost_based_df_cap(dfreq, cold_work_per_token)
     # Hot vocabulary: tiny by construction, so it broadcasts; rank
-    # gives the ascending-rarity order the hot-prefix path needs.
-    hot_vocab = (
+    # gives the ascending-rarity order the hot-prefix path needs. Its
+    # count rides the checkpoint's own materialization job (r11).
+    hot_vocab, hv = _checkpoint_observed(
         dfreq.filter(F.col("df") > df_cap)
         .withColumn("hid", F.row_number().over(Window.orderBy("df", "s")).cast("long"))
-        .select("s", "hid")
-        .localCheckpoint(eager=True)
+        .select("s", "hid"),
+        F.count(F.lit(1)).alias("n"),
     )
-    n_hot = hot_vocab.count()
+    n_hot = int(hv["n"])
     width = (n_hot + 63) // 64  # bitmap words per doc
 
+    # r11 probe note: repartitioning tok_cold on the shingle key to
+    # share one exchange between the self-join's sides was measured
+    # and REJECTED (median 3.5 s -> 7.7 s, per-run stage time 20 s ->
+    # 102 s): hash(s) CO-LOCATES each shingle's quadratic pair
+    # fan-out on one task — and a user repartition is exempt from AQE
+    # skew splitting — while the join's stream side is doc-partitioned
+    # (spread), which distributes enumeration work evenly by
+    # construction. At scale the planner's own hash(s) exchanges keep
+    # AQE skew handling, and df_cap bounds any single key's fan-out.
     tok_cold = tok.join(F.broadcast(hot_vocab), "s", "left_anti")
     sizes = tok.groupBy("doc").agg(F.count("*").alias("m"))
     if n_hot:

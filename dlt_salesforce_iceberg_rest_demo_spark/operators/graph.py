@@ -158,8 +158,6 @@ def pagerank_int(
     Update rule (all BIGINT ops, both engines identical):
     ``rank' = 0.15*unit + (85 * SUM(rank_u DIV deg_u)) DIV 100``.
     """
-    from .dedup import _free_checkpoint
-
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -172,24 +170,23 @@ def pagerank_int(
         .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
-    # Attach each source's degree to its edges ONCE (round-11, guide
-    # §1.2/§2.4): the per-round contribution join (ranks x deg on node,
-    # then edges x contrib on u) collapses to a single edges x ranks
-    # join — ``rank DIV d`` evaluates per edge with the stored d,
-    # which is the same integer the per-node division produced. One
-    # node-scale join and its exchange/broadcast drop out of every
-    # round; the one-time cost is this edge-scale join at build time
-    # (+8 bytes/edge in the checkpoint). The raw `sym` blocks are
-    # superseded and freed eagerly.
-    symd = sym.join(deg, "u").localCheckpoint(eager=True)
-    _free_checkpoint(sym)
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(unit).cast("long").alias("rank")
     )
     base = (unit * 15) // 100
+    # Round-11 probe note: attaching d to the edge list once (symd =
+    # sym JOIN deg, checkpointed) to drop the per-round contribution
+    # join was measured and REJECTED — jobs/run 17.7 -> 22 (the build
+    # join's AQE stages cost more than the three node-scale contrib
+    # joins it removes at iterations=3), wall flat; and at scale it
+    # trades 3 node-scale joins for 1 extra edge-scale join, a loss
+    # for any m >> n graph at this iteration count.
     for _ in range(iterations):
-        msgs = symd.join(ranks.withColumnRenamed("node", "u"), "u").select(
-            F.col("v").alias("node"), F.expr("rank DIV d").alias("c")
+        contrib = ranks.join(deg.withColumnRenamed("u", "node"), "node").select(
+            "node", F.expr("rank DIV d").alias("c")
+        )
+        msgs = sym.join(contrib.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), "c"
         )
         ranks = msgs.groupBy("node").agg(
             (F.lit(base) + F.expr("(85 * sum(c)) DIV 100")).cast("long").alias("rank")

@@ -96,26 +96,22 @@ def get_spark(
         # ANSI off: the engine mirrors the reference's permissive dlt typing
         # (silent NULL on bad cast, no overflow errors mid-pipeline).
         .config("spark.sql.ansi.enabled", "false")
-        # Join strategy (round-10 measurement): let the planner pick
-        # shuffled-hash over sort-merge when its size conditions hold,
-        # and let AQE rewrite SMJ->SHJ at runtime when every
-        # post-shuffle partition fits the local-map bound. The
-        # sort-heavy SMJ paths (self-joins whose rows carry shingle /
-        # signature arrays: prefix-Jaccard candidates+verify,
-        # containment stats joins) were the slowest, highest-variance
-        # stages in the bench; interleaved A/B sessions put
-        # dedup_prefix_jaccard at 2.9-4.6 s with these vs 3.4-30 s
-        # bimodal on sort-merge, with TPC-H q18 also improving.
-        # Scale safety: SHJ selection stays statistics-gated
-        # (muchSmaller + canBuildLocalHashMap), the AQE rewrite is
-        # bounded by ACTUAL runtime partition bytes (128m local maps -
-        # well inside any sane executor), and sort-merge remains the
-        # fallback everywhere else; both knobs are env-overridable for
-        # memory-tight clusters.
-        .config(
-            "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
-        )
+        # Join strategy (round-11 re-measurement of the round-10
+        # change): the static planner flag preferSortMergeJoin=false
+        # is DROPPED — plans/r11/*_sqldump_shj_* capture the physical
+        # plan of every SQL execution (construction checkpoints
+        # included) for the queries round 10 credited to it
+        # (prefix_jaccard, containment, q18, incremental_batch) under
+        # all four knob combinations, and the join sequences are
+        # byte-identical: not one SortMergeJoin or ShuffledHashJoin
+        # exists at this scale for the knobs to flip, so the r10
+        # paired-wall deltas were host noise. The planner-time SHJ
+        # pick is also the unsafe half at 100 TB (estimated-stats
+        # gated, build side cannot spill — a post-filter misestimate
+        # OOMs an executor on a join sort-merge would have finished).
+        # The AQE rewrite below is the safe half (actual runtime
+        # partition bytes, 128m local maps) and is kept per guide
+        # §3.1/§9; env-overridable for memory-tight clusters.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "128m"),

@@ -30,7 +30,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SRC = "/root/testdata/sf0.1"
-PLANS = REPO / "plans" / "r10"
+PLANS = REPO / "plans" / "r11"
 
 
 def _execute(df) -> int:
@@ -54,6 +54,54 @@ def _jobs(spark) -> list[dict]:
         f"{base}/api/v1/applications/{app}/jobs", timeout=30
     ) as r:
         return json.load(r)
+
+
+def _sql_executions(spark) -> list[dict]:
+    """Every SQL execution the app has run, via the UI REST API —
+    including CONSTRUCTION-time jobs (localCheckpoint materializations,
+    collects) whose plans never appear in the returned DataFrame's
+    explain. This is the round-10 verdict's missing evidence channel
+    for join-strategy changes that live in checkpoint jobs."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/sql?length=10000&planDescription=true",
+        timeout=60,
+    ) as r:
+        return json.load(r)
+
+
+def dump_sql_plans(name: str, tag: str) -> dict:
+    """Run one warmed execution of the query and dump the physical plan
+    of EVERY SQL execution it issued (construction checkpoints included)
+    to plans/r11/<q>_sqldump_<tag>.txt, plus a per-join-strategy count
+    summary. Usage: opt_probe.py <tag> --sqldump <query>."""
+    from dlt_salesforce_iceberg_rest_demo_spark.plans import query_fns
+    from dlt_salesforce_iceberg_rest_demo_spark.session import get_spark
+
+    spark = get_spark("opt-probe", extra_conf={"spark.ui.enabled": "true"})
+    fns = query_fns()
+    _execute(fns[name](spark, SRC))  # warm
+    before = {e["id"] for e in _sql_executions(spark)}
+    _execute(fns[name](spark, SRC))
+    new = [e for e in _sql_executions(spark) if e["id"] not in before]
+    new.sort(key=lambda e: e["id"])
+    out, counts = [], {"SortMergeJoin": 0, "ShuffledHashJoin": 0,
+                       "BroadcastHashJoin": 0}
+    for e in new:
+        desc = e.get("planDescription", "")
+        # the FINAL adaptive plan only (drop the pre-AQE initial plan)
+        final = desc.split("+- == Initial Plan ==", 1)[0]
+        for kjoin in counts:
+            counts[kjoin] += len(re.findall(rf"(?<![A-Za-z]){kjoin}", final))
+        out.append(
+            f"===== execution {e['id']} "
+            f"[{e.get('description', '')[:100]}] =====\n{desc}\n"
+        )
+    PLANS.mkdir(parents=True, exist_ok=True)
+    (PLANS / f"{name}_sqldump_{tag}.txt").write_text("\n".join(out))
+    return {"query": name, "tag": tag, "n_executions": len(new),
+            "final_plan_join_counts": counts}
 
 
 def probe_one(name: str, tag: str) -> dict:
@@ -127,6 +175,20 @@ def main() -> None:
     tag = sys.argv[1]
     if sys.argv[2] == "--self":
         print("PROBE " + json.dumps(probe_one(sys.argv[3], tag)))
+        return
+    if sys.argv[2] == "--sqldump-self":
+        print("DUMP " + json.dumps(dump_sql_plans(sys.argv[3], tag)))
+        return
+    if sys.argv[2] == "--sqldump":
+        for name in sys.argv[3:]:
+            proc = subprocess.run(
+                [sys.executable, __file__, tag, "--sqldump-self", name],
+                capture_output=True, text=True,
+            )
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("DUMP ")), None)
+            print(line[5:] if line else f"{name}: FAILED\n{proc.stderr[-800:]}",
+                  flush=True)
         return
     if sys.argv[2] == "--top":
         anchor = json.loads((REPO / "BENCH_ANCHOR.json").read_text())
