@@ -115,6 +115,7 @@ class TestContainmentFrequencySplit:
         assert base == forced_split
         assert base, "fixture should contain containment pairs"
 
+    @pytest.mark.exhaustive
     def test_dense_strategy_matches_index_exactly(self, spark):
         """The blocked full-vocabulary-bitmap strategy (the saturated-
         vocab route) must be bit-identical to the index path — both
@@ -694,6 +695,7 @@ class TestBatchInference:
 
 
 class TestPqSampleTraining:
+    @pytest.mark.exhaustive
     def test_recall_holds_on_half_sample(self, spark):
         """Codebooks trained on a deterministic 50% md5 sample must
         still reach the recall bound — the 100 TB training path."""
@@ -1070,6 +1072,7 @@ class TestIvfPersistence:
     """Persisted IVF index: build once to the lake, query path equals
     the build-and-query-in-one operator exactly."""
 
+    @pytest.mark.exhaustive
     def test_query_matches_direct_ivf(self, spark, tmp_path):
         from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
             ParquetLake,
@@ -1117,6 +1120,7 @@ class TestPqPersistence:
     the fit-and-query-in-one operator exactly; ADC-only mode works
     without the full vectors."""
 
+    @pytest.mark.exhaustive
     def test_query_with_rerank_matches_direct_pq(self, spark, tmp_path):
         from dlt_salesforce_iceberg_rest_demo_spark.sinks.dispositions import (
             ParquetLake,
@@ -1190,6 +1194,7 @@ class TestDbscan:
             [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
         )
 
+    @pytest.mark.exhaustive
     def test_chain_core_border_noise(self, spark):
         import math
 
@@ -1210,6 +1215,7 @@ class TestDbscan:
         assert out[1] == ("border", 2) and out[3] == ("border", 2)
         assert out[9] == ("noise", None)
 
+    @pytest.mark.exhaustive
     def test_two_blobs_get_distinct_min_id_labels(self, spark):
         import math
 
@@ -1231,6 +1237,7 @@ class TestDbscan:
         assert all(role[i] == "core" for i in (1, 2, 3, 11, 12, 13))
         assert role[99] == "noise"
 
+    @pytest.mark.exhaustive
     def test_lsh_candidate_path_agrees_with_exact_on_tight_clusters(self, spark):
         """The composed scale path (lsh_neighbor_pairs -> dbscan) must
         reproduce the exact all-pairs result when within-cluster
@@ -1265,6 +1272,7 @@ class TestDbscan:
         }
         assert composed == exact
 
+    @pytest.mark.exhaustive
     def test_auto_route_exact_below_threshold_lsh_above(self, spark, monkeypatch):
         """dbscan(pairs=None) must route on corpus size: exact
         all-pairs at/below exact_max_rows, lsh_neighbor_pairs above —

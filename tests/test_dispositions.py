@@ -3,6 +3,7 @@ the end-to-end disposition tests SURVEY §5 calls for."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import types as T
 
@@ -506,6 +507,7 @@ class TestMergeCdc:
         assert rep.rows_written == 0
         assert lake.current_version("t") == v0  # stale-only: no commit
 
+    @pytest.mark.exhaustive
     def test_guard_stale_ignores_late_lower_version_delete(self, spark, tmp_path):
         lake = make_lake(spark, tmp_path)
         lake.merge_cdc(
@@ -520,6 +522,7 @@ class TestMergeCdc:
         )
         assert 1 not in rows_by_id(lake, "t")  # fresh delete applies
 
+    @pytest.mark.exhaustive
     def test_guard_tombstone_blocks_resurrection(self, spark, tmp_path):
         """The round-7 boundary, closed: a winning delete persists a
         tombstone (hidden from read), so an update outrun by the
@@ -544,6 +547,7 @@ class TestMergeCdc:
         )
         assert rows_by_id(lake, "t")[1]["v"] == "back"  # newer re-insert
 
+    @pytest.mark.exhaustive
     def test_guard_tombstone_for_absent_key(self, spark, tmp_path):
         """A delete for a key the table never saw still tombstones —
         its insert may be outrun and arrive later — and that commit is
@@ -560,6 +564,7 @@ class TestMergeCdc:
         rows = rows_by_id(lake, "t")
         assert 1 not in rows and rows[9]["v"] == "live"
 
+    @pytest.mark.exhaustive
     def test_tombstones_survive_compaction_and_plain_merge(
         self, spark, tmp_path
     ):
@@ -580,6 +585,7 @@ class TestMergeCdc:
         assert 1 not in rows  # tombstone outlived compact + merge
         assert rows[2]["v"] == "b" and rows[3]["v"] == "c"
 
+    @pytest.mark.exhaustive
     def test_compact_tombstones_retention(self, spark, tmp_path):
         """compact_tombstones drops tombstones below the version
         horizon (and ONLY those); dropping one re-opens the
@@ -769,6 +775,7 @@ class TestMergeCdc:
         assert rows[1]["last_version"] == 3  # state written, not NULLed
         assert rows[2]["v"] == "re"  # unguarded write replaced tombstone
 
+    @pytest.mark.exhaustive
     def test_guard_evolves_unguarded_table(self, spark, tmp_path):
         """A guarded merge onto a pre-guard table adds last_version by
         additive evolution; pre-guard rows (NULL version) lose to any

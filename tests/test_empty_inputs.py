@@ -28,7 +28,7 @@ from dlt_salesforce_iceberg_rest_demo_spark.sources.parquet import load_table
 # queries — each sweep also asserts the count as a belt-and-braces.
 query_fns()
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, sweep_queries
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
@@ -50,7 +50,7 @@ def empty_sf_dir(spark, tmp_path_factory):
 def test_every_registry_query_survives_empty_tables(spark, empty_sf_dir):
     assert len(REGISTRY) >= 250  # vacuous-sweep guard
     failures = []
-    for name in sorted(REGISTRY):
+    for name in sweep_queries(REGISTRY):
         try:
             REGISTRY[name].spark(spark, empty_sf_dir).count()
         except Exception as e:  # noqa: BLE001 - collecting all offenders
@@ -145,7 +145,7 @@ def test_every_registry_query_survives_null_payloads(
     pinned here."""
     assert len(REGISTRY) >= 250  # vacuous-sweep guard
     failures = []
-    for name in sorted(REGISTRY):
+    for name in sweep_queries(REGISTRY):
         try:
             REGISTRY[name].spark(spark, null_payload_sf_dir).count()
         except Exception as e:  # noqa: BLE001
@@ -192,7 +192,7 @@ def test_vector_queries_survive_nonfinite_embeddings(spark, nonfinite_sf_dir):
     semantics, identically in Spark and the oracle engine."""
     vector_queries = [
         n
-        for n in sorted(REGISTRY)
+        for n in sweep_queries(REGISTRY)
         if any(
             p in n
             for p in (
@@ -206,7 +206,9 @@ def test_vector_queries_survive_nonfinite_embeddings(spark, nonfinite_sf_dir):
             )
         )
     ]
-    assert len(vector_queries) >= 20
+    from .conftest import FULL_TESTS
+
+    assert len(vector_queries) >= (20 if FULL_TESTS else 6)
     failures = []
     for name in vector_queries:
         try:
@@ -230,6 +232,7 @@ def single_row_sf_dir(spark, tmp_path_factory):
     return str(dst)
 
 
+@pytest.mark.exhaustive
 def test_every_registry_query_survives_single_row_tables(
     spark, single_row_sf_dir
 ):
@@ -238,7 +241,7 @@ def test_every_registry_query_survives_single_row_tables(
     introduced; kmeans already self-caps via limit())."""
     assert len(REGISTRY) >= 250  # vacuous-sweep guard
     failures = []
-    for name in sorted(REGISTRY):
+    for name in sweep_queries(REGISTRY):
         try:
             REGISTRY[name].spark(spark, single_row_sf_dir).count()
         except Exception as e:  # noqa: BLE001

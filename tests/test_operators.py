@@ -152,6 +152,7 @@ class TestNonFiniteCandidates:
          [1.0, float("nan")] + [0.5] * 6],  # PARTIALLY finite row
         ids=["all-nan", "all-inf", "one-nan"],
     )
+    @pytest.mark.exhaustive
     def test_ivf_and_pq_never_surface_nonfinite_corpus_rows(self, spark, poison):
         corpus = self._corpus(spark, poison)
         q = corpus.filter(F.col("vec_id") < 3)
@@ -286,6 +287,7 @@ class TestTemporal:
         ).collect()[0]
         assert row.event_id_asof is None
 
+    @pytest.mark.exhaustive
     def test_band_join_matches_naive_theta(self, spark):
         """Bucketized band join == brute-force theta join (inclusive
         bounds both ends), on a window that straddles bucket edges."""
@@ -530,9 +532,11 @@ class TestStarConnectedComponents:
         prop = self._labels(dedup.connected_components(edges))
         assert star == prop
 
+    @pytest.mark.exhaustive
     def test_long_chain(self, spark):
         self._assert_same_as_propagation(spark, [(i, i + 1) for i in range(30)])
 
+    @pytest.mark.exhaustive
     def test_random_graph_matches_propagation(self, spark):
         import random
 

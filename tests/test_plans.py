@@ -499,6 +499,7 @@ class TestRound3OperatorPlans:
         # regressed into the consumer plan.
         assert plan.count("ArrowEvalPython (") == 0
 
+    @pytest.mark.exhaustive
     def test_no_registry_plan_duplicates_a_python_udf(self, spark):
         """Catalyst's Python-UDF extraction does not CSE across
         operators: a .filter(udf_out.isNotNull()) after the projection
@@ -555,6 +556,7 @@ class TestRound3OperatorPlans:
         assert "hashpartitioning(part" in plan
 
 
+@pytest.mark.exhaustive
 class TestNonRegistryPythonOpSweep:
     """r9 verdict task 3: the duplicated-Python-op sweep above covers
     only plans a REGISTRY query composes — the Misra-Gries duplication

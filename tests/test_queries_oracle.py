@@ -45,7 +45,28 @@ NONEMPTY_EXEMPT: set[str] = {
 }
 
 
-@pytest.mark.parametrize("name", _oracle_names())
+# Round-11 (driver-window fix): the default suite runs a SMOKE subset
+# of the oracle drive — one-or-more representatives per operator
+# family, including every bench headliner family and every operator a
+# round has ever changed — and marks the rest `exhaustive`
+# (SPARK_GRAFT_FULL_TESTS=1 runs all 274; the round ritual and the
+# scale-override drive do). The driver's own CORRECTNESS gate
+# re-drives EVERY oracle query at sf0.01 regardless, so the full
+# per-query sweep is redundant inside the driver's VERIFY window —
+# which the grown suite no longer fit (r10: timed out at ~25% with
+# all dots green).
+from .conftest import SMOKE_QUERIES
+
+
+def _oracle_params():
+    return [
+        name if name in SMOKE_QUERIES
+        else pytest.param(name, marks=pytest.mark.exhaustive)
+        for name in _oracle_names()
+    ]
+
+
+@pytest.mark.parametrize("name", _oracle_params())
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
     spark_df = q.spark(spark, SF_DIR)

@@ -104,6 +104,7 @@ def test_incremental_merge_stream_upserts(spark, tmp_path):
     assert rows == {1: "new", 2: "keep", 3: "ins"}
 
 
+@pytest.mark.exhaustive
 def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState keeps per-user state across micro-batches:
     totals after drop2 include drop1's rows for returning users."""
@@ -146,6 +147,7 @@ def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
     assert latest[3] == (1, 7.0)   # new key
 
 
+@pytest.mark.exhaustive
 def test_dedup_within_watermark_drops_repeats(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a repeated event_id arriving in a
     later micro-batch (inside the horizon) is emitted only once."""
@@ -181,6 +183,7 @@ def test_dedup_within_watermark_drops_repeats(spark, tmp_path):
     assert dict((r.event_id, r.v) for r in out)[1] == "a"  # first wins
 
 
+@pytest.mark.exhaustive
 def test_stream_stream_interval_join_attributes_within_horizon(spark, tmp_path):
     """Stream-stream interval join: right events match left events
     at-or-after them within the horizon; outside-horizon pairs drop."""
@@ -387,6 +390,7 @@ def test_streaming_ohlc_matches_batch(spark, landing):
     assert len(got) >= len(want) * 0.5
 
 
+@pytest.mark.exhaustive
 def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
     """LEFT OUTER interval join: an unmatched left event surfaces with a
     NULL right side once the watermark clears its match window (the
@@ -478,6 +482,7 @@ def test_stream_cdc_apply_upserts_and_deletes(spark, tmp_path):
     assert rows == {1: "a", 2: "b3", 4: "d"}  # 3 deleted, 2 updated twice
 
 
+@pytest.mark.exhaustive
 def test_stream_cdc_apply_guarded_survives_out_of_order_batches(spark, tmp_path):
     """guard_stale=True makes the streamed table independent of
     micro-batch delivery order for updates: versions v3/v4 for the same
@@ -568,6 +573,7 @@ def test_streaming_sessionize_matches_python_replay(spark, landing):
     assert got == want
 
 
+@pytest.mark.exhaustive
 def test_stream_stream_interval_join_matches_band_join(spark, tmp_path):
     """Round-7 equivalence: the stream-stream interval join is the
     streaming twin of temporal.band_join([0, horizon], on=key) — over
